@@ -1,0 +1,445 @@
+"""Tiling pipeline: images -> layout tiles -> pyramid -> focal.
+
+Spark-first re-expression of the GeoTrellis ingest spine (upstream 3.x
+layout, SURVEY.md §0 / §3.E1):
+
+- ``cut_images``   — T5 ``tileToLayout``/``CutTiles`` (``spark/.../
+  tiling/{CutTiles,Tiler}.scala``): every image is sliced against the
+  layout tiles it overlaps inside ``mapInPandas`` (Arrow batches, numpy
+  slicing — no per-row Python).
+- ``merge_tiles``  — T7 ``Tile.merge`` first-non-NoData-wins, made
+  associative for two-phase (salted) aggregation by carrying a
+  per-cell winner-ordinal plane: lower source ordinal wins where both
+  have data. Phase 1 groups by (cell_id, salt) — explicit skew
+  handling per north_rule — phase 2 by cell_id.
+- ``pyramid_up``   — T6 ``Pyramid.up`` (``spark/.../pyramid/
+  Pyramid.scala``): parent key (c/2, r/2), child quadrant (c%2, r%2),
+  NN 2x decimation; one shuffle per level.
+- ``focal_tiles``  — T10+2.F ``BufferTiles`` + ``FocalOperation``
+  (``spark/.../buffer/BufferTiles.scala``): each tile emits itself plus
+  8 directional border strips; one shuffle groups them; the stencil
+  runs on the padded assembly and crops back to center.
+
+Geometry model: an image's center (lon, lat) is derived from its
+ordinal (FIXTURES.md §F2); the image is anchored to the global pixel
+lattice of the target zoom (integer pixel space), so cutting is exact
+integer slicing and a pure-python oracle can reproduce every tile.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..core import codecs, kernels, sfc
+from ..functions import exprs
+
+NODATA = kernels.NODATA_U16
+_MAXORD = np.int64(2**62)
+
+PIECE_SCHEMA = StructType(
+    [
+        StructField("cell_id", LongType()),
+        StructField("key_col", LongType()),
+        StructField("key_row", LongType()),
+        StructField("salt", IntegerType()),
+        StructField("src_ord", LongType()),
+        StructField("r0", IntegerType()),
+        StructField("c0", IntegerType()),
+        StructField("ph", IntegerType()),
+        StructField("pw", IntegerType()),
+        StructField("piece", BinaryType()),
+    ]
+)
+
+PARTIAL_SCHEMA = StructType(
+    [
+        StructField("cell_id", LongType()),
+        StructField("key_col", LongType()),
+        StructField("key_row", LongType()),
+        StructField("pixels", BinaryType()),
+        StructField("ords", BinaryType()),
+    ]
+)
+
+TILE_SCHEMA = StructType(
+    [
+        StructField("layer", StringType()),
+        StructField("zoom", IntegerType()),
+        StructField("key_col", LongType()),
+        StructField("key_row", LongType()),
+        StructField("cell_id", LongType()),
+        StructField("tile", BinaryType()),
+        StructField("fmt", StringType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("cell_type", StringType()),
+    ]
+)
+
+
+def image_anchor(ordinal: np.ndarray, w: np.ndarray, h: np.ndarray, zoom: int, tile_size: int):
+    """Top-left corner of each image on the global pixel lattice at
+    ``zoom`` (LatLng scheme): center from the deterministic lon/lat
+    formulas, snapped to integer pixels, clamped inside the world."""
+    lon, lat = exprs.lonlat_np(ordinal, ordinal)
+    n = (1 << zoom) * tile_size  # world size in pixels
+    gx = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64) - w // 2
+    gy = np.floor((90.0 - lat) / 180.0 * n).astype(np.int64) - h // 2
+    gx = np.clip(gx, 0, n - w)
+    gy = np.clip(gy, 0, n - h)
+    return gx, gy
+
+
+def cut_images(
+    images: DataFrame, zoom: int, tile_size: int = 256, salt_buckets: int = 8
+) -> DataFrame:
+    """Slice each image into per-layout-tile pieces (T5 flatMap side).
+
+    Expects columns image_id('img%012d'), bytes, w, h, fmt. Emits one
+    row per (image, overlapping tile) with integer placement."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in PIECE_SCHEMA.fields}
+            ords = (
+                pdf["image_id"].str.slice(3).astype(np.int64).to_numpy()
+            )
+            ws = pdf["w"].to_numpy(dtype=np.int64)
+            hs = pdf["h"].to_numpy(dtype=np.int64)
+            gxs, gys = image_anchor(ords, ws, hs, zoom, tile_size)
+            for i in range(len(pdf)):
+                img = codecs.decode_tile(
+                    bytes(pdf["bytes"].iloc[i]),
+                    int(ws[i]),
+                    int(hs[i]),
+                    pdf["fmt"].iloc[i],
+                )
+                gx, gy, w, h = int(gxs[i]), int(gys[i]), int(ws[i]), int(hs[i])
+                t0c, t1c = gx // tile_size, (gx + w - 1) // tile_size
+                t0r, t1r = gy // tile_size, (gy + h - 1) // tile_size
+                for tc in range(t0c, t1c + 1):
+                    for tr in range(t0r, t1r + 1):
+                        x0 = max(gx, tc * tile_size)
+                        x1 = min(gx + w, (tc + 1) * tile_size)
+                        y0 = max(gy, tr * tile_size)
+                        y1 = min(gy + h, (tr + 1) * tile_size)
+                        piece = img[y0 - gy : y1 - gy, x0 - gx : x1 - gx]
+                        out["cell_id"].append(int(sfc.zorder(tc, tr)))
+                        out["key_col"].append(tc)
+                        out["key_row"].append(tr)
+                        out["salt"].append(int(ords[i]) % salt_buckets)
+                        out["src_ord"].append(int(ords[i]))
+                        out["r0"].append(y0 - tr * tile_size)
+                        out["c0"].append(x0 - tc * tile_size)
+                        out["ph"].append(y1 - y0)
+                        out["pw"].append(x1 - x0)
+                        out["piece"].append(
+                            np.ascontiguousarray(piece, dtype="<u2").tobytes()
+                        )
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(gen, PIECE_SCHEMA)
+
+
+def _paint(canvas: np.ndarray, ord_plane: np.ndarray, pdf: pd.DataFrame, T: int):
+    """Paint pieces onto a tile canvas; lower src_ord wins where both
+    have data (associative first-wins via winner-ordinal plane)."""
+    for i in range(len(pdf)):
+        r0, c0 = int(pdf["r0"].iloc[i]), int(pdf["c0"].iloc[i])
+        ph, pw = int(pdf["ph"].iloc[i]), int(pdf["pw"].iloc[i])
+        piece = np.frombuffer(bytes(pdf["piece"].iloc[i]), dtype="<u2").reshape(ph, pw)
+        o = np.int64(pdf["src_ord"].iloc[i])
+        view_c = canvas[r0 : r0 + ph, c0 : c0 + pw]
+        view_o = ord_plane[r0 : r0 + ph, c0 : c0 + pw]
+        win = (piece != NODATA) & (o < view_o)
+        view_c[win] = piece[win]
+        view_o[win] = o
+
+
+def merge_tiles(
+    pieces: DataFrame,
+    zoom: int,
+    tile_size: int = 256,
+    layer: str = "images",
+    fmt: str = "raw16",
+    two_phase: bool = True,
+) -> DataFrame:
+    """T7 merge: assemble pieces into tiles. Two-phase when salted:
+    (cell_id, salt) partial merge, then cell_id final merge — hot cells
+    (spatial skew) are split across ``salt_buckets`` tasks in phase 1."""
+    T = tile_size
+
+    def partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        canvas = np.full((T, T), NODATA, dtype=np.uint16)
+        ords = np.full((T, T), _MAXORD, dtype=np.int64)
+        _paint(canvas, ords, pdf, T)
+        return pd.DataFrame(
+            {
+                "cell_id": [key[0]],
+                "key_col": [pdf["key_col"].iloc[0]],
+                "key_row": [pdf["key_row"].iloc[0]],
+                "pixels": [canvas.tobytes()],
+                "ords": [ords.tobytes()],
+            }
+        )
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        canvas = np.full((T, T), NODATA, dtype=np.uint16)
+        ords = np.full((T, T), _MAXORD, dtype=np.int64)
+        for i in range(len(pdf)):
+            px = np.frombuffer(bytes(pdf["pixels"].iloc[i]), dtype=np.uint16).reshape(T, T)
+            od = np.frombuffer(bytes(pdf["ords"].iloc[i]), dtype=np.int64).reshape(T, T)
+            win = od < ords
+            canvas[win] = px[win]
+            ords[win] = od[win]
+        return pd.DataFrame(
+            {
+                "layer": [layer],
+                "zoom": [zoom],
+                "key_col": [pdf["key_col"].iloc[0]],
+                "key_row": [pdf["key_row"].iloc[0]],
+                "cell_id": [key[0]],
+                "tile": [codecs.encode_tile(canvas, fmt)],
+                "fmt": [fmt],
+                "w": [T],
+                "h": [T],
+                "cell_type": ["uint16ud0"],
+            }
+        )
+
+    if two_phase:
+        partials = pieces.groupBy("cell_id", "salt").applyInPandas(
+            partial, PARTIAL_SCHEMA
+        )
+        return partials.groupBy("cell_id").applyInPandas(final, TILE_SCHEMA)
+
+    def direct(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        canvas = np.full((T, T), NODATA, dtype=np.uint16)
+        ords = np.full((T, T), _MAXORD, dtype=np.int64)
+        _paint(canvas, ords, pdf, T)
+        return pd.DataFrame(
+            {
+                "layer": [layer],
+                "zoom": [zoom],
+                "key_col": [pdf["key_col"].iloc[0]],
+                "key_row": [pdf["key_row"].iloc[0]],
+                "cell_id": [key[0]],
+                "tile": [codecs.encode_tile(canvas, fmt)],
+                "fmt": [fmt],
+                "w": [T],
+                "h": [T],
+                "cell_type": ["uint16ud0"],
+            }
+        )
+
+    return pieces.groupBy("cell_id").applyInPandas(direct, TILE_SCHEMA)
+
+
+def tile_images(
+    images: DataFrame,
+    zoom: int,
+    tile_size: int = 256,
+    salt_buckets: int = 8,
+    layer: str = "images",
+) -> DataFrame:
+    """E1 ingest spine: cut -> salted two-phase merge."""
+    pieces = cut_images(images, zoom, tile_size, salt_buckets)
+    return merge_tiles(pieces, zoom, tile_size, layer)
+
+
+def pyramid_up(tiles: DataFrame, from_zoom: int, tile_size: int = 256) -> DataFrame:
+    """One pyramid level z -> z-1 (T6). Children (c,r) land in parent
+    (c/2, r/2) quadrant (c%2, r%2), NN-decimated 2x."""
+    T = tile_size
+    half = T // 2
+    to_zoom = from_zoom - 1
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        canvas = np.full((T, T), NODATA, dtype=np.uint16)
+        for i in range(len(pdf)):
+            child = codecs.decode_tile(
+                bytes(pdf["tile"].iloc[i]), T, T, pdf["fmt"].iloc[i]
+            )
+            qc = int(pdf["key_col"].iloc[i]) % 2
+            qr = int(pdf["key_row"].iloc[i]) % 2
+            canvas[qr * half : (qr + 1) * half, qc * half : (qc + 1) * half] = (
+                kernels.decimate2(child)
+            )
+        pc = int(pdf["key_col"].iloc[0]) // 2
+        pr = int(pdf["key_row"].iloc[0]) // 2
+        return pd.DataFrame(
+            {
+                "layer": [pdf["layer"].iloc[0]],
+                "zoom": [to_zoom],
+                "key_col": [pc],
+                "key_row": [pr],
+                "cell_id": [int(sfc.zorder(pc, pr))],
+                "tile": [codecs.encode_tile(canvas, pdf["fmt"].iloc[0])],
+                "fmt": [pdf["fmt"].iloc[0]],
+                "w": [T],
+                "h": [T],
+                "cell_type": [pdf["cell_type"].iloc[0]],
+            }
+        )
+
+    parent = sfc.parent_cell  # noqa: F841 (documented relation)
+    return (
+        tiles.withColumn("parent_cell", F.shiftright(F.col("cell_id"), 2))
+        .groupBy("parent_cell")
+        .applyInPandas(lambda k, p: assemble(k, p), TILE_SCHEMA)
+    )
+
+
+def build_pyramid(
+    tiles: DataFrame, from_zoom: int, to_zoom: int = 0, tile_size: int = 256
+) -> list[tuple[int, DataFrame]]:
+    """Pyramid.levelStream: list of (zoom, tiles) down to ``to_zoom``."""
+    levels = [(from_zoom, tiles)]
+    cur = tiles
+    for z in range(from_zoom, to_zoom, -1):
+        cur = pyramid_up(cur, z, tile_size)
+        levels.append((z - 1, cur))
+    return levels
+
+
+_DIRS = [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
+
+
+def focal_tiles(
+    tiles: DataFrame,
+    stat: str,
+    radius: int = 1,
+    zoom: int | None = None,
+    tile_size: int = 256,
+) -> DataFrame:
+    """BufferTiles + focal stencil, one shuffle (T10 + 2.F).
+
+    Each tile emits (target_cell, part) for itself and its 8 neighbors
+    — only the border strip a neighbor actually needs travels. The
+    group kernel assembles a (T+2r, T+2r) padded canvas (NaN outside),
+    runs the stencil, crops the center back, and re-encodes. Output
+    tiles are float64 rounded back to uint16 (NoData where the window
+    held no data)."""
+    T, r = tile_size, radius
+
+    strip_schema = StructType(
+        [
+            StructField("cell_id", LongType()),
+            StructField("key_col", LongType()),
+            StructField("key_row", LongType()),
+            StructField("dx", IntegerType()),
+            StructField("dy", IntegerType()),
+            StructField("part", BinaryType()),
+            StructField("fmt", StringType()),
+            StructField("layer", StringType()),
+            StructField("zoom", IntegerType()),
+            StructField("cell_type", StringType()),
+        ]
+    )
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in strip_schema.fields}
+            for i in range(len(pdf)):
+                tile = codecs.decode_tile(
+                    bytes(pdf["tile"].iloc[i]), T, T, pdf["fmt"].iloc[i]
+                )
+                kc = int(pdf["key_col"].iloc[i])
+                kr = int(pdf["key_row"].iloc[i])
+                meta = (
+                    pdf["fmt"].iloc[i],
+                    pdf["layer"].iloc[i],
+                    int(pdf["zoom"].iloc[i]),
+                    pdf["cell_type"].iloc[i],
+                )
+
+                def emit(tc, tr, dx, dy, part):
+                    out["cell_id"].append(int(sfc.zorder(tc, tr)))
+                    out["key_col"].append(tc)
+                    out["key_row"].append(tr)
+                    out["dx"].append(dx)
+                    out["dy"].append(dy)
+                    out["part"].append(
+                        np.ascontiguousarray(part, dtype="<u2").tobytes()
+                    )
+                    for name, v in zip(("fmt", "layer", "zoom", "cell_type"), meta):
+                        out[name].append(v)
+
+                emit(kc, kr, 0, 0, tile)
+                n = 1 << int(pdf["zoom"].iloc[i])
+                for dx, dy in _DIRS:
+                    tc, tr = kc + dx, kr + dy
+                    if not (0 <= tc < n and 0 <= tr < n):
+                        continue
+                    # strip of THIS tile that neighbor (tc,tr) needs:
+                    # relative to the neighbor we are at (-dx, -dy)
+                    rows = slice(T - r, T) if dy == 1 else (slice(0, r) if dy == -1 else slice(0, T))
+                    cols = slice(T - r, T) if dx == 1 else (slice(0, r) if dx == -1 else slice(0, T))
+                    emit(tc, tr, -dx, -dy, tile[rows, cols])
+            yield pd.DataFrame(out)
+
+    def stencil(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pad = np.full((T + 2 * r, T + 2 * r), np.nan)
+        fmt = layer = ctype = None
+        zoom_v = 0
+        kc = kr = 0
+        has_center = False
+        for i in range(len(pdf)):
+            dx, dy = int(pdf["dx"].iloc[i]), int(pdf["dy"].iloc[i])
+            part = np.frombuffer(bytes(pdf["part"].iloc[i]), dtype="<u2")
+            if dx == 0 and dy == 0:
+                has_center = True
+                kc, kr = int(pdf["key_col"].iloc[i]), int(pdf["key_row"].iloc[i])
+                fmt, layer = pdf["fmt"].iloc[i], pdf["layer"].iloc[i]
+                zoom_v, ctype = int(pdf["zoom"].iloc[i]), pdf["cell_type"].iloc[i]
+                t = part.reshape(T, T).astype(np.float64)
+                t[t == NODATA] = np.nan
+                pad[r : T + r, r : T + r] = t
+        if not has_center:
+            return pd.DataFrame({f.name: [] for f in TILE_SCHEMA.fields})
+        for i in range(len(pdf)):
+            dx, dy = int(pdf["dx"].iloc[i]), int(pdf["dy"].iloc[i])
+            if dx == 0 and dy == 0:
+                continue
+            h_ = T if dy == 0 else r
+            w_ = T if dx == 0 else r
+            part = (
+                np.frombuffer(bytes(pdf["part"].iloc[i]), dtype="<u2")
+                .reshape(h_, w_)
+                .astype(np.float64)
+            )
+            part[part == NODATA] = np.nan
+            rs = 0 if dy == -1 else (T + r if dy == 1 else r)
+            cs = 0 if dx == -1 else (T + r if dx == 1 else r)
+            pad[rs : rs + h_, cs : cs + w_] = part
+        res = kernels.focal_stat(pad, stat, r)[r : T + r, r : T + r]
+        out = np.where(np.isnan(res), float(NODATA), np.rint(np.clip(res, 0, 65535)))
+        return pd.DataFrame(
+            {
+                "layer": [layer],
+                "zoom": [zoom_v],
+                "key_col": [kc],
+                "key_row": [kr],
+                "cell_id": [key[0]],
+                "tile": [codecs.encode_tile(out.astype(np.uint16), fmt)],
+                "fmt": [fmt],
+                "w": [T],
+                "h": [T],
+                "cell_type": [ctype],
+            }
+        )
+
+    strips = tiles.mapInPandas(explode, strip_schema)
+    return strips.groupBy("cell_id").applyInPandas(stencil, TILE_SCHEMA)

@@ -1,0 +1,57 @@
+"""SparkSession builder tuned for the engine.
+
+Scale notes (100 TB design, local[32] testing):
+- AQE on: runtime coalescing + skew-join splitting backs up our explicit
+  salting of hot cells.
+- Arrow enabled: every per-tile kernel crosses to Python as Arrow
+  batches (vectorized pandas UDFs), never per-row pickling.
+- shuffle.partitions defaults to cores locally; on a real cluster set
+  it ~2-3x total executor cores (or rely on AQE coalescing from a
+  higher initial number).
+- Session timezone pinned to UTC: Spark timestamps are session-TZ,
+  DuckDB's are UTC-naive — pinning makes oracle comparisons exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "geotrellis_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_session(spark: SparkSession) -> SparkSession:
+    """Runtime confs the engine relies on, applied to a session we did
+    not create (e.g. the verify driver's)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark

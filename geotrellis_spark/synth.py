@@ -1,0 +1,103 @@
+"""Deterministic synthetic ``images`` table (FIXTURES.md §F2).
+
+Exact input_hint schema: (image_id:string, bytes:binary, w:int, h:int,
+fmt:string, caption:string, phash:bigint). Generated DISTRIBUTED via
+``spark.range(n).mapInPandas`` — each partition regenerates its rows
+independently from the ordinal (Philox keyed by i), which is also what
+makes per-partition checkpoint/resume testable (no driver-side data).
+
+Geolocation is derived, not stored: lon/lat from the ordinal via the
+FIXTURES.md integer-hash formulas, EXCEPT a hot-spot cluster — every
+10th image maps into one 0.5 x 0.5 degree box (real spatial skew, the
+thing salting + AQE must handle).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .core import codecs, imagery
+from .functions import exprs
+
+IMAGES_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("caption", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+_ADJ = ("amber", "quiet", "vivid", "rustic", "bright", "mossy", "pale", "stark")
+_NOUN = ("harbor", "ridge", "meadow", "canyon", "grove", "delta", "mesa", "fjord")
+_SIZES = (64, 128, 256)
+
+HOT_LON, HOT_LAT = 10.0, 45.0  # hot-spot box corner (0.5 x 0.5 deg)
+
+
+def image_lonlat(ordinal: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Derived geolocation: FIXTURES.md hash formulas, with every 10th
+    image concentrated into the hot-spot box."""
+    i = np.asarray(ordinal, dtype=np.int64)
+    lon, lat = exprs.lonlat_np(i, i)
+    hot = (i % 10) == 0
+    frac_lon = ((i * exprs.LON_MULT) % exprs.M32) / exprs.M32
+    frac_lat = ((i * exprs.LAT_MULT) % exprs.M32) / exprs.M32
+    lon = np.where(hot, HOT_LON + frac_lon * 0.5, lon)
+    lat = np.where(hot, HOT_LAT + frac_lat * 0.5, lat)
+    return lon, lat
+
+
+def make_row(i: int) -> dict:
+    """One deterministic image row (pure python/numpy; used by both the
+    Spark generator and the pytest oracle)."""
+    w = _SIZES[(i * 7) % 3]
+    h = _SIZES[(i * 13) % 3]
+    px = imagery.synth_pixels(i, w, h)
+    fmt = "png" if i % 3 == 0 else "raw16"
+    lon, lat = image_lonlat(np.array([i]))
+    caption = (
+        f"{_ADJ[i % len(_ADJ)]} {_NOUN[i % len(_NOUN)]} "
+        f"at {lon[0]:.3f},{lat[0]:.3f}"
+    )
+    return {
+        "image_id": f"img{i:012d}",
+        "bytes": codecs.encode_tile(px, fmt),
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption,
+        "phash": int(imagery.phash64(px)),
+    }
+
+
+def synth_images(
+    spark: SparkSession, n: int, partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic images table of ``n`` rows."""
+    if partitions is None:
+        partitions = max(8, min(64, n // 2000 or 8))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [make_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA.fields])
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(
+        gen, IMAGES_SCHEMA
+    )

@@ -1,0 +1,89 @@
+"""Spatial join / kNN / pruning e2e vs numpy oracles (reference spec
+role: ``spark/src/test/.../join/VectorJoinSpec``, ``knn/KNearestSpec``,
+``partition/SpacePartitionerSpec`` — SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from geotrellis_spark.core import geom as G
+from geotrellis_spark.functions import exprs
+from geotrellis_spark.operators import spatial
+
+N_POINTS = 2000
+
+
+@pytest.fixture(scope="module")
+def points_df(spark):
+    df = spark.range(N_POINTS).selectExpr(
+        "id",
+        f"{exprs.lon_sql('id')} as lon",
+        f"{exprs.lat_sql('id')} as lat",
+    )
+    return df.cache()
+
+
+def _oracle_lonlat():
+    return exprs.lonlat_np(np.arange(N_POINTS), np.arange(N_POINTS))
+
+
+def test_assign_cells_matches_sql_formula(spark, points_df):
+    out = spatial.assign_cells(points_df, "lon", "lat", 8)
+    got = {r["id"]: (r["key_col"], r["key_row"], r["cell_id"]) for r in out.collect()}
+    sql = points_df.selectExpr(
+        "id",
+        f"{exprs.key_col_sql('lon', 8)} as kc",
+        f"{exprs.key_row_sql('lat', 8)} as kr",
+    ).selectExpr("id", "kc", "kr", f"{exprs.zorder_sql('kc', 'kr', 8)} as cell")
+    for r in sql.collect():
+        assert got[r["id"]] == (r["kc"], r["kr"], r["cell"]), r["id"]
+
+
+def test_cell_range_filter_equals_rectangle(points_df):
+    df = spatial.assign_cells(points_df, "lon", "lat", 6)
+    pruned = spatial.cell_range_filter(df, 6, -60.0, -30.0, 70.0, 55.0)
+    got = sorted(r["id"] for r in pruned.collect())
+    lon, lat = _oracle_lonlat()
+    col, row = exprs.key_np(lon, lat, 6)
+    c0, _ = exprs.key_np(np.array([-60.0]), np.array([0.0]), 6)
+    c1, _ = exprs.key_np(np.array([70.0]), np.array([0.0]), 6)
+    _, r0 = exprs.key_np(np.array([0.0]), np.array([55.0]), 6)
+    _, r1 = exprs.key_np(np.array([0.0]), np.array([-30.0]), 6)
+    keep = (col >= c0[0]) & (col <= c1[0]) & (row >= r0[0]) & (row <= r1[0])
+    assert got == sorted(np.arange(N_POINTS)[keep].tolist())
+
+
+def _diamond(cx, cy, rx, ry):
+    return G.wkb_write_polygon(
+        [np.array([[cx - rx, cy], [cx, cy - ry], [cx + rx, cy], [cx, cy + ry]])]
+    )
+
+
+def test_pip_join_diamonds(spark, points_df):
+    polys = [(i, _diamond(-150.0 + i * 15.0, -60.0 + i * 7.0, 12.0, 9.0))
+             for i in range(20)]
+    polys_df = spark.createDataFrame(polys, ["geom_id", "wkb"])
+    out = spatial.pip_join(points_df, polys_df, zoom=5)
+    got = sorted((r["id"], r["geom_id"]) for r in out.collect())
+    lon, lat = _oracle_lonlat()
+    expect = []
+    for gid, wkb in polys:
+        inside = G.points_in_polygon(lon, lat, wkb)
+        expect += [(int(i), gid) for i in np.arange(N_POINTS)[inside]]
+    assert got == sorted(expect)
+    assert len(got) > 20  # non-trivial join
+
+
+def test_knn_exact(spark, points_df):
+    queries = [(i, -170.0 + i * 40.0, -70.0 + i * 17.0) for i in range(8)]
+    qdf = spark.createDataFrame(queries, ["q_id", "q_lon", "q_lat"])
+    out = spatial.knn_join(
+        points_df, qdf, k=5, zoom=5, point_cols=("id", "lon", "lat"), max_rings=6
+    )
+    got = {(r["q_id"], r["rank"]): r["id"] for r in out.collect()}
+    lon, lat = _oracle_lonlat()
+    for qid, qlon, qlat in queries:
+        d = np.hypot(lon - qlon, lat - qlat)
+        order = np.lexsort((np.arange(N_POINTS), d))[:5]
+        for rank, pid in enumerate(order, start=1):
+            assert got[(qid, rank)] == int(pid), (qid, rank)
+    assert len(got) == 8 * 5
