@@ -1,0 +1,106 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports the two north-rule throughputs (tiles/sec for the image
+tiling pipeline, joined rows/sec for the PIP join) as extra keys.
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+bench/scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from geotrellis_spark.session import get_spark  # noqa: E402
+from geotrellis_spark.plans import driver_queries as dq  # noqa: E402
+from geotrellis_spark.operators import spatial, tiling  # noqa: E402
+from geotrellis_spark import synth  # noqa: E402
+
+BENCH_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "8000"))
+IMG_ZOOM = 8
+
+HEADLINE = [
+    "tile_assign",
+    "cell_agg",
+    "range_query",
+    "pip_grid",
+    "knn",
+    "zonal_stats",
+    "layer_join",
+    "temporal_rollup",
+    "minhash_lsh",
+    "simhash",
+    "token_count",
+    "ann_topk",
+]
+
+
+def _run(df) -> int:
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # warm-up: JVM + python workers + parquet footers
+    _run(dq.q_cell_agg(spark, sf_dir))
+
+    for name in HEADLINE:
+        fn, _sql = dq.QUERIES[name]
+        t0 = time.time()
+        n = _run(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # north-rule metric 1: tiling throughput (tiles/sec)
+    images = synth.synth_images(spark, BENCH_IMAGES, partitions=max(cpus, 8))
+    t0 = time.time()
+    n_tiles = _run(tiling.tile_images(images, IMG_ZOOM, 256, salt_buckets=8))
+    dt = time.time() - t0
+    timings["image_tiling"] = round(dt, 3)
+    extras["tiles_per_sec"] = round(n_tiles / dt, 1)
+    extras["bench_images"] = BENCH_IMAGES
+    print(f"# image_tiling: {n_tiles} tiles in {dt:.1f}s", file=sys.stderr)
+
+    # north-rule metric 2: PIP-join throughput (joined rows/sec)
+    pts = dq._events_pts(spark, sf_dir)
+    polys = dq._grid_polys(spark)
+    t0 = time.time()
+    n_joined = _run(spatial.pip_join(pts, polys, zoom=5))
+    dt = time.time() - t0
+    timings["pip_join"] = round(dt, 3)
+    extras["pip_rows_per_sec"] = round(n_joined / dt, 1)
+    print(f"# pip_join: {n_joined} rows in {dt:.1f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""One scaling-evidence run: the two north-rule jobs (image tiling,
+PIP join) at a given parallelism. Fresh JVM per invocation (called by
+bench/scaling.py). Prints one JSON line with throughputs."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geotrellis_spark.session import get_spark  # noqa: E402
+from geotrellis_spark.operators import spatial, tiling  # noqa: E402
+from geotrellis_spark.plans import driver_queries as dq  # noqa: E402
+from geotrellis_spark import synth  # noqa: E402
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    n_images = int(sys.argv[2])
+    sf_dir = sys.argv[3]
+    spark = get_spark(f"scaling-{cpus}", cores=cpus, shuffle_partitions=cpus)
+
+    # warm-up (python workers, parquet footers) — discarded
+    synth.synth_images(spark, 200, partitions=8).count()
+    dq._events_pts(spark, sf_dir).count()
+
+    # tiling: same input regardless of parallelism (deterministic synth)
+    images = synth.synth_images(spark, n_images, partitions=max(32, cpus))
+    t0 = time.time()
+    n_tiles = tiling.tile_images(images, 8, 256, salt_buckets=8).count()
+    t_tile = time.time() - t0
+
+    pts = dq._events_pts(spark, sf_dir)
+    polys = dq._grid_polys(spark)
+    t0 = time.time()
+    n_joined = spatial.pip_join(pts, polys, zoom=5).count()
+    t_pip = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_images": n_images,
+                "n_tiles": n_tiles,
+                "tile_sec": round(t_tile, 3),
+                "tiles_per_sec": round(n_tiles / t_tile, 2),
+                "n_joined": n_joined,
+                "pip_sec": round(t_pip, 3),
+                "pip_rows_per_sec": round(n_joined / t_pip, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

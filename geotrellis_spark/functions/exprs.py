@@ -99,6 +99,21 @@ def zorder_sql(col_expr: str, row_expr: str, bits: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def z3_sql(col_expr: str, row_expr: str, t_expr: str, bits_xy: int, bits_t: int) -> str:
+    """3-D Morton (SpaceTimeKey index) as a finite bit-term sum — twin
+    of core.sfc.z3: col at bit 0, row at bit 1, time at bit 2 of each
+    3-bit group."""
+    terms = []
+    for i in range(bits_xy):
+        p2, p8 = 1 << i, 1 << (3 * i)
+        terms.append(f"cast(floor(({col_expr}) / {p2}) % 2 as bigint) * {p8}")
+        terms.append(f"cast(floor(({row_expr}) / {p2}) % 2 as bigint) * {2 * p8}")
+    for i in range(bits_t):
+        p2, p8 = 1 << i, 1 << (3 * i)
+        terms.append(f"cast(floor(({t_expr}) / {p2}) % 2 as bigint) * {4 * p8}")
+    return "(" + " + ".join(terms) + ")"
+
+
 def key_to_extent_sql(key_expr: str, axis: str, zoom: int) -> str:
     """Inverse key math (MapKeyTransform.keyToExtent) on the LatLng grid:
     axis in {xmin, xmax, ymin, ymax}."""

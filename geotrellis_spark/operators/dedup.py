@@ -1,0 +1,251 @@
+"""Deduplication operators over document tables — exact, MinHash-LSH,
+SimHash, n-gram Jaccard.
+
+Not in the GeoTrellis reference (it is a raster library); these are the
+large-scale training-data-pipeline operators the engine adds as
+first-class components. All implementations are pure DataFrame ops
+(JVM-side, whole-stage codegen; zero Python UDFs) and every one has an
+exact DuckDB SQL twin built from the same integer/md5 arithmetic, so
+the driver's oracle check is bit-exact.
+
+Scale notes:
+- exact dedup: one hash-shuffle on md5(text) — the canonical pattern.
+- MinHash-LSH: shingle explode is a narrow map; signatures are one
+  hash-agg by doc_id; banding self-join shuffles on (band, value) —
+  candidate pairs only, never the O(n^2) cross join.
+- SimHash: one explode + one hash-agg; fingerprint comparison is a
+  band-bucket join like MinHash (here: exact-fingerprint buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PRIME = 1_000_000_007
+# deterministic affine permutation constants (a*h + b) % PRIME
+MINHASH_A = (7, 11, 13, 17, 19, 23, 29, 31)
+MINHASH_B = (3, 5, 101, 211, 307, 401, 503, 601)
+SHINGLE_K = 8
+SIMHASH_BITS = 16
+
+
+def hex2int_spark(expr: str) -> str:
+    """First 15 hex chars of md5 -> non-negative bigint (Spark SQL)."""
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+def hex2int_duckdb(expr: str) -> str:
+    """Same value in DuckDB SQL (15 hex chars < 2^60, fits int64)."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::bigint)"
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash: (text_hash, n_docs,
+    min_doc)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("min_doc"),
+        )
+    )
+
+
+def shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = SHINGLE_K
+) -> DataFrame:
+    """Character k-shingles -> 60-bit md5 hashes mod PRIME. Narrow op
+    (explode of an in-row sequence; no shuffle)."""
+    return docs.selectExpr(
+        id_col,
+        f"explode(sequence(1, greatest(length({text_col}) - {k - 1}, 1))) as pos",
+        f"{text_col} as _t",
+    ).selectExpr(
+        id_col,
+        f"{hex2int_spark(f'substring(_t, pos, {k})')} % {PRIME} as h",
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """8-permutation MinHash signature per doc (one hash-agg)."""
+    sh = shingle_hashes(docs, id_col, text_col)
+    aggs = [
+        F.min(F.expr(f"({a} * h + {b}) % {PRIME}")).alias(f"mh{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = 4
+) -> DataFrame:
+    """LSH banding (4 bands x 2 rows): docs sharing any band value are
+    candidate near-duplicates. Returns (doc_a, doc_b), doc_a < doc_b."""
+    sig = minhash_signatures(docs, id_col, text_col)
+    rows_per = len(MINHASH_A) // bands
+    band_exprs = []
+    for bi in range(bands):
+        cols = [f"mh{bi * rows_per + r}" for r in range(rows_per)]
+        val = cols[0]
+        for c in cols[1:]:
+            val = f"(({val}) * {PRIME} + {c})"
+        band_exprs.append(f"struct({bi} as band, {val} as bval)")
+    banded = sig.selectExpr(
+        id_col, f"explode(array({', '.join(band_exprs)})) as bk"
+    ).select(id_col, "bk.band", "bk.bval")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash fingerprint from whitespace tokens: bit i of md5(token)
+    votes +1/-1; fingerprint bit i set iff the sum is positive.
+    Returns (doc_id, simhash)."""
+    toks = docs.selectExpr(
+        id_col, f"explode(split({text_col}, ' ')) as tok"
+    ).selectExpr(id_col, "md5(tok) as th")
+    aggs = [
+        F.sum(
+            F.expr(f"2 * (cast(conv(substring(th, {i + 1}, 1), 16, 10) as int) % 2) - 1")
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    summed = toks.groupBy(id_col).agg(*aggs)
+    fp = " + ".join(
+        f"(case when s{i} > 0 then {1 << i} else 0 end)" for i in range(bits)
+    )
+    return summed.selectExpr(id_col, f"cast({fp} as bigint) as simhash")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Word-set Jaccard for consecutive-id doc pairs (a fixed, cheap
+    pair generator that still verifies the set-similarity machinery).
+    Returns (doc_a, doc_b, n_common, n_a, n_b, jaccard)."""
+    words = docs.selectExpr(
+        id_col, f"explode(array_distinct(split({text_col}, ' '))) as w"
+    )
+    sizes = words.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = words.alias("a"), words.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col(f"b.{id_col}") == F.col(f"a.{id_col}") + 1)
+            & (F.col("a.w") == F.col("b.w")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .withColumn("doc_b", F.col("doc_a") + 1)
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            "cast(n_common as double) / (n_a + n_b - n_common) as jaccard",
+        )
+    )
+
+
+# --------------------------------------------------- DuckDB oracle SQL
+
+def exact_dedup_sql(source_sql: str = "documents") -> str:
+    return f"""
+    SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS min_doc
+    FROM {source_sql} GROUP BY 1
+    """
+
+
+def minhash_candidates_sql(source_sql: str = "documents") -> str:
+    k = SHINGLE_K
+    h = hex2int_duckdb(f"substr(text, pos, {k})")
+    mh = ", ".join(
+        f"min(({a} * h + {b}) % {PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    bands = []
+    rows_per = len(MINHASH_A) // 4
+    for bi in range(4):
+        cols = [f"mh{bi * rows_per + r}" for r in range(rows_per)]
+        val = cols[0]
+        for c in cols[1:]:
+            val = f"(({val}) * {PRIME} + {c})"
+        bands.append(f"SELECT doc_id, {bi} AS band, {val} AS bval FROM sig")
+    banded = " UNION ALL ".join(bands)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {h} % {PRIME} AS h
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - {k - 1}, 1))) AS pos
+        FROM {source_sql}
+      )
+    ),
+    sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+    banded AS ({banded})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    """
+
+
+def simhash_sql(source_sql: str = "documents") -> str:
+    bits = SIMHASH_BITS
+    sums = ", ".join(
+        f"sum(2 * (('0x' || substr(th, {i + 1}, 1))::int % 2) - 1) AS s{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS th FROM {source_sql}
+    ),
+    summed AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM summed
+    """
+
+
+def ngram_jaccard_sql(source_sql: str = "documents") -> str:
+    return f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM {source_sql}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, count(*) AS n_common
+      FROM words a JOIN words b ON b.doc_id = a.doc_id + 1 AND a.w = b.w
+      GROUP BY 1
+    )
+    SELECT i.doc_a, i.doc_a + 1 AS doc_b, i.n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_a + 1
+    """

@@ -1,0 +1,123 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and
+hyperplane-LSH bucketing (the scale path).
+
+Not in the GeoTrellis reference; first-class engine additions for
+training-data pipelines. The dot products run as JVM higher-order
+functions (``aggregate``/``zip_with`` — sequential left fold, so the
+float result is deterministic and matches DuckDB's sequential
+``list_dot_product``).
+
+Scale notes: brute-force is O(n·q) — correct baseline, broadcast the
+(small) query side. The LSH variant buckets vectors by sign-bits
+against deterministic pseudo-random hyperplanes; at scale, top-k runs
+inside buckets (candidate generation) instead of the full cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.exprs import LAT_MULT, LON_MULT, M32
+
+DIM = 64
+N_PLANES = 4
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_pred: str = "vec_id % 100 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector (queries selected by
+    predicate, self excluded). Output: (q_id, vec_id, rank) — ranks
+    only, so cross-engine float comparison never touches the hash."""
+    q = emb.where(query_pred).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("q_id"))
+    scored = pairs.withColumn(
+        "cos",
+        _dot(vec_col, "q_vec")
+        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("q_vec", "q_vec"))),
+    )
+    win = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("q_id", id_col, "rank")
+    )
+
+
+def cosine_topk_sql(k: int = 5, query_pred: str = "vec_id % 100 = 0",
+                    source_sql: str = "embeddings") -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec FROM {source_sql}
+      WHERE {query_pred}
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.q_vec::DOUBLE[]) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))) AS cos
+      FROM {source_sql} e, q WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, rank FROM (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC)
+               AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def _plane(j: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane j: components in
+    [-0.5, 0.5) from the integer-hash formula (exact in both engines:
+    pure integer mod then one exact division by 2^32)."""
+    return [
+        ((j * DIM + i + 1) * LON_MULT % M32) / M32 - 0.5 for i in range(DIM)
+    ]
+
+
+def lsh_buckets(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Hyperplane-LSH bucket id per vector: bit j = sign of dot with
+    plane j. Output: (vec_id, bucket). At 100 TB this is the shuffle
+    key that turns ANN into per-bucket local top-k."""
+    out = emb.select(id_col, vec_col)
+    bits = []
+    for j in range(n_planes):
+        lit = ", ".join(f"cast({c!r} as double)" for c in _plane(j))
+        out = out.withColumn(
+            f"b{j}",
+            (_dot(vec_col, f"array({lit})") > 0).cast("int"),
+        )
+        bits.append(f"b{j} * {1 << j}")
+    return out.selectExpr(id_col, f"cast({' + '.join(bits)} as bigint) as bucket")
+
+
+def lsh_buckets_sql(source_sql: str = "embeddings", n_planes: int = N_PLANES) -> str:
+    bits = []
+    for j in range(n_planes):
+        lit = "[" + ", ".join(repr(c) for c in _plane(j)) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return f"""
+    SELECT vec_id, CAST({' + '.join(bits)} AS BIGINT) AS bucket
+    FROM {source_sql}
+    """

@@ -239,10 +239,11 @@ def knn_join(
     pending = set(q_ids)
     results = None
     searched_rings = 0
-    dist = F.sqrt(
-        (F.col(lon_col) - F.col("q_lon")) ** 2
-        + (F.col(lat_col) - F.col("q_lat")) ** 2
-    )
+    # plain products, not pow(): x*x is one exactly-rounded multiply in
+    # every engine, so the oracle's sqrt(dx*dx + dy*dy) is bit-identical
+    dx = F.col(lon_col) - F.col("q_lon")
+    dy = F.col(lat_col) - F.col("q_lat")
+    dist = F.sqrt(dx * dx + dy * dy)
     win = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col(tie_col).asc())
 
     for ring in range(max_rings):

@@ -1,0 +1,170 @@
+"""Text-analysis operators for training-data pipelines: language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+
+Not in the GeoTrellis reference; first-class engine additions. All
+JVM-side expressions (split/filter lambdas, regexp counts, exact
+integer arithmetic) with exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# marker-word lists for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "and"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "y", "los"),
+}
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
+
+TOKEN_RE = "[a-z0-9]+"
+
+FP_BASE = 31
+FP_MOD = 1_000_000_007
+FP_LEN = 32  # prefix length (min doc length in fixtures is ~48)
+
+
+def _count_word(text_col: str, word: str) -> str:
+    """SQL (valid in Spark AND DuckDB): occurrences of a word among
+    space-separated tokens, via a list lambda."""
+    return f"size(filter(split({text_col}, ' '), x -> x = '{word}'))"
+
+
+def _count_word_duck(text_col: str, word: str) -> str:
+    return f"length(list_filter(string_split({text_col}, ' '), x -> x = '{word}'))"
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language scores + argmax prediction (deterministic
+    tiebreak: en > de > fr > es > unknown)."""
+    score_cols = []
+    out = docs
+    for lang, words in LANG_MARKERS.items():
+        expr = " + ".join(_count_word(text_col, w) for w in words)
+        out = out.withColumn(f"score_{lang}", F.expr(f"cast({expr} as bigint)"))
+        score_cols.append(f"score_{lang}")
+    langs = list(LANG_MARKERS)
+    best = "CASE "
+    for lang in langs:
+        others = [ol for ol in langs if langs.index(ol) < langs.index(lang)]
+        conds = [f"score_{lang} >= score_{o}" for o in others] + [
+            f"score_{lang} > score_{o}"
+            for o in langs
+            if langs.index(o) > langs.index(lang)
+        ]
+        conds.append(f"score_{lang} > 0")
+        best += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    best += "ELSE 'unknown' END"
+    return out.selectExpr(id_col, *score_cols, f"{best} as pred_lang")
+
+
+def lang_id_sql(source_sql: str = "documents") -> str:
+    score_sel = []
+    for lang, words in LANG_MARKERS.items():
+        expr = " + ".join(_count_word_duck("text", w) for w in words)
+        score_sel.append(f"CAST({expr} AS BIGINT) AS score_{lang}")
+    langs = list(LANG_MARKERS)
+    best = "CASE "
+    for lang in langs:
+        conds = [
+            f"score_{lang} >= score_{o}"
+            for o in langs
+            if langs.index(o) < langs.index(lang)
+        ] + [
+            f"score_{lang} > score_{o}"
+            for o in langs
+            if langs.index(o) > langs.index(lang)
+        ]
+        conds.append(f"score_{lang} > 0")
+        best += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    best += "ELSE 'unknown' END"
+    return f"""
+    WITH scored AS (SELECT doc_id, {', '.join(score_sel)} FROM {source_sql})
+    SELECT doc_id, {', '.join(f'score_{lang}' for lang in langs)},
+           {best} AS pred_lang
+    FROM scored
+    """
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / word / stopword-ratio quality features + boolean gate.
+    All-exact arithmetic (int counts; one final exact int division)."""
+    stop_expr = " + ".join(_count_word(text_col, w) for w in STOPWORDS)
+    return docs.selectExpr(
+        id_col,
+        f"length({text_col}) as n_chars_m",
+        f"size(split({text_col}, ' ')) as n_words",
+        f"cast({stop_expr} as bigint) as n_stop",
+    ).selectExpr(
+        id_col,
+        "n_chars_m",
+        "n_words",
+        "n_stop",
+        # avg word length x1000, exact integer math
+        "cast((n_chars_m - n_words + 1) * 1000 / n_words as bigint) as awl_millis",
+        "(n_words >= 20 AND n_stop * 10 >= n_words) as is_quality",
+    )
+
+
+def quality_score_sql(source_sql: str = "documents") -> str:
+    stop_expr = " + ".join(_count_word_duck("text", w) for w in STOPWORDS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, length(text) AS n_chars_m,
+             length(string_split(text, ' ')) AS n_words,
+             CAST({stop_expr} AS BIGINT) AS n_stop
+      FROM {source_sql}
+    )
+    SELECT doc_id, n_chars_m, n_words, n_stop,
+           CAST(floor((n_chars_m - n_words + 1) * 1000.0 / n_words) AS BIGINT)
+             AS awl_millis,
+           (n_words >= 20 AND n_stop * 10 >= n_words) AS is_quality
+    FROM base
+    """
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Regex token count (BPE-ish word/number pieces) + char count."""
+    return docs.selectExpr(
+        id_col,
+        f"cast(regexp_count({text_col}, '{TOKEN_RE}') as bigint) as n_tokens",
+        f"cast(length({text_col}) as bigint) as n_chars_m",
+    )
+
+
+def token_count_sql(source_sql: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_m
+    FROM {source_sql}
+    """
+
+
+def _fp_terms(dialect_ascii: str, text_col: str) -> str:
+    terms = []
+    p = 1
+    for i in range(1, FP_LEN + 1):
+        terms.append(
+            f"cast({dialect_ascii}(substr({text_col}, {i}, 1)) as bigint) * {p}"
+        )
+        p = (p * FP_BASE) % FP_MOD
+    return "(" + " + ".join(terms) + f") % {FP_MOD}"
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Polynomial rolling hash of the first FP_LEN chars
+    (Karp-Rabin style): sum ascii(c_i) * B^(i-1) mod P. Exact integer
+    math, identical in both dialects."""
+    return docs.selectExpr(
+        id_col, f"cast({_fp_terms('ascii', text_col)} as bigint) as fp"
+    )
+
+
+def fingerprint_sql(source_sql: str = "documents") -> str:
+    return f"""
+    SELECT doc_id, CAST({_fp_terms('ascii', 'text')} AS BIGINT) AS fp
+    FROM {source_sql}
+    """

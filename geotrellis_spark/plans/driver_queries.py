@@ -1,0 +1,616 @@
+"""Driver-contract queries: every entry pairs a Spark implementation
+(engine operators) with an exact DuckDB oracle SQL twin over the same
+parquet tables (see ``__spark_entry__.py``).
+
+The test tables carry no geometry, so spatial queries derive
+deterministic lon/lat from integer ids (FIXTURES.md §F1) — the oracle
+reproduces the derivation in pure SQL while the Spark side runs the
+real engine path (vectorized pandas-UDF kernels / DataFrame operators),
+proving kernel semantics == SQL semantics.
+
+Exactness rules used throughout (so order-insensitive value hashes
+match bit-for-bit):
+- money/measures aggregated as exact integers:
+  cents = cast(floor(value*100 + 0.5) as bigint)
+- float outputs only where both engines compute the identical double
+  (same op sequence on exact inputs), else rank/int surrogates
+- all aggregate columns aliased identically on both sides
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..core import geom as G
+from ..core import sfc
+from ..functions import exprs
+from ..operators import dedup, similarity, spatial, text, tiling
+from .. import synth
+
+CENTS = "cast(floor(value * 100 + 0.5) as bigint)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_pts(spark, sf_dir) -> DataFrame:
+    """events with derived lon/lat (JVM-side expressions)."""
+    return _t(spark, sf_dir, "events").selectExpr(
+        "*",
+        f"{exprs.lon_sql('user_id')} as lon",
+        f"{exprs.lat_sql('event_id')} as lat",
+    )
+
+
+_EV_LONLAT_SQL = (
+    f"SELECT *, {exprs.lon_sql('user_id')} AS lon, "
+    f"{exprs.lat_sql('event_id')} AS lat FROM events"
+)
+
+
+# ---------------------------------------------------------------- T1/T12
+
+def q_tile_assign(spark, sf_dir) -> DataFrame:
+    pts = _events_pts(spark, sf_dir)
+    out = spatial.assign_cells(pts, "lon", "lat", 8)
+    return out.select("event_id", "key_col", "key_row", "cell_id")
+
+
+def sql_tile_assign() -> str:
+    kc = exprs.key_col_sql("lon", 8)
+    kr = exprs.key_row_sql("lat", 8)
+    return f"""
+    WITH pts AS ({_EV_LONLAT_SQL}),
+    keyed AS (SELECT event_id, {kc} AS key_col, {kr} AS key_row FROM pts)
+    SELECT event_id, key_col, key_row,
+           {exprs.zorder_sql('key_col', 'key_row', 8)} AS cell_id
+    FROM keyed
+    """
+
+
+# ------------------------------------------------------------- T4/Z5 agg
+
+def q_cell_agg(spark, sf_dir) -> DataFrame:
+    pts = _events_pts(spark, sf_dir)
+    keyed = spatial.assign_cells(pts, "lon", "lat", 8)
+    return keyed.groupBy("cell_id").agg(
+        F.count("*").alias("n_events"),
+        F.expr(f"cast(sum({CENTS}) as bigint)").alias("sum_cents"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def sql_cell_agg() -> str:
+    kc = exprs.key_col_sql("lon", 8)
+    kr = exprs.key_row_sql("lat", 8)
+    return f"""
+    WITH pts AS ({_EV_LONLAT_SQL}),
+    keyed AS (SELECT value, {kc} AS kc, {kr} AS kr FROM pts)
+    SELECT {exprs.zorder_sql('kc', 'kr', 8)} AS cell_id,
+           count(*) AS n_events,
+           CAST(sum({CENTS}) AS BIGINT) AS sum_cents,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM keyed GROUP BY 1
+    """
+
+
+# -------------------------------------------------- T3 key_to_extent
+
+def q_cell_extent(spark, sf_dir) -> DataFrame:
+    pts = _events_pts(spark, sf_dir)
+    keyed = spatial.assign_cells(pts, "lon", "lat", 5).select(
+        "key_col", "key_row", "cell_id"
+    ).distinct()
+    return keyed.selectExpr(
+        "cell_id",
+        "key_col",
+        "key_row",
+        f"{exprs.key_to_extent_sql('key_col', 'xmin', 5)} as xmin",
+        f"{exprs.key_to_extent_sql('key_col', 'xmax', 5)} as xmax",
+        f"{exprs.key_to_extent_sql('key_row', 'ymin', 5)} as ymin",
+        f"{exprs.key_to_extent_sql('key_row', 'ymax', 5)} as ymax",
+    )
+
+
+def sql_cell_extent() -> str:
+    kc = exprs.key_col_sql("lon", 5)
+    kr = exprs.key_row_sql("lat", 5)
+    return f"""
+    WITH pts AS ({_EV_LONLAT_SQL}),
+    keyed AS (SELECT DISTINCT {kc} AS key_col, {kr} AS key_row FROM pts)
+    SELECT {exprs.zorder_sql('key_col', 'key_row', 5)} AS cell_id,
+           key_col, key_row,
+           {exprs.key_to_extent_sql('key_col', 'xmin', 5)} AS xmin,
+           {exprs.key_to_extent_sql('key_col', 'xmax', 5)} AS xmax,
+           {exprs.key_to_extent_sql('key_row', 'ymin', 5)} AS ymin,
+           {exprs.key_to_extent_sql('key_row', 'ymax', 5)} AS ymax
+    FROM keyed
+    """
+
+
+# ---------------------------------------------- T13/Q1 range pruning
+
+_RANGE_RECT = (-60.0, -30.0, 70.0, 55.0)  # lon_min, lat_min, lon_max, lat_max
+
+
+def q_range_query(spark, sf_dir) -> DataFrame:
+    pts = _events_pts(spark, sf_dir)
+    keyed = spatial.assign_cells(pts, "lon", "lat", 6)
+    lon_min, lat_min, lon_max, lat_max = _RANGE_RECT
+    return spatial.cell_range_filter(
+        keyed, 6, lon_min, lat_min, lon_max, lat_max
+    ).select("event_id", "cell_id")
+
+
+def sql_range_query() -> str:
+    lon_min, lat_min, lon_max, lat_max = _RANGE_RECT
+    kc = exprs.key_col_sql("lon", 6)
+    kr = exprs.key_row_sql("lat", 6)
+    c0 = exprs.key_col_sql(str(lon_min), 6)
+    c1 = exprs.key_col_sql(str(lon_max), 6)
+    r0 = exprs.key_row_sql(str(lat_max), 6)
+    r1 = exprs.key_row_sql(str(lat_min), 6)
+    return f"""
+    WITH pts AS ({_EV_LONLAT_SQL}),
+    keyed AS (SELECT event_id, {kc} AS kc, {kr} AS kr FROM pts)
+    SELECT event_id, {exprs.zorder_sql('kc', 'kr', 6)} AS cell_id
+    FROM keyed
+    WHERE kc BETWEEN {c0} AND {c1} AND kr BETWEEN {r0} AND {r1}
+    """
+
+
+# ------------------------------------------------ D8/T12 space-time key
+
+def q_spacetime_cell(spark, sf_dir) -> DataFrame:
+    pts = _events_pts(spark, sf_dir)
+    keyed = spatial.assign_cells(pts, "lon", "lat", 5)
+    keyed = keyed.withColumn(
+        "day_ord", F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    )
+
+    @F.pandas_udf("long")
+    def z3_udf(c: pd.Series, r: pd.Series, t: pd.Series) -> pd.Series:
+        return pd.Series(
+            sfc.z3(c.to_numpy(np.int64), r.to_numpy(np.int64), t.to_numpy(np.int64))
+        )
+
+    return keyed.select(
+        "event_id",
+        "day_ord",
+        z3_udf(F.col("key_col"), F.col("key_row"), F.col("day_ord")).alias("cell3"),
+    )
+
+
+def sql_spacetime_cell() -> str:
+    kc = exprs.key_col_sql("lon", 5)
+    kr = exprs.key_row_sql("lat", 5)
+    return f"""
+    WITH pts AS ({_EV_LONLAT_SQL}),
+    keyed AS (
+      SELECT event_id, {kc} AS kc, {kr} AS kr,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_ord
+      FROM pts
+    )
+    SELECT event_id, day_ord,
+           {exprs.z3_sql('kc', 'kr', 'day_ord', 5, 12)} AS cell3
+    FROM keyed
+    """
+
+
+# --------------------------------------------------- J3 PIP joins
+
+def _grid_polys(spark) -> DataFrame:
+    rows = []
+    for gy in range(32):
+        for gx in range(32):
+            lon0 = -180.0 + gx * 11.25
+            lat_top = 90.0 - gy * 5.625
+            ring = np.array(
+                [
+                    [lon0, lat_top - 5.625],
+                    [lon0 + 11.25, lat_top - 5.625],
+                    [lon0 + 11.25, lat_top],
+                    [lon0, lat_top],
+                ]
+            )
+            rows.append((gy * 32 + gx, bytearray(G.wkb_write_polygon([ring]))))
+    return spark.createDataFrame(rows, "geom_id long, wkb binary")
+
+
+def q_pip_grid(spark, sf_dir) -> DataFrame:
+    pts = _events_pts(spark, sf_dir)
+    out = spatial.pip_join(pts, _grid_polys(spark), zoom=5)
+    return out.select("event_id", "geom_id")
+
+
+def sql_pip_grid() -> str:
+    return f"""
+    WITH pts AS ({_EV_LONLAT_SQL})
+    SELECT event_id,
+           CAST(floor((90 - lat) / 180 * 32) * 32
+                + floor((lon + 180) / 360 * 32) AS BIGINT) AS geom_id
+    FROM pts
+    """
+
+
+_DIAMOND_RX, _DIAMOND_RY = 20.0, 12.0
+
+
+def q_pip_diamond(spark, sf_dir) -> DataFrame:
+    pts = _events_pts(spark, sf_dir)
+    nations = _t(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey",
+        f"{exprs.lon_sql('(n_nationkey + 1) * 37')} as cx",
+        f"{exprs.lat_sql('(n_nationkey + 1) * 53')} as cy",
+    )
+    rows = []
+    for r in nations.collect():  # 25 rows: the reference's driver-collected
+        cx, cy = float(r["cx"]), float(r["cy"])  # geometry-set pattern
+        ring = np.array(
+            [
+                [cx - _DIAMOND_RX, cy],
+                [cx, cy - _DIAMOND_RY],
+                [cx + _DIAMOND_RX, cy],
+                [cx, cy + _DIAMOND_RY],
+            ]
+        )
+        rows.append((int(r["n_nationkey"]), bytearray(G.wkb_write_polygon([ring]))))
+    polys = spark.createDataFrame(rows, "n_nationkey long, wkb binary")
+    out = spatial.pip_join(pts, polys, zoom=5)
+    return out.select("event_id", "n_nationkey").withColumn(
+        "n_nationkey", F.col("n_nationkey").cast("long")
+    )
+
+
+def sql_pip_diamond() -> str:
+    cx = exprs.lon_sql("(n_nationkey + 1) * 37")
+    cy = exprs.lat_sql("(n_nationkey + 1) * 53")
+    return f"""
+    WITH pts AS ({_EV_LONLAT_SQL}),
+    dia AS (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   {cx} AS cx, {cy} AS cy FROM nation)
+    SELECT p.event_id, d.n_nationkey
+    FROM pts p, dia d
+    WHERE abs(p.lon - d.cx) / {_DIAMOND_RX} + abs(p.lat - d.cy) / {_DIAMOND_RY} < 1
+    """
+
+
+# --------------------------------------------------- J4 kNN
+
+def q_knn(spark, sf_dir) -> DataFrame:
+    pts = _events_pts(spark, sf_dir).select("event_id", "lon", "lat")
+    queries = _t(spark, sf_dir, "nation").selectExpr(
+        "cast(n_nationkey as bigint) as q_id",
+        f"{exprs.lon_sql('(n_nationkey + 3) * 41')} as q_lon",
+        f"{exprs.lat_sql('(n_nationkey + 7) * 59')} as q_lat",
+    )
+    out = spatial.knn_join(
+        pts, queries, k=5, zoom=6, point_cols=("event_id", "lon", "lat"),
+        max_rings=5,
+    )
+    return out.select("q_id", "event_id", F.col("rank").cast("long").alias("rank"))
+
+
+def sql_knn() -> str:
+    qlon = exprs.lon_sql("(n_nationkey + 3) * 41")
+    qlat = exprs.lat_sql("(n_nationkey + 7) * 59")
+    return f"""
+    WITH pts AS ({_EV_LONLAT_SQL}),
+    q AS (SELECT CAST(n_nationkey AS BIGINT) AS q_id,
+                 {qlon} AS q_lon, {qlat} AS q_lat FROM nation),
+    scored AS (
+      SELECT q.q_id, p.event_id,
+             sqrt((p.lon - q.q_lon) * (p.lon - q.q_lon)
+                  + (p.lat - q.q_lat) * (p.lat - q.q_lat)) AS dist
+      FROM pts p, q
+    )
+    SELECT q_id, event_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q_id, event_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dist ASC, event_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+# --------------------------------------------- Z1 zonal / J1 layer join
+
+def q_zonal_stats(spark, sf_dir) -> DataFrame:
+    pts = _events_pts(spark, sf_dir)
+    keyed = spatial.assign_cells(pts, "lon", "lat", 5)
+    return keyed.groupBy("cell_id").agg(
+        F.count("*").alias("n"),
+        F.expr(f"cast(sum({CENTS}) as bigint)").alias("sum_cents"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def sql_zonal_stats() -> str:
+    kc = exprs.key_col_sql("lon", 5)
+    kr = exprs.key_row_sql("lat", 5)
+    return f"""
+    WITH pts AS ({_EV_LONLAT_SQL}),
+    keyed AS (SELECT value, {kc} AS kc, {kr} AS kr FROM pts)
+    SELECT {exprs.zorder_sql('kc', 'kr', 5)} AS cell_id,
+           count(*) AS n,
+           CAST(sum({CENTS}) AS BIGINT) AS sum_cents,
+           min(value) AS min_value, max(value) AS max_value
+    FROM keyed GROUP BY 1
+    """
+
+
+def q_layer_join(spark, sf_dir) -> DataFrame:
+    ev = spatial.assign_cells(_events_pts(spark, sf_dir), "lon", "lat", 6)
+    orders = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        f"{exprs.lon_sql('o_orderkey * 17')} as lon",
+        f"{exprs.lat_sql('o_orderkey * 23')} as lat",
+    )
+    od = spatial.assign_cells(orders, "lon", "lat", 6)
+    return (
+        ev.select("event_id", "cell_id")
+        .join(od.select("o_orderkey", "cell_id"), "cell_id")
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def sql_layer_join() -> str:
+    ekc = exprs.key_col_sql("lon", 6)
+    ekr = exprs.key_row_sql("lat", 6)
+    return f"""
+    WITH ev AS (
+      SELECT event_id, {ekc} AS kc, {ekr} AS kr
+      FROM ({_EV_LONLAT_SQL})
+    ),
+    od AS (
+      SELECT o_orderkey, {ekc} AS kc, {ekr} AS kr
+      FROM (SELECT o_orderkey, {exprs.lon_sql('o_orderkey * 17')} AS lon,
+                   {exprs.lat_sql('o_orderkey * 23')} AS lat FROM orders)
+    ),
+    ec AS (SELECT event_id, {exprs.zorder_sql('kc', 'kr', 6)} AS cell_id FROM ev),
+    oc AS (SELECT o_orderkey, {exprs.zorder_sql('kc', 'kr', 6)} AS cell_id FROM od)
+    SELECT ec.cell_id, count(*) AS n_pairs
+    FROM ec JOIN oc ON ec.cell_id = oc.cell_id
+    GROUP BY 1
+    """
+
+
+# ------------------------------------------------- TS temporal
+
+def q_temporal_rollup(spark, sf_dir) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.expr(f"cast(sum({CENTS}) as bigint)").alias("sum_cents"),
+    )
+
+
+def sql_temporal_rollup() -> str:
+    return f"""
+    SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+           CAST(sum({CENTS}) AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1, 2
+    """
+
+
+def q_rolling_window(spark, sf_dir) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("cents", F.expr(CENTS))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.sum("cents").over(w).cast("long").alias("roll_cents"),
+    )
+
+
+def sql_rolling_window() -> str:
+    return f"""
+    SELECT event_id,
+           CAST(sum({CENTS}) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
+    FROM events
+    """
+
+
+# ---------------------------------------------- dedup / text / similarity
+
+_DOUBLED = """
+(SELECT doc_id, text FROM documents
+ UNION ALL
+ SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+"""
+
+
+def _doubled_docs(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+
+
+def q_dedup_exact(spark, sf_dir) -> DataFrame:
+    return dedup.exact_dedup(_doubled_docs(spark, sf_dir))
+
+
+def sql_dedup_exact() -> str:
+    return dedup.exact_dedup_sql(_DOUBLED)
+
+
+def q_minhash_lsh(spark, sf_dir) -> DataFrame:
+    return dedup.minhash_candidates(_doubled_docs(spark, sf_dir))
+
+
+def sql_minhash_lsh() -> str:
+    return dedup.minhash_candidates_sql(_DOUBLED)
+
+
+def q_simhash(spark, sf_dir) -> DataFrame:
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+def sql_simhash() -> str:
+    return dedup.simhash_sql("documents")
+
+
+def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+def sql_ngram_jaccard() -> str:
+    return dedup.ngram_jaccard_sql("documents")
+
+
+def q_lang_id(spark, sf_dir) -> DataFrame:
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def sql_lang_id() -> str:
+    return text.lang_id_sql("documents")
+
+
+def q_quality(spark, sf_dir) -> DataFrame:
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def sql_quality() -> str:
+    return text.quality_score_sql("documents")
+
+
+def q_token_count(spark, sf_dir) -> DataFrame:
+    return text.token_count(_t(spark, sf_dir, "documents"))
+
+
+def sql_token_count() -> str:
+    return text.token_count_sql("documents")
+
+
+def q_fingerprint(spark, sf_dir) -> DataFrame:
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def sql_fingerprint() -> str:
+    return text.fingerprint_sql("documents")
+
+
+def q_ann_topk(spark, sf_dir) -> DataFrame:
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def sql_ann_topk() -> str:
+    return similarity.cosine_topk_sql()
+
+
+def q_embedding_lsh(spark, sf_dir) -> DataFrame:
+    return similarity.lsh_buckets(_t(spark, sf_dir, "embeddings"))
+
+
+def sql_embedding_lsh() -> str:
+    return similarity.lsh_buckets_sql()
+
+
+# ------------------------------------- image pipeline (rows-only checks)
+
+_IMG_N = 400
+_IMG_ZOOM = 5
+
+
+def q_image_tiles(spark, sf_dir) -> DataFrame:
+    images = synth.synth_images(spark, _IMG_N, partitions=8)
+    tiles = tiling.tile_images(images, _IMG_ZOOM, 256)
+    return tiles.select("layer", "zoom", "key_col", "key_row", "cell_id")
+
+
+def q_image_pyramid(spark, sf_dir) -> DataFrame:
+    images = synth.synth_images(spark, _IMG_N, partitions=8)
+    tiles = tiling.tile_images(images, _IMG_ZOOM, 256)
+    levels = tiling.build_pyramid(tiles, _IMG_ZOOM, _IMG_ZOOM - 2)
+    out = None
+    for z, df in levels:
+        cur = df.select("zoom", "cell_id")
+        out = cur if out is None else out.unionByName(cur)
+    return out.groupBy("zoom").agg(F.count("*").alias("n_tiles"))
+
+
+def q_image_focal(spark, sf_dir) -> DataFrame:
+
+    images = synth.synth_images(spark, 200, partitions=8)
+    tiles = tiling.tile_images(images, _IMG_ZOOM, 256)
+    foc = tiling.focal_tiles(tiles, "mean", radius=1)
+
+    @F.pandas_udf("long")
+    def checksum(tile: pd.Series) -> pd.Series:
+        return tile.map(
+            lambda b: int(np.frombuffer(b, dtype="<u2").astype(np.int64).sum())
+        )
+
+    return foc.select("cell_id", checksum(F.col("tile")).alias("pix_sum"))
+
+
+def q_image_phash_check(spark, sf_dir) -> DataFrame:
+    from ..core import codecs, imagery
+
+    images = synth.synth_images(spark, 300, partitions=8)
+
+    @F.pandas_udf("long")
+    def rehash(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = []
+        for i in range(len(b)):
+            px = codecs.decode_tile(bytes(b.iloc[i]), int(w.iloc[i]), int(h.iloc[i]),
+                                    fmt.iloc[i])
+            out.append(int(imagery.phash64(px)))
+        return pd.Series(out)
+
+    return images.select(
+        "image_id",
+        "phash",
+        rehash(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")).alias("rehash"),
+    ).withColumn("match", F.col("phash") == F.col("rehash"))
+
+
+# --------------------------------------------------------------- registry
+
+QUERIES = {
+    "tile_assign": (q_tile_assign, sql_tile_assign),
+    "cell_agg": (q_cell_agg, sql_cell_agg),
+    "cell_extent": (q_cell_extent, sql_cell_extent),
+    "range_query": (q_range_query, sql_range_query),
+    "spacetime_cell": (q_spacetime_cell, sql_spacetime_cell),
+    "pip_grid": (q_pip_grid, sql_pip_grid),
+    "pip_diamond": (q_pip_diamond, sql_pip_diamond),
+    "knn": (q_knn, sql_knn),
+    "zonal_stats": (q_zonal_stats, sql_zonal_stats),
+    "layer_join": (q_layer_join, sql_layer_join),
+    "temporal_rollup": (q_temporal_rollup, sql_temporal_rollup),
+    "rolling_window": (q_rolling_window, sql_rolling_window),
+    "dedup_exact": (q_dedup_exact, sql_dedup_exact),
+    "minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
+    "simhash": (q_simhash, sql_simhash),
+    "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
+    "lang_id": (q_lang_id, sql_lang_id),
+    "quality_score": (q_quality, sql_quality),
+    "token_count": (q_token_count, sql_token_count),
+    "doc_fingerprint": (q_fingerprint, sql_fingerprint),
+    "ann_topk": (q_ann_topk, sql_ann_topk),
+    "embedding_lsh": (q_embedding_lsh, sql_embedding_lsh),
+    # image-pipeline ops: tile payloads are binary, not SQL-expressible
+    # -> rows-only driver checks; exactness is covered by pytest oracles
+    "image_tiles": (q_image_tiles, None),
+    "image_pyramid": (q_image_pyramid, None),
+    "image_focal": (q_image_focal, None),
+    "image_phash_check": (q_image_phash_check, None),
+}
