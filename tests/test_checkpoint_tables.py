@@ -1,0 +1,102 @@
+"""Checkpoint/resume (FIXTURES.md §F5) + Iceberg-shaped table tests."""
+
+from pyspark.sql import functions as F
+
+from geotrellis_spark import synth
+from geotrellis_spark.checkpoint import checkpointed_stage, completed_buckets
+from geotrellis_spark.operators import tiling
+from geotrellis_spark.sources import iceberg_shape as ice
+
+
+def _make_builder(spark, n=80, zoom=3):
+    def build():
+        images = synth.synth_images(spark, n, partitions=4)
+        return tiling.tile_images(images, zoom, 256, salt_buckets=2).drop("tile")
+
+    return build
+
+
+def test_checkpoint_resume_zero_recompute(spark, tmp_path):
+    base = str(tmp_path / "ckpt")
+    out = str(tmp_path / "tiles_out")
+    job = "job-f5"
+    build = _make_builder(spark)
+
+    expected = {
+        (r["key_col"], r["key_row"]): r["cell_id"] for r in build().collect()
+    }
+
+    # phase 1 — simulate a run killed after buckets {0,1}: their output
+    # is on disk and checkpointed; buckets 2,3 never completed
+    partial = build().withColumn(
+        "part", F.pmod(F.col("cell_id"), F.lit(4)).cast("int")
+    ).where(F.col("part") < 2)
+    partial.write.mode("append").partitionBy("part").parquet(out)
+    spark.createDataFrame(
+        [(job, "tile", b, "done", 0, 0.0, "t0") for b in (0, 1)],
+        "job_id string, stage string, part_key int, status string, "
+        "rows_out bigint, wall_sec double, finished_at string",
+    ).coalesce(1).write.mode("append").parquet(f"{base}/checkpoints")
+
+    assert completed_buckets(spark, base, job, "tile") == {0, 1}
+
+    # phase 2 — resume: only buckets 2,3 may run
+    result = checkpointed_stage(
+        build, spark=spark, base=base, job_id=job, stage="tile",
+        bucket_col="cell_id", n_buckets=4, output_path=out,
+    )
+    got = {(r["key_col"], r["key_row"]): r["cell_id"] for r in result.collect()}
+    assert got == expected
+
+    metrics = spark.read.parquet(f"{base}/metrics")
+    ran = (
+        metrics.where((F.col("stage") == "tile") & (F.col("name") == "buckets_run"))
+        .agg(F.max("value"))
+        .collect()[0][0]
+    )
+    assert ran == 2.0  # zero recompute of completed buckets
+
+    # phase 3 — idempotent rerun: nothing left to do
+    result2 = checkpointed_stage(
+        build, spark=spark, base=base, job_id=job, stage="tile",
+        bucket_col="cell_id", n_buckets=4, output_path=out,
+    )
+    assert result2.count() == len(expected)
+    runs = (
+        spark.read.parquet(f"{base}/metrics")
+        .where(F.col("name") == "buckets_run")
+        .collect()
+    )
+    assert any(r["value"] == 0.0 for r in runs)
+    lineage = spark.read.parquet(f"{base}/lineage").collect()
+    assert all(len(r["code_hash"]) == 16 for r in lineage)
+
+
+def test_iceberg_shape_roundtrip(spark, tmp_path):
+    base = str(tmp_path / "warehouse")
+    images = synth.synth_images(spark, 40, partitions=2)
+    tiles = tiling.tile_images(images, 3, 256, salt_buckets=2)
+    snap = ice.write_tiles(tiles, base, n_buckets=4)
+    assert len(snap) == 16
+
+    back = ice.read_tiles(spark, base, zoom=3)
+    assert back.count() == tiles.count()
+    import glob
+
+    dirs = glob.glob(f"{base}/tiles/layer=*/zoom=*/bucket=*")
+    assert dirs, "expected hive-partitioned layout"
+
+    man = spark.read.parquet(f"{base}/_meta/manifests")
+    row = man.collect()[0]
+    assert row["cell_id_min"] <= row["cell_id_max"]
+    snaps = spark.read.parquet(f"{base}/_meta/snapshots")
+    assert snaps.where(F.col("snapshot_id") == snap).count() == 1
+
+    md = ice.collect_metadata(tiles)
+    ice.write_layer_metadata(
+        spark, base, "images", 3, cell_type=md["cell_type"],
+        tile_cols=256, tile_rows=256, layout_cols=8, layout_rows=8,
+        extent=(-180, -90, 180, 90), key_bounds=md["key_bounds"],
+    )
+    lmd = ice.read_layer_metadata(spark, base).collect()[0]
+    assert lmd["layer"] == "images" and lmd["cell_type"] == "uint16ud0"
