@@ -333,6 +333,50 @@ def resample_bilinear(
     return _from_float(out, tile.dtype, nodata)
 
 
+def bilinear_sample(
+    tile: np.ndarray, u: np.ndarray, v: np.ndarray, nodata=NODATA_U16
+) -> np.ndarray:
+    """Sample ``tile`` at fractional pixel coords (u = col, v = row,
+    pixel centers at integers). Out-of-bounds or any-NoData-corner
+    samples return NaN. Used by the reproject warp (G1)."""
+    f = _to_float(tile, nodata)
+    h, w = f.shape
+    out = np.full(u.shape, np.nan)
+    ok = (u >= -0.5) & (u <= w - 0.5) & (v >= -0.5) & (v <= h - 0.5)
+    if not ok.any():
+        return out
+    uu = np.clip(u[ok], 0, w - 1)
+    vv = np.clip(v[ok], 0, h - 1)
+    x0 = np.floor(uu).astype(np.int64)
+    y0 = np.floor(vv).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    wx = uu - x0
+    wy = vv - y0
+    val = (
+        f[y0, x0] * (1 - wy) * (1 - wx)
+        + f[y0, x1] * (1 - wy) * wx
+        + f[y1, x0] * wy * (1 - wx)
+        + f[y1, x1] * wy * wx
+    )
+    out[ok] = val
+    return out
+
+
+def nearest_sample(
+    tile: np.ndarray, u: np.ndarray, v: np.ndarray, nodata=NODATA_U16
+) -> np.ndarray:
+    """NearestNeighbor variant of :func:`bilinear_sample`."""
+    f = _to_float(tile, nodata)
+    h, w = f.shape
+    out = np.full(u.shape, np.nan)
+    ok = (u >= -0.5) & (u <= w - 0.5) & (v >= -0.5) & (v <= h - 0.5)
+    x = np.clip(np.rint(u[ok]).astype(np.int64), 0, w - 1)
+    y = np.clip(np.rint(v[ok]).astype(np.int64), 0, h - 1)
+    out[ok] = f[y, x]
+    return out
+
+
 def decimate2(tile: np.ndarray) -> np.ndarray:
     """2x downsample by NearestNeighbor (pyramid default: top-left of
     each 2x2 block — matches NN at the parent cell center convention

@@ -523,6 +523,69 @@ def sql_embedding_lsh() -> str:
     return similarity.lsh_buckets_sql()
 
 
+# ----------------------------------------- quantiles / rollup / hilbert
+
+def q_class_breaks(spark, sf_dir) -> DataFrame:
+    """Z4 classBreaks: exact quartile stats of events.value via ntile
+    (deterministic tiebreak by event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return (
+        ev.select("value", "event_id", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("value").alias("break_value"),
+            F.expr(f"cast(sum({CENTS}) as bigint)").alias("sum_cents"),
+        )
+        .withColumn("quartile", F.col("quartile").cast("long"))
+    )
+
+
+def sql_class_breaks() -> str:
+    return f"""
+    SELECT CAST(quartile AS BIGINT) AS quartile, count(*) AS n,
+           max(value) AS break_value,
+           CAST(sum({CENTS}) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT value,
+             ntile(4) OVER (ORDER BY value ASC, event_id ASC) AS quartile
+      FROM events
+    ) GROUP BY 1
+    """
+
+
+def q_rollup_cube(spark, sf_dir) -> DataFrame:
+    """Grouping-sets surface (free in Spark SQL; parity-plus over the
+    reference): rollup (event_type, day)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(f"cast(sum({CENTS}) as bigint)").alias("sum_cents"),
+        )
+    )
+
+
+def sql_rollup_cube() -> str:
+    return f"""
+    SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+           CAST(sum({CENTS}) AS BIGINT) AS sum_cents
+    FROM events GROUP BY ROLLUP (event_type, day)
+    """
+
+
+def q_hilbert_assign(spark, sf_dir) -> DataFrame:
+    """T12 Hilbert index (rows-only: the bit-twiddling Hilbert rotation
+    is impractical in SQL; bijectivity/adjacency proven in pytest)."""
+    pts = _events_pts(spark, sf_dir)
+    out = spatial.assign_cells(pts, "lon", "lat", 8, index="hilbert")
+    return out.select("event_id", "key_col", "key_row", "cell_id")
+
+
 # ------------------------------------- image pipeline (rows-only checks)
 
 _IMG_N = 400
@@ -607,6 +670,11 @@ QUERIES = {
     "doc_fingerprint": (q_fingerprint, sql_fingerprint),
     "ann_topk": (q_ann_topk, sql_ann_topk),
     "embedding_lsh": (q_embedding_lsh, sql_embedding_lsh),
+    "class_breaks": (q_class_breaks, sql_class_breaks),
+    "rollup_cube": (q_rollup_cube, sql_rollup_cube),
+    # Hilbert rotation logic is impractical in SQL -> rows-only; the
+    # curve itself is exhaustively proven in tests/test_core_sfc.py
+    "hilbert_assign": (q_hilbert_assign, None),
     # image-pipeline ops: tile payloads are binary, not SQL-expressible
     # -> rows-only driver checks; exactness is covered by pytest oracles
     "image_tiles": (q_image_tiles, None),
