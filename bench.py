@@ -65,10 +65,11 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
-    # north-rule metric 1: tiling throughput (tiles/sec)
+    # north-rule metric 1: tiling throughput (tiles/sec); PNG payloads
+    # = the production configuration (compressed through the sink)
     images = synth.synth_images(spark, BENCH_IMAGES, partitions=max(cpus, 8))
     t0 = time.time()
-    n_tiles = _run(tiling.tile_images(images, IMG_ZOOM, 256, salt_buckets=8))
+    n_tiles = _run(tiling.tile_images(images, IMG_ZOOM, 256, fmt="png"))
     dt = time.time() - t0
     timings["image_tiling"] = round(dt, 3)
     extras["tiles_per_sec"] = round(n_tiles / dt, 1)

@@ -23,17 +23,30 @@ def main() -> None:
     sf_dir = sys.argv[3]
     spark = get_spark(f"scaling-{cpus}", cores=cpus, shuffle_partitions=cpus)
 
-    # warm-up (python workers, parquet footers) — discarded
-    synth.synth_images(spark, 200, partitions=8).count()
+    # warm-up (discarded): prime ALL python workers (numpy/pandas import
+    # per worker is seconds — an unwarmed local[32] pays a 32-way import
+    # storm inside the timed region) + parquet footers
+    synth.synth_images(spark, 64 * 4, partitions=64).count()
     dq._events_pts(spark, sf_dir).count()
 
-    # tiling: same input regardless of parallelism (deterministic synth)
+    # tiling: same input regardless of parallelism (deterministic
+    # synth); fmt='png' = the production configuration (compressed
+    # tile payloads through the sink)
     images = synth.synth_images(spark, n_images, partitions=max(32, cpus))
     t0 = time.time()
-    n_tiles = tiling.tile_images(images, 8, 256, salt_buckets=8).count()
+    n_tiles = tiling.tile_images(images, 8, 256, fmt="png").count()
     t_tile = time.time() - t0
 
-    pts = dq._events_pts(spark, sf_dir)
+    # PIP join: 2M deterministic points (the sf0.1 events table alone is
+    # too small to measure scaling — fixed overheads dominate)
+    from geotrellis_spark.functions import exprs
+
+    n_points = 2_000_000
+    pts = spark.range(0, n_points, numPartitions=max(64, cpus)).selectExpr(
+        "id as event_id",
+        f"{exprs.lon_sql('id')} as lon",
+        f"{exprs.lat_sql('id * 7 + 1')} as lat",
+    )
     polys = dq._grid_polys(spark)
     t0 = time.time()
     n_joined = spatial.pip_join(pts, polys, zoom=5).count()

