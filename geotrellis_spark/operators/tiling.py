@@ -438,6 +438,107 @@ def build_pyramid(
     return levels
 
 
+def stitch(tiles: DataFrame, tile_size: int = 256) -> np.ndarray:
+    """T8 Stitch (``spark/.../stitch/StitchRDDMethods.scala`` role):
+    assemble a (filtered, SMALL) tile layer into one numpy raster in
+    key order. Deliberately driver-side — a debug/export utility, not
+    a distributed op; filter the layer first."""
+    rows = tiles.select("key_col", "key_row", "tile", "fmt", "w", "h").collect()
+    if not rows:
+        return np.zeros((0, 0), dtype=np.uint16)
+    c0 = min(r["key_col"] for r in rows)
+    r0 = min(r["key_row"] for r in rows)
+    c1 = max(r["key_col"] for r in rows)
+    r1 = max(r["key_row"] for r in rows)
+    T = tile_size
+    out = np.full(((r1 - r0 + 1) * T, (c1 - c0 + 1) * T), NODATA, dtype=np.uint16)
+    for r in rows:
+        t = codecs.decode_tile(bytes(r["tile"]), r["w"], r["h"], r["fmt"])
+        rr, cc = (r["key_row"] - r0) * T, (r["key_col"] - c0) * T
+        out[rr : rr + r["h"], cc : cc + r["w"]] = t
+    return out
+
+
+def merge_layers(
+    a: DataFrame, b: DataFrame, zoom: int, tile_size: int = 256,
+    layer: str = "merged", fmt: str = "raw16",
+) -> DataFrame:
+    """Q4 layer union (``spark/.../merge/`` role): same-key tiles merged
+    with T7 first-non-NoData-wins, layer ``a`` taking priority.
+    Implemented by re-expressing whole tiles as priority-carrying
+    pieces and reusing the grouped merge (one shuffle)."""
+    def as_pieces(df: DataFrame, prio: int) -> DataFrame:
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {f.name: [] for f in PIECE_SCHEMA.fields}
+                for i in range(len(pdf)):
+                    t = codecs.decode_tile(
+                        bytes(pdf["tile"].iloc[i]), int(pdf["w"].iloc[i]),
+                        int(pdf["h"].iloc[i]), pdf["fmt"].iloc[i],
+                    )
+                    out["cell_id"].append(int(pdf["cell_id"].iloc[i]))
+                    out["key_col"].append(int(pdf["key_col"].iloc[i]))
+                    out["key_row"].append(int(pdf["key_row"].iloc[i]))
+                    out["salt"].append(0)
+                    out["src_ord"].append(prio)
+                    out["r0"].append(0)
+                    out["c0"].append(0)
+                    out["ph"].append(int(pdf["h"].iloc[i]))
+                    out["pw"].append(int(pdf["w"].iloc[i]))
+                    out["piece"].append(
+                        np.ascontiguousarray(t, dtype="<u2").tobytes()
+                    )
+                yield pd.DataFrame(out)
+
+        return df.mapInPandas(gen, PIECE_SCHEMA)
+
+    pieces = as_pieces(a, 0).unionByName(as_pieces(b, 1))
+    return merge_tiles(pieces, zoom, tile_size, layer, fmt)
+
+
+def zoom_resample(
+    tiles: DataFrame, from_zoom: int, to_zoom: int, tile_size: int = 256
+) -> DataFrame:
+    """G4 ZoomResample (``spark/.../resample/ZoomResample.scala`` role):
+    zoom IN on a layer without new data — each tile at z yields
+    4^dz children at to_zoom, each an NN-upsampled quadrant crop.
+    Narrow op per child batch (one flatMap, no shuffle)."""
+    dz = to_zoom - from_zoom
+    if dz <= 0:
+        raise ValueError("zoom_resample zooms IN: to_zoom > from_zoom")
+    k = 1 << dz
+    T = tile_size
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in TILE_SCHEMA.fields}
+            for i in range(len(pdf)):
+                t = codecs.decode_tile(bytes(pdf["tile"].iloc[i]), T, T,
+                                       pdf["fmt"].iloc[i])
+                kc, kr = int(pdf["key_col"].iloc[i]), int(pdf["key_row"].iloc[i])
+                sub = T // k
+                for qc in range(k):
+                    for qr in range(k):
+                        crop = t[qr * sub : (qr + 1) * sub, qc * sub : (qc + 1) * sub]
+                        child = kernels.resample_nearest(crop, T, T)
+                        cc, cr = kc * k + qc, kr * k + qr
+                        out["layer"].append(pdf["layer"].iloc[i])
+                        out["zoom"].append(to_zoom)
+                        out["key_col"].append(cc)
+                        out["key_row"].append(cr)
+                        out["cell_id"].append(int(sfc.zorder(cc, cr)))
+                        out["tile"].append(
+                            codecs.encode_tile(child, pdf["fmt"].iloc[i])
+                        )
+                        out["fmt"].append(pdf["fmt"].iloc[i])
+                        out["w"].append(T)
+                        out["h"].append(T)
+                        out["cell_type"].append(pdf["cell_type"].iloc[i])
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(gen, TILE_SCHEMA)
+
+
 _DIRS = [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
 
 

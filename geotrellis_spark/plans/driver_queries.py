@@ -586,6 +586,53 @@ def q_hilbert_assign(spark, sf_dir) -> DataFrame:
     return out.select("event_id", "key_col", "key_row", "cell_id")
 
 
+def q_sessionize(spark, sf_dir) -> DataFrame:
+    """TS parity-plus: gap-based sessionization (new session when >30
+    minutes since the user's previous event), pure window functions."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ in Spark 4: hop through TIMESTAMP
+    # (session tz pinned UTC) to get epoch seconds
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    marked = ev.select(
+        "user_id", "event_id", "ts",
+        F.when(epoch - F.lag(epoch).over(w) > 1800, 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = marked.withColumn(
+        "session_no", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    ).withColumn("session_no", F.col("session_no").cast("long"))
+
+
+def sql_sessionize() -> str:
+    return """
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events, min(event_id) AS first_event
+    FROM sess GROUP BY 1, 2
+    """
+
+
 # ------------------------------------- image pipeline (rows-only checks)
 
 _IMG_N = 400
@@ -672,6 +719,7 @@ QUERIES = {
     "embedding_lsh": (q_embedding_lsh, sql_embedding_lsh),
     "class_breaks": (q_class_breaks, sql_class_breaks),
     "rollup_cube": (q_rollup_cube, sql_rollup_cube),
+    "sessionize": (q_sessionize, sql_sessionize),
     # Hilbert rotation logic is impractical in SQL -> rows-only; the
     # curve itself is exhaustively proven in tests/test_core_sfc.py
     "hilbert_assign": (q_hilbert_assign, None),

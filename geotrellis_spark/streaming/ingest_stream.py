@@ -40,7 +40,13 @@ def rate_images_stream(spark: SparkSession, rows_per_sec: int = 50) -> DataFrame
             out["ts"] = pdf["timestamp"].to_numpy()
             yield out
 
-    schema = synth.IMAGES_SCHEMA.add("ts", "timestamp")
+    # StructType.add mutates in place — build a fresh copy so repeated
+    # calls don't accumulate duplicate ts fields on IMAGES_SCHEMA
+    from pyspark.sql.types import StructType, StructField, TimestampType
+
+    schema = StructType(
+        list(synth.IMAGES_SCHEMA.fields) + [StructField("ts", TimestampType())]
+    )
     return rate.mapInPandas(gen, schema)
 
 
