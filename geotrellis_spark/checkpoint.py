@@ -125,6 +125,18 @@ def checkpointed_stage(
     todo = [b for b in range(n_buckets) if b not in done]
     write_lineage(spark, base, job_id, stage, input_snapshot, df_builder, params)
     if todo:
+        # Resume atomicity: the data append commits BEFORE the 'done'
+        # markers, so a kill in that window leaves committed rows for
+        # buckets with no marker. Recomputing those buckets would then
+        # APPEND duplicates. Purge any unmarked part= dirs first (works
+        # on any Hadoop-compatible FS, not just local disk).
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for b in todo:
+            p = jvm.org.apache.hadoop.fs.Path(f"{output_path}/part={b}")
+            fs = p.getFileSystem(hconf)
+            if fs.exists(p):
+                fs.delete(p, True)
         df = df_builder().withColumn(
             "part", F.pmod(F.col(bucket_col), F.lit(n_buckets)).cast("int")
         )

@@ -11,7 +11,8 @@ geotrellis/vector/{Geometry,Extent}.scala``, ``io/wkb/WKB.scala``,
   batch against one polygon (with holes). Edge convention matches the
   classic crossing rule GeoTrellis inherits from JTS for cell-center
   tests: a point exactly on a horizontal edge is handled by the
-  half-open [ymin, ymax) crossing test.
+  half-open (ymin, ymax] crossing test (boundary points fall SOUTH,
+  matching the floor((90-lat)/180*n) key-row convention).
 - ``clip_polygon_to_rect`` — Sutherland–Hodgman rectangle clip
   (ClipToGrid's per-cell clip, ``spark/.../clip/ClipToGrid.scala``).
 - bbox / shoelace area / centroid / point-segment distance.
@@ -124,7 +125,10 @@ def _crossings(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
         a, b, c, d = x0[i], y0[i], x1[i], y1[i]
         if b == d:
             continue  # horizontal edge never crosses the half-open test
-        cond = (py >= min(b, d)) & (py < max(b, d))
+        # half-open (ymin, ymax]: a point exactly on a horizontal
+        # boundary falls in the SOUTH polygon, matching the
+        # floor((90-lat)/180*n) key-row convention and the SQL oracles
+        cond = (py > min(b, d)) & (py <= max(b, d))
         if not cond.any():
             continue
         # x coordinate where the edge crosses the point's horizontal ray

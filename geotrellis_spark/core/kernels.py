@@ -413,7 +413,9 @@ def rasterize_polygon(
         ymin = np.minimum(y0, y1)[None, :]
         ymax = np.maximum(y0, y1)[None, :]
         yc = ys[:, None]
-        active = (yc >= ymin) & (yc < ymax)  # half-open crossing rule
+        # half-open (ymin, ymax] crossing rule — must match
+        # geom._crossings so rasterize == PIP-of-centers holds exactly
+        active = (yc > ymin) & (yc <= ymax)
         t = (yc - y0[None, :]) / (y1 - y0)[None, :]
         xc = x0[None, :] + t * (x1 - x0)[None, :]
         # parity of crossings right of each cell center

@@ -48,9 +48,14 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     langs = list(LANG_MARKERS)
     best = "CASE "
     for lang in langs:
-        others = [ol for ol in langs if langs.index(ol) < langs.index(lang)]
-        conds = [f"score_{lang} >= score_{o}" for o in others] + [
+        # earlier-listed languages win ties (en > de > fr > es): beat
+        # every EARLIER language strictly, LATER ones non-strictly
+        conds = [
             f"score_{lang} > score_{o}"
+            for o in langs
+            if langs.index(o) < langs.index(lang)
+        ] + [
+            f"score_{lang} >= score_{o}"
             for o in langs
             if langs.index(o) > langs.index(lang)
         ]
@@ -69,11 +74,11 @@ def lang_id_sql(source_sql: str = "documents") -> str:
     best = "CASE "
     for lang in langs:
         conds = [
-            f"score_{lang} >= score_{o}"
+            f"score_{lang} > score_{o}"
             for o in langs
             if langs.index(o) < langs.index(lang)
         ] + [
-            f"score_{lang} > score_{o}"
+            f"score_{lang} >= score_{o}"
             for o in langs
             if langs.index(o) > langs.index(lang)
         ]

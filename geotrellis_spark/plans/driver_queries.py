@@ -526,13 +526,65 @@ def sql_embedding_lsh() -> str:
 # ----------------------------------------- quantiles / rollup / hilbert
 
 def q_class_breaks(spark, sf_dir) -> DataFrame:
-    """Z4 classBreaks: exact quartile stats of events.value via ntile
-    (deterministic tiebreak by event_id)."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    """Z4 classBreaks: exact quartile stats of events.value — computed
+    DISTRIBUTED (no single-task global sort): range-partition by
+    (value, event_id), per-partition counts -> prefix offsets (tiny
+    driver-side P-row collect), global rank = local row_number +
+    offset, quartile = exact ntile formula on the rank. Semantics are
+    bit-identical to ``ntile(4) OVER (ORDER BY value, event_id)`` (the
+    DuckDB oracle) but every window partition is one range partition."""
+    ev = _t(spark, sf_dir, "events").select("value", "event_id")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # localCheckpoint pins the sampled range boundaries: the count job
+    # and the rank job must see the SAME pid <-> range mapping
+    parts = (
+        ev.repartitionByRange(n_part, F.col("value").asc(), F.col("event_id").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["pid"]: r["n"]
+        for r in parts.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    if total < 8:  # degenerate tiny input: plain window is fine
+        w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+        ranked = ev.select(
+            "value", F.ntile(4).over(w).alias("quartile")
+        )
+    else:
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_map = F.create_map(
+            *[
+                x
+                for pid, off in offsets.items()
+                for x in (F.lit(int(pid)).cast("int"), F.lit(int(off)).cast("long"))
+            ]
+        )
+        w = Window.partitionBy("pid").orderBy(
+            F.col("value").asc(), F.col("event_id").asc()
+        )
+        base, rem = total // 4, total % 4
+        cut = (base + 1) * rem
+        ranked = (
+            parts.withColumn(
+                "rank",
+                F.row_number().over(w).cast("long") + off_map[F.col("pid")],
+            )
+            # exact ntile(4) bucket from the global rank, integer math
+            .withColumn(
+                "quartile",
+                F.when(
+                    F.col("rank") <= cut,
+                    F.expr(f"(rank + {base}) div {base + 1}"),
+                ).otherwise(F.expr(f"{rem} + (rank - {cut} + {base} - 1) div {base}")),
+            )
+        )
     return (
-        ev.select("value", "event_id", F.ntile(4).over(w).alias("quartile"))
-        .groupBy("quartile")
+        ranked.groupBy("quartile")
         .agg(
             F.count("*").alias("n"),
             F.max("value").alias("break_value"),
@@ -579,11 +631,53 @@ def sql_rollup_cube() -> str:
 
 
 def q_hilbert_assign(spark, sf_dir) -> DataFrame:
-    """T12 Hilbert index (rows-only: the bit-twiddling Hilbert rotation
-    is impractical in SQL; bijectivity/adjacency proven in pytest)."""
+    """T12 Hilbert index. Exact DuckDB twin: the Hamilton xy2d rotation
+    loop unrolls to ``order`` chained CASE steps (sql_hilbert_assign);
+    bijectivity/adjacency additionally proven in pytest."""
     pts = _events_pts(spark, sf_dir)
     out = spatial.assign_cells(pts, "lon", "lat", 8, index="hilbert")
     return out.select("event_id", "key_col", "key_row", "cell_id")
+
+
+def _hilbert_steps_duck(src_sql: str, order: int) -> str:
+    """Unrolled Hamilton xy2d (twin of core.sfc.hilbert_xy2d) as chained
+    DuckDB subqueries. ``src_sql`` must provide hx, hy (the key) and any
+    carry-through columns; adds/updates hd = hilbert distance.
+
+    DuckDB-dialect only (oracle side): uses ``* REPLACE`` and truncated
+    ``%`` normalized to floor-mod (intermediates go negative, matching
+    numpy's two's-complement ``x & s`` bit test)."""
+    inner = f"SELECT *, CAST(0 AS BIGINT) AS hd FROM ({src_sql})"
+    for step in range(order):
+        s = 1 << (order - 1 - step)
+        m = 2 * s
+        rx = f"(CASE WHEN ((hx % {m}) + {m}) % {m} >= {s} THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN ((hy % {m}) + {m}) % {m} >= {s} THEN 1 ELSE 0 END)"
+        d2 = (
+            f"hd + {s * s} * (CASE WHEN {rx}=0 AND {ry}=0 THEN 0 "
+            f"WHEN {rx}=0 AND {ry}=1 THEN 1 "
+            f"WHEN {rx}=1 AND {ry}=1 THEN 2 ELSE 3 END)"
+        )
+        fx = f"(CASE WHEN {ry}=0 AND {rx}=1 THEN {s - 1} - hx ELSE hx END)"
+        fy = f"(CASE WHEN {ry}=0 AND {rx}=1 THEN {s - 1} - hy ELSE hy END)"
+        nx = f"(CASE WHEN {ry}=0 THEN {fy} ELSE {fx} END)"
+        ny = f"(CASE WHEN {ry}=0 THEN {fx} ELSE {fy} END)"
+        inner = f"SELECT * REPLACE ({nx} AS hx, {ny} AS hy, {d2} AS hd) FROM ({inner})"
+    return inner
+
+
+def sql_hilbert_assign() -> str:
+    kc = exprs.key_col_sql("lon", 8)
+    kr = exprs.key_row_sql("lat", 8)
+    keyed = f"""
+    SELECT event_id, key_col, key_row, key_col AS hx, key_row AS hy
+    FROM (SELECT event_id, {kc} AS key_col, {kr} AS key_row
+          FROM ({_EV_LONLAT_SQL}))
+    """
+    return f"""
+    SELECT event_id, key_col, key_row, hd AS cell_id
+    FROM ({_hilbert_steps_duck(keyed, 8)})
+    """
 
 
 def q_sessionize(spark, sf_dir) -> DataFrame:
@@ -633,16 +727,59 @@ def sql_sessionize() -> str:
     """
 
 
-# ------------------------------------- image pipeline (rows-only checks)
+# --------------------------------------- image pipeline (exact oracles)
 
 _IMG_N = 400
 _IMG_ZOOM = 5
+
+
+def _image_cells_duck(n: int, zoom: int = _IMG_ZOOM, T: int = 256) -> str:
+    """DuckDB CTE body reproducing the tile cover of the n synthetic
+    images (twin of tiling.image_anchor + the cut loop's tile ranges):
+    deterministic lon/lat -> pixel anchor (clamped) -> covered key range
+    -> DISTINCT (key_col, key_row). Exact: the anchor math is integer
+    floor/clip arithmetic on doubles both engines compute identically."""
+    npix = (1 << zoom) * T
+    lm, tm, m32 = exprs.LON_MULT, exprs.LAT_MULT, exprs.M32
+    return f"""
+    imgs AS (
+      SELECT i,
+        CASE (i*7)%3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END AS w,
+        CASE (i*13)%3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END AS h,
+        CAST((i*{lm}) % {m32} AS DOUBLE)/{m32}*360 - 180 AS lon,
+        CAST((i*{tm}) % {m32} AS DOUBLE)/{m32}*170 - 85 AS lat
+      FROM range({n}) t(i)
+    ),
+    anch AS (
+      SELECT i, w, h,
+        least(greatest(CAST(floor((lon+180)/360*{npix}) AS BIGINT) - w//2, 0),
+              {npix}-w) AS gx,
+        least(greatest(CAST(floor((90-lat)/180*{npix}) AS BIGINT) - h//2, 0),
+              {npix}-h) AS gy
+      FROM imgs
+    ),
+    cells AS (
+      SELECT DISTINCT tcs.tc AS key_col, trs.tr AS key_row
+      FROM anch,
+        LATERAL unnest(generate_series(gx//{T}, (gx+w-1)//{T})) AS tcs(tc),
+        LATERAL unnest(generate_series(gy//{T}, (gy+h-1)//{T})) AS trs(tr)
+    )"""
 
 
 def q_image_tiles(spark, sf_dir) -> DataFrame:
     images = synth.synth_images(spark, _IMG_N, partitions=8)
     tiles = tiling.tile_images(images, _IMG_ZOOM, 256)
     return tiles.select("layer", "zoom", "key_col", "key_row", "cell_id")
+
+
+def sql_image_tiles() -> str:
+    return f"""
+    WITH {_image_cells_duck(_IMG_N)}
+    SELECT 'images' AS layer, CAST({_IMG_ZOOM} AS INTEGER) AS zoom,
+           key_col, key_row,
+           {exprs.zorder_sql('key_col', 'key_row', _IMG_ZOOM)} AS cell_id
+    FROM cells
+    """
 
 
 def q_image_pyramid(spark, sf_dir) -> DataFrame:
@@ -656,22 +793,76 @@ def q_image_pyramid(spark, sf_dir) -> DataFrame:
     return out.groupBy("zoom").agg(F.count("*").alias("n_tiles"))
 
 
-def q_image_focal(spark, sf_dir) -> DataFrame:
-
-    images = synth.synth_images(spark, 200, partitions=8)
-    tiles = tiling.tile_images(images, _IMG_ZOOM, 256)
-    foc = tiling.focal_tiles(tiles, "mean", radius=1)
-
-    @F.pandas_udf("long")
-    def checksum(tile: pd.Series) -> pd.Series:
-        return tile.map(
-            lambda b: int(np.frombuffer(b, dtype="<u2").astype(np.int64).sum())
+def sql_image_pyramid() -> str:
+    lvl = [f"SELECT {_IMG_ZOOM} AS z, key_col AS c, key_row AS r FROM cells"]
+    for dz in (1, 2):
+        lvl.append(
+            f"SELECT DISTINCT {_IMG_ZOOM - dz}, key_col//{1 << dz}, "
+            f"key_row//{1 << dz} FROM cells"
         )
+    return f"""
+    WITH {_image_cells_duck(_IMG_N)}
+    SELECT CAST(z AS INTEGER) AS zoom, count(*) AS n_tiles
+    FROM ({' UNION ALL '.join(lvl)}) GROUP BY 1
+    """
 
-    return foc.select("cell_id", checksum(F.col("tile")).alias("pix_sum"))
+
+_FOCAL_N = 200
+
+
+def q_image_focal(spark, sf_dir) -> DataFrame:
+    """Focal mean over the tiled layer, verified per tile against an
+    INDEPENDENT pure-python golden: repaint the tile's padded world
+    region directly from the deterministic image set (synth.paint_region
+    — no BufferTiles machinery) and run the same NaN-aware stencil.
+    Every row's ``match`` must be true ⇒ the hash check vs the SQL twin
+    (expected tile keys + TRUE) proves engine == golden end-to-end."""
+    r, T = 1, 256
+    images = synth.synth_images(spark, _FOCAL_N, partitions=8)
+    tiles = tiling.tile_images(images, _IMG_ZOOM, T)
+    foc = tiling.focal_tiles(tiles, "mean", radius=r)
+
+    def check(batches):
+        from ..core import codecs, kernels
+
+        cache: dict = {}
+        for pdf in batches:
+            out = {"cell_id": [], "match": []}
+            for i in range(len(pdf)):
+                kc = int(pdf["key_col"].iloc[i])
+                kr = int(pdf["key_row"].iloc[i])
+                got = codecs.decode_tile(
+                    bytes(pdf["tile"].iloc[i]), T, T, pdf["fmt"].iloc[i]
+                )
+                region = synth.paint_region(
+                    _FOCAL_N, _IMG_ZOOM, T,
+                    kc * T - r, kr * T - r, T + 2 * r, T + 2 * r, cache,
+                )
+                res = kernels.focal_stat(region, "mean", r)[r : T + r, r : T + r]
+                want = np.where(
+                    np.isnan(res), float(kernels.NODATA_U16),
+                    np.rint(np.clip(res, 0, 65535)),
+                ).astype(np.uint16)
+                out["cell_id"].append(int(pdf["cell_id"].iloc[i]))
+                out["match"].append(bool(np.array_equal(got, want)))
+            yield pd.DataFrame(out)
+
+    return foc.mapInPandas(check, "cell_id long, match boolean")
+
+
+def sql_image_focal() -> str:
+    return f"""
+    WITH {_image_cells_duck(_FOCAL_N)}
+    SELECT {exprs.zorder_sql('key_col', 'key_row', _IMG_ZOOM)} AS cell_id,
+           TRUE AS match
+    FROM cells
+    """
 
 
 def q_image_phash_check(spark, sf_dir) -> DataFrame:
+    """input_hint per-row invariant: phash recomputed from the decoded
+    pixels equals the stored phash for every image (decode is lossless,
+    PSNR = inf >= 40dB). Oracle twin: every image_id with TRUE."""
     from ..core import codecs, imagery
 
     images = synth.synth_images(spark, 300, partitions=8)
@@ -687,9 +878,17 @@ def q_image_phash_check(spark, sf_dir) -> DataFrame:
 
     return images.select(
         "image_id",
-        "phash",
-        rehash(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")).alias("rehash"),
-    ).withColumn("match", F.col("phash") == F.col("rehash"))
+        (F.col("phash")
+         == rehash(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"))
+         ).alias("match"),
+    )
+
+
+def sql_image_phash_check() -> str:
+    return """
+    SELECT printf('img%012d', i) AS image_id, TRUE AS match
+    FROM range(300) t(i)
+    """
 
 
 # --------------------------------------------------------------- registry
@@ -720,13 +919,9 @@ QUERIES = {
     "class_breaks": (q_class_breaks, sql_class_breaks),
     "rollup_cube": (q_rollup_cube, sql_rollup_cube),
     "sessionize": (q_sessionize, sql_sessionize),
-    # Hilbert rotation logic is impractical in SQL -> rows-only; the
-    # curve itself is exhaustively proven in tests/test_core_sfc.py
-    "hilbert_assign": (q_hilbert_assign, None),
-    # image-pipeline ops: tile payloads are binary, not SQL-expressible
-    # -> rows-only driver checks; exactness is covered by pytest oracles
-    "image_tiles": (q_image_tiles, None),
-    "image_pyramid": (q_image_pyramid, None),
-    "image_focal": (q_image_focal, None),
-    "image_phash_check": (q_image_phash_check, None),
+    "hilbert_assign": (q_hilbert_assign, sql_hilbert_assign),
+    "image_tiles": (q_image_tiles, sql_image_tiles),
+    "image_pyramid": (q_image_pyramid, sql_image_pyramid),
+    "image_focal": (q_image_focal, sql_image_focal),
+    "image_phash_check": (q_image_phash_check, sql_image_phash_check),
 }

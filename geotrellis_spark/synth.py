@@ -86,6 +86,49 @@ def make_row(i: int) -> dict:
     }
 
 
+def paint_region(
+    n: int,
+    zoom: int,
+    tile_size: int,
+    x0: int,
+    y0: int,
+    w: int,
+    h: int,
+    pix_cache: dict | None = None,
+) -> np.ndarray:
+    """Pure-python oracle painter: the global pixel region
+    ``[y0:y0+h, x0:x0+w]`` at ``zoom`` as the merged result of the first
+    ``n`` deterministic images (T7 first-non-NoData-wins, lower ordinal
+    wins). Returns float64 with NaN wherever no image contributed data
+    (off-world, uncovered, or NoData hole) — exactly the padded-canvas
+    representation the focal stencil consumes. Independent of the Spark
+    cut/merge machinery (only shares the anchor formula)."""
+    from .operators.tiling import image_anchor
+
+    i = np.arange(n, dtype=np.int64)
+    ws = np.array([_SIZES[(k * 7) % 3] for k in range(n)], dtype=np.int64)
+    hs = np.array([_SIZES[(k * 13) % 3] for k in range(n)], dtype=np.int64)
+    gx, gy = image_anchor(i, ws, hs, zoom, tile_size)
+    canvas = np.full((h, w), np.nan)
+    for k in range(n):
+        ix0, iy0 = int(gx[k]), int(gy[k])
+        rx0, rx1 = max(ix0, x0), min(ix0 + int(ws[k]), x0 + w)
+        ry0, ry1 = max(iy0, y0), min(iy0 + int(hs[k]), y0 + h)
+        if rx0 >= rx1 or ry0 >= ry1:
+            continue
+        if pix_cache is not None and k in pix_cache:
+            px = pix_cache[k]
+        else:
+            px = imagery.synth_pixels(k, int(ws[k]), int(hs[k]))
+            if pix_cache is not None:
+                pix_cache[k] = px
+        piece = px[ry0 - iy0 : ry1 - iy0, rx0 - ix0 : rx1 - ix0].astype(np.float64)
+        view = canvas[ry0 - y0 : ry1 - y0, rx0 - x0 : rx1 - x0]
+        win = np.isnan(view) & (piece != 0)  # 0 == NODATA_U16 sentinel
+        view[win] = piece[win]
+    return canvas
+
+
 def synth_images(
     spark: SparkSession, n: int, partitions: int | None = None
 ) -> DataFrame:

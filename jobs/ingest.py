@@ -43,6 +43,10 @@ def main() -> None:
     min_zoom = args.min_zoom if args.min_zoom is not None else max(args.zoom - 3, 0)
 
     spark = get_spark(f"ingest-{args.layer}")
+    # overwrite only the (layer, zoom, bucket) partitions actually
+    # written — static mode would wipe every previously ingested layer
+    # sharing the tiles table path
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     t0 = time.time()
 
     def load_images():
@@ -76,8 +80,19 @@ def main() -> None:
 
     cur = tiles
     for z in range(args.zoom, min_zoom, -1):
-        cur = tiling.pyramid_up(cur, z, 256)
-        ice.write_tiles(cur, args.warehouse, mode="append")
+        prev = cur
+        # checkpointed like the tiling stage: a resumed run reads the
+        # completed level back instead of recomputing it, and the
+        # partition-overwrite write below is idempotent per (layer,zoom)
+        cur = checkpointed_stage(
+            lambda p=prev, zz=z: tiling.pyramid_up(p, zz, 256),
+            spark=spark, base=base, job_id=job_id,
+            stage=f"pyramid_z{z - 1}", bucket_col="cell_id", n_buckets=4,
+            output_path=os.path.join(args.warehouse, f"_stage/{job_id}/z{z - 1}"),
+            input_snapshot=f"stage:z{z}",
+            params={"zoom": z - 1},
+        )
+        ice.write_tiles(cur, args.warehouse, mode="overwrite")
         write_metric(spark, base, job_id, f"pyramid_z{z - 1}", "rows", cur.count())
 
     write_metric(spark, base, job_id, "total", "wall_sec", time.time() - t0)

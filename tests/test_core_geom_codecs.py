@@ -62,12 +62,13 @@ def test_pip_concave():
 def test_pip_degenerate_on_vertex_and_horizontal_edge():
     ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
     wkb = geom.wkb_write_polygon([ring])
-    # on bottom-left vertex and on the bottom horizontal edge: inside
-    # (half-open [ymin, ymax) rule counts the bottom edge as inside)
+    # half-open (ymin, ymax] rule: boundary points fall SOUTH (the
+    # floor((90-lat)/180*n) key-row convention) — bottom edge and
+    # bottom-left vertex are outside, top edge is inside
     px = np.array([0.0, 5.0, 5.0])
     py = np.array([0.0, 0.0, 10.0])
     res = geom.points_in_polygon(px, py, wkb)
-    assert res[0] and res[1] and not res[2]  # top edge excluded
+    assert not res[0] and not res[1] and res[2]
 
 
 def test_clip_polygon_to_rect():
