@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..core import codecs, geom as G, kernels
+from ..core import codecs, geom as G, grouped, kernels
 from ..core.layout import LayoutDefinition
 from .spatial import cover_cells
 from .tiling import TILE_SCHEMA
@@ -110,23 +110,23 @@ def local_stats_layers(layers: list[DataFrame], stat: str) -> DataFrame:
     for other in layers[1:]:
         u = u.unionByName(other)
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(cell: int, pdf: pd.DataFrame) -> dict:
         stack = np.stack(
             [_decode(pdf, i, "tile", "fmt") for i in range(len(pdf))]
         )
         res = kernels.local_stack_stats(stack, stat)
         out_t = np.where(np.isnan(res), 0.0, np.rint(np.clip(res, 0, 65535)))
         row = pdf.iloc[0]
-        return pd.DataFrame({
-            "layer": [f"stats_{stat}"], "zoom": [int(row["zoom"])],
-            "key_col": [int(row["key_col"])], "key_row": [int(row["key_row"])],
-            "cell_id": [int(key[0])],
-            "tile": [codecs.encode_tile(out_t.astype(np.uint16), row["fmt"])],
-            "fmt": [row["fmt"]], "w": [int(row["w"])], "h": [int(row["h"])],
-            "cell_type": [row["cell_type"]],
-        })
+        return {
+            "layer": f"stats_{stat}", "zoom": int(row["zoom"]),
+            "key_col": int(row["key_col"]), "key_row": int(row["key_row"]),
+            "cell_id": cell,
+            "tile": codecs.encode_tile(out_t.astype(np.uint16), row["fmt"]),
+            "fmt": row["fmt"], "w": int(row["w"]), "h": int(row["h"]),
+            "cell_type": row["cell_type"],
+        }
 
-    return u.groupBy("cell_id").applyInPandas(kernel, TILE_SCHEMA)
+    return grouped.grouped_rows(u, "cell_id", kernel, TILE_SCHEMA)
 
 
 def rasterize_features(
@@ -140,7 +140,7 @@ def rasterize_features(
     deterministically."""
     cells = cover_cells(feats, zoom, wkb_col)
 
-    def burn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def burn(cell: int, pdf: pd.DataFrame) -> dict:
         kc, kr = int(pdf["key_col"].iloc[0]), int(pdf["key_row"].iloc[0])
         xs, ys = layout.cell_lattice(kc, kr)
         canvas = np.zeros((tile_size, tile_size), dtype=np.uint16)
@@ -155,12 +155,12 @@ def rasterize_features(
             ]
             mask = kernels.rasterize_polygon(rings, xs, ys)
             canvas[mask] = np.uint16(order[value_col].iloc[i])
-        return pd.DataFrame({
-            "layer": [layer], "zoom": [zoom], "key_col": [kc], "key_row": [kr],
-            "cell_id": [int(key[0])],
-            "tile": [codecs.encode_tile(canvas, "raw16")],
-            "fmt": ["raw16"], "w": [tile_size], "h": [tile_size],
-            "cell_type": ["uint16ud0"],
-        })
+        return {
+            "layer": layer, "zoom": zoom, "key_col": kc, "key_row": kr,
+            "cell_id": cell,
+            "tile": codecs.encode_tile(canvas, "raw16"),
+            "fmt": "raw16", "w": tile_size, "h": tile_size,
+            "cell_type": "uint16ud0",
+        }
 
-    return cells.groupBy("cell_id").applyInPandas(burn, TILE_SCHEMA)
+    return grouped.grouped_rows(cells, "cell_id", burn, TILE_SCHEMA)

@@ -29,7 +29,7 @@ from pyspark.sql.types import (
     StructField, StructType,
 )
 
-from ..core import codecs, kernels, sfc
+from ..core import codecs, grouped, kernels, sfc
 from ..core.layout import (
     ZoomedLayoutScheme,
     lonlat_to_webmercator,
@@ -110,7 +110,7 @@ def reproject_layer(
 
     sample = kernels.bilinear_sample if method == "bilinear" else kernels.nearest_sample
 
-    def warp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def warp(cell: int, pdf: pd.DataFrame) -> dict:
         tc, tr = int(pdf["key_col"].iloc[0]), int(pdf["key_row"].iloc[0])
         xs, ys = dst_ld.cell_lattice(tc, tr)
         gx, gy = np.meshgrid(xs, ys)
@@ -128,14 +128,14 @@ def reproject_layer(
             acc[take] = vals[take]
         out = np.where(np.isnan(acc), 0.0, np.rint(np.clip(acc, 0, 65535)))
         row = pdf.iloc[0]
-        return pd.DataFrame({
-            "layer": [f"{row['layer']}_{to_crs}"], "zoom": [zoom],
-            "key_col": [tc], "key_row": [tr], "cell_id": [int(key[0])],
-            "tile": [codecs.encode_tile(out.reshape(T, T).astype(np.uint16),
-                                        row["fmt"])],
-            "fmt": [row["fmt"]], "w": [T], "h": [T],
-            "cell_type": [row["cell_type"]],
-        })
+        return {
+            "layer": f"{row['layer']}_{to_crs}", "zoom": zoom,
+            "key_col": tc, "key_row": tr, "cell_id": cell,
+            "tile": codecs.encode_tile(out.reshape(T, T).astype(np.uint16),
+                                       row["fmt"]),
+            "fmt": row["fmt"], "w": T, "h": T,
+            "cell_type": row["cell_type"],
+        }
 
     exploded = tiles.mapInPandas(explode, _SRC_SCHEMA)
-    return exploded.groupBy("cell_id").applyInPandas(warp, TILE_SCHEMA)
+    return grouped.grouped_rows(exploded, "cell_id", warp, TILE_SCHEMA)

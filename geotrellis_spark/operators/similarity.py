@@ -24,11 +24,15 @@ DIM = 64
 N_PLANES = 4
 
 
-def _dot(a: str, b: str) -> F.Column:
-    return F.expr(
+def _dot_sql(a: str, b: str) -> str:
+    return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
         f"cast(0.0 as double), (acc, v) -> acc + v)"
     )
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(_dot_sql(a, b))
 
 
 def cosine_topk(
@@ -107,6 +111,89 @@ def lsh_buckets(
         )
         bits.append(f"b{j} * {1 << j}")
     return out.selectExpr(id_col, f"cast({' + '.join(bits)} as bigint) as bucket")
+
+
+def lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_pred: str = "vec_id % 100 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """LSH-bucketed ANN top-k — the 100 TB similarity path: candidate
+    pairs are SAME-BUCKET vectors only, produced by an equi-join on the
+    bucket id (hash-partitionable; no cross join of the full table).
+    Exact cosine + window top-k inside each query's candidate set.
+    Recall < 1 by construction (ANN); raise ``n_planes`` probes/lower
+    bucket count to trade candidates for recall. Output:
+    (q_id, vec_id, rank) over the bucketed candidates — deterministic,
+    so the DuckDB twin is exact."""
+    bits = []
+    for j in range(n_planes):
+        lit = ", ".join(f"cast({c!r} as double)" for c in _plane(j))
+        bits.append(
+            f"(CASE WHEN {_dot_sql(vec_col, f'array({lit})')} > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = F.expr(f"cast({' + '.join(bits)} as bigint)")
+    withb = emb.select(id_col, vec_col).withColumn("bucket", bucket)
+    q = withb.where(query_pred).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    pairs = withb.join(q, "bucket").where(F.col(id_col) != F.col("q_id"))
+    scored = pairs.withColumn(
+        "cos",
+        _dot(vec_col, "q_vec")
+        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("q_vec", "q_vec"))),
+    )
+    win = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("q_id", id_col, "rank")
+    )
+
+
+def lsh_topk_sql(
+    k: int = 5,
+    query_pred: str = "vec_id % 100 = 0",
+    source_sql: str = "embeddings",
+    n_planes: int = N_PLANES,
+) -> str:
+    bits = []
+    for j in range(n_planes):
+        lit = "[" + ", ".join(repr(c) for c in _plane(j)) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = f"CAST({' + '.join(bits)} AS BIGINT)"
+    return f"""
+    WITH withb AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM {source_sql}
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM withb
+      WHERE {query_pred}
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.q_vec::DOUBLE[]) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))) AS cos
+      FROM withb e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, rank FROM (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC)
+               AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
 
 
 def lsh_buckets_sql(source_sql: str = "embeddings", n_planes: int = N_PLANES) -> str:

@@ -112,40 +112,82 @@ def cell_range_filter(
     return df.where(pred & refine)
 
 
-def cover_cells(polys: DataFrame, zoom: int, wkb_col: str = "wkb") -> DataFrame:
+def cover_cells(
+    polys: DataFrame, zoom: int, wkb_col: str = "wkb", clip: bool = False
+) -> DataFrame:
     """Explode polygons to their covering cells at ``zoom`` (bbox cover;
     ClipToGrid's cell enumeration). Output: input columns + key_col/
-    key_row/cell_id, one row per (polygon, covering cell)."""
+    key_row/cell_id, one row per (polygon, covering cell). Fully
+    vectorized explode (numpy repeat/cumsum — no per-row python in the
+    hot path; only the bbox header parse is per polygon).
+
+    ``clip=True`` additionally emits ``clipped_wkb`` — each ring
+    Sutherland–Hodgman-clipped to the cell extent (ClipToGrid's per-cell
+    clip, the J5 ``vector_cells`` contract): downstream refine work is
+    then proportional to the geometry INSIDE the cell, not the whole
+    polygon. NULL where the exterior ring vanishes (bbox-cover false
+    positive)."""
     n = 1 << zoom
-    schema = StructType(
-        polys.schema.fields
-        + [
-            StructField("key_col", LongType()),
-            StructField("key_row", LongType()),
-            StructField("cell_id", LongType()),
-        ]
-    )
+    extra = [
+        StructField("key_col", LongType()),
+        StructField("key_row", LongType()),
+        StructField("cell_id", LongType()),
+    ]
+    if clip:
+        from pyspark.sql.types import BinaryType
+
+        extra.append(StructField("clipped_wkb", BinaryType()))
+    schema = StructType(polys.schema.fields + extra)
 
     def gen(batches):
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                xmin, ymin, xmax, ymax = G.polygon_bbox(bytes(row[wkb_col]))
-                c0 = int(np.clip(np.floor((xmin + 180.0) / 360.0 * n), 0, n - 1))
-                c1 = int(np.clip(np.floor((xmax + 180.0) / 360.0 * n), 0, n - 1))
-                r0 = int(np.clip(np.floor((90.0 - ymax) / 180.0 * n), 0, n - 1))
-                r1 = int(np.clip(np.floor((90.0 - ymin) / 180.0 * n), 0, n - 1))
-                cols, rws = np.meshgrid(
-                    np.arange(c0, c1 + 1), np.arange(r0, r1 + 1), indexing="ij"
-                )
-                cols = cols.ravel()
-                rws = rws.ravel()
-                cells = sfc.zorder(cols, rws)
-                for c, r, cell in zip(cols, rws, cells):
-                    d = row.to_dict()
-                    d.update(key_col=int(c), key_row=int(r), cell_id=int(cell))
-                    rows.append(d)
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            if not len(pdf):
+                continue
+            wkbs = [bytes(b) for b in pdf[wkb_col]]
+            bb = np.array([G.polygon_bbox(b) for b in wkbs], dtype=np.float64)
+            c0 = np.clip(np.floor((bb[:, 0] + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+            c1 = np.clip(np.floor((bb[:, 2] + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+            r0 = np.clip(np.floor((90.0 - bb[:, 3]) / 180.0 * n), 0, n - 1).astype(np.int64)
+            r1 = np.clip(np.floor((90.0 - bb[:, 1]) / 180.0 * n), 0, n - 1).astype(np.int64)
+            nrows = r1 - r0 + 1
+            ncell = (c1 - c0 + 1) * nrows
+            total = int(ncell.sum())
+            idx = np.repeat(np.arange(len(pdf)), ncell)
+            offs = np.concatenate(([0], np.cumsum(ncell)[:-1]))
+            j = np.arange(total) - np.repeat(offs, ncell)  # local cell ordinal
+            cols = c0[idx] + j // nrows[idx]
+            rows = r0[idx] + j % nrows[idx]
+            out = pdf.iloc[idx].reset_index(drop=True)
+            out["key_col"] = cols
+            out["key_row"] = rows
+            out["cell_id"] = sfc.zorder(cols, rows)
+            if clip:
+                ring_cache: dict[int, list] = {}
+                clipped = []
+                for k in range(total):
+                    ri = int(idx[k])
+                    if ri not in ring_cache:
+                        kind, payload = G.wkb_read(wkbs[ri])
+                        ring_cache[ri] = (
+                            payload if kind == "polygon"
+                            else [r for poly in payload for r in poly]
+                        )
+                    c, r = int(cols[k]), int(rows[k])
+                    xmin = -180.0 + c * 360.0 / n
+                    xmax = -180.0 + (c + 1) * 360.0 / n
+                    ymax = 90.0 - r * 180.0 / n
+                    ymin = 90.0 - (r + 1) * 180.0 / n
+                    rings = [
+                        cr
+                        for cr in (
+                            G.clip_polygon_to_rect(rg, xmin, ymin, xmax, ymax)
+                            for rg in ring_cache[ri]
+                        )
+                        if cr is not None
+                    ]
+                    clipped.append(G.wkb_write_polygon(rings) if rings else None)
+                out["clipped_wkb"] = clipped
+            yield out
 
     return polys.mapInPandas(gen, schema)
 
@@ -204,11 +246,17 @@ def knn_join(
     """Exact k-nearest-neighbors of each query point (planar degrees
     distance, ties broken by the point's first id column).
 
-    Strategy (J4 re-expressed): expand H3-style cell rings around each
-    query until the kth candidate distance is covered by the searched
-    radius guarantee (ring r covers min distance r * tile_height), then
-    window top-k. Queries still unsatisfied at ``max_rings`` fall back
-    to a brute-force pass — exactness is unconditional.
+    Strategy (J4 re-expressed, fully batched): per round, ALL pending
+    queries' ring-r candidate cells are generated by ONE distributed
+    explode (vectorized ring_k), joined to the points in ONE broadcast
+    equi-join, ranked by ONE window, and the stopping rule (kth
+    candidate distance covered by the searched-radius guarantee
+    ring*tile_height) is ONE distributed aggregate. The queries side is
+    never collected; driver work per round is a single count. Lineage
+    is truncated by lazy localCheckpoints, so total driver actions are
+    <= 2*max_rings + 2 regardless of query-table size. Queries still
+    unsatisfied at ``max_rings`` fall back to a brute-force pass —
+    exactness is unconditional.
 
     Returns: q_id, point columns, dist, rank.
     """
@@ -218,27 +266,27 @@ def knn_join(
     th = 180.0 / n  # tile height in degrees == min cell dimension
 
     points = assign_cells(points, lon_col, lat_col, zoom).cache()
-    q_rows = queries.select(q_id_col, q_lon_col, q_lat_col).collect()
     if point_cols is None:
         point_cols = tuple(
             c for c in points.columns if c not in ("key_col", "key_row", "cell_id")
         )
     tie_col = point_cols[0]
 
-    qc, qr = exprs.key_np(
-        np.array([r[q_lon_col] for r in q_rows]),
-        np.array([r[q_lat_col] for r in q_rows]),
-        zoom,
+    qk = assign_cells(
+        queries.select(
+            F.col(q_id_col).alias("q_id"),
+            F.col(q_lon_col).alias("q_lon"),
+            F.col(q_lat_col).alias("q_lat"),
+        ),
+        "q_lon", "q_lat", zoom,
+    ).select(
+        "q_id", "q_lon", "q_lat",
+        F.col("key_col").alias("qc"), F.col("key_row").alias("qr"),
     )
-    q_ids = [r[q_id_col] for r in q_rows]
-    q_lons = {r[q_id_col]: float(r[q_lon_col]) for r in q_rows}
-    q_lats = {r[q_id_col]: float(r[q_lat_col]) for r in q_rows}
-    q_cell = {qid: (int(c), int(r)) for qid, c, r in zip(q_ids, qc, qr)}
+    qid_type = qk.schema["q_id"].dataType.simpleString()
+    ring_schema = f"q_id {qid_type}, q_lon double, q_lat double, cell_id long"
+    pending = qk.localCheckpoint(eager=False)
 
-    spark = points.sparkSession
-    pending = set(q_ids)
-    results = None
-    searched_rings = 0
     # plain products, not pow(): x*x is one exactly-rounded multiply in
     # every engine, so the oracle's sqrt(dx*dx + dy*dy) is bit-identical
     dx = F.col(lon_col) - F.col("q_lon")
@@ -246,50 +294,55 @@ def knn_join(
     dist = F.sqrt(dx * dx + dy * dy)
     win = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col(tie_col).asc())
 
-    for ring in range(max_rings):
-        if not pending:
-            break
-        # candidate cells for this ring, for still-pending queries
-        rows = []
-        for qid in pending:
-            c, r = q_cell[qid]
-            _, nc, nr = sfc.ring_k([c], [r], ring, n, n)
-            cells = sfc.zorder(nc, nr)
-            for cell in cells.tolist():
-                rows.append((qid, q_lons[qid], q_lats[qid], int(cell)))
-        if rows:
-            qdf = spark.createDataFrame(rows, ["q_id", "q_lon", "q_lat", "cell_id"])
-            cand = points.join(F.broadcast(qdf), "cell_id")
-            batch = cand.select(
-                "q_id", "q_lon", "q_lat", *point_cols, dist.alias("dist")
-            )
-            results = batch if results is None else results.unionByName(batch)
-        searched_rings = ring
-        # check stopping condition: kth distance within guarantee radius
-        if results is not None:
-            topk = results.withColumn("rank", F.row_number().over(win)).where(
-                F.col("rank") <= k
-            )
-            stats = (
-                topk.groupBy("q_id")
-                .agg(F.count("*").alias("cnt"), F.max("dist").alias("kth"))
-                .collect()
-            )
-            guarantee = searched_rings * th
-            done = {
-                s["q_id"]
-                for s in stats
-                if s["cnt"] >= k and s["kth"] <= guarantee
-            }
-            pending -= done
+    def ring_cells(df: DataFrame, ring: int) -> DataFrame:
+        """Vectorized explode: each pending query -> its ring-r cells."""
 
-    if pending:
-        # brute-force fallback for queries the rings didn't satisfy
-        rows = [(qid, q_lons[qid], q_lats[qid]) for qid in pending]
-        qdf = spark.createDataFrame(rows, ["q_id", "q_lon", "q_lat"])
-        batch = points.crossJoin(F.broadcast(qdf)).select(
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                qc = pdf["qc"].to_numpy(np.int64)
+                qr = pdf["qr"].to_numpy(np.int64)
+                idx, nc, nr = sfc.ring_k(qc, qr, ring, n, n)
+                out = pdf.iloc[idx].reset_index(drop=True)[
+                    ["q_id", "q_lon", "q_lat"]
+                ]
+                out["cell_id"] = sfc.zorder(nc, nr)
+                yield out
+
+        return df.mapInPandas(gen, ring_schema)
+
+    results = None
+    n_pending = pending.count()
+    for ring in range(max_rings):
+        if n_pending == 0:
+            break
+        cand = points.join(F.broadcast(ring_cells(pending, ring)), "cell_id")
+        batch = cand.select(
             "q_id", "q_lon", "q_lat", *point_cols, dist.alias("dist")
         )
+        merged = batch if results is None else results.unionByName(batch)
+        results = merged.localCheckpoint(eager=False)
+        guarantee = ring * th
+        stats = (
+            results.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .groupBy("q_id")
+            .agg(F.count("*").alias("cnt"), F.max("dist").alias("kth"))
+        )
+        done = stats.where(
+            (F.col("cnt") >= k) & (F.col("kth") <= guarantee)
+        ).select("q_id")
+        pending = pending.join(done, "q_id", "left_anti").localCheckpoint(
+            eager=False
+        )
+        n_pending = pending.count()
+
+    if n_pending > 0:
+        # brute-force fallback for queries the rings didn't satisfy
+        batch = points.crossJoin(
+            F.broadcast(pending.select("q_id", "q_lon", "q_lat"))
+        ).select("q_id", "q_lon", "q_lat", *point_cols, dist.alias("dist"))
         results = batch if results is None else results.unionByName(batch)
 
     out = (

@@ -42,11 +42,26 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..core import codecs, kernels, sfc
+from ..core import codecs, grouped, kernels, sfc
 from ..functions import exprs
 
 NODATA = kernels.NODATA_U16
 _MAXORD = np.int64(2**62)
+
+# piece payloads are zlib-1-packed for the cut->merge shuffle: the
+# pattern-heavy share of real imagery compresses 2-50x for ~1ms/128KB
+# CPU, directly attacking the measured DRAM-bandwidth ceiling at high
+# local parallelism (BENCH/BASELINE.md). Level 1: the shuffle is
+# bandwidth-bound, not entropy-bound.
+import zlib as _zlib
+
+
+def _pack_piece(arr: np.ndarray) -> bytes:
+    return _zlib.compress(np.ascontiguousarray(arr, dtype="<u2").tobytes(), 1)
+
+
+def _unpack_piece(data: bytes, ph: int, pw: int) -> np.ndarray:
+    return np.frombuffer(_zlib.decompress(data), dtype="<u2").reshape(ph, pw)
 
 PIECE_SCHEMA = StructType(
     [
@@ -152,32 +167,15 @@ def cut_images(
                         out["c0"].append(x0 - tc * tile_size)
                         out["ph"].append(y1 - y0)
                         out["pw"].append(x1 - x0)
-                        out["piece"].append(
-                            np.ascontiguousarray(piece, dtype="<u2").tobytes()
-                        )
+                        out["piece"].append(_pack_piece(piece))
             yield pd.DataFrame(out)
 
     return images.mapInPandas(gen, PIECE_SCHEMA)
 
 
-def _paint(canvas: np.ndarray, ord_plane: np.ndarray, pdf: pd.DataFrame, T: int):
-    """Paint raw pieces onto a tile canvas; lower src_ord wins where
-    both have data (associative first-wins via winner-ordinal plane)."""
-    for i in range(len(pdf)):
-        r0, c0 = int(pdf["r0"].iloc[i]), int(pdf["c0"].iloc[i])
-        ph, pw = int(pdf["ph"].iloc[i]), int(pdf["pw"].iloc[i])
-        piece = np.frombuffer(bytes(pdf["piece"].iloc[i]), dtype="<u2").reshape(ph, pw)
-        o = np.int64(pdf["src_ord"].iloc[i])
-        view_c = canvas[r0 : r0 + ph, c0 : c0 + pw]
-        view_o = ord_plane[r0 : r0 + ph, c0 : c0 + pw]
-        win = (piece != NODATA) & (o < view_o)
-        view_c[win] = piece[win]
-        view_o[win] = o
-
-
 def _combine_cell_pieces(items: list[tuple]) -> tuple:
     """Merge same-cell pieces into one bbox-cropped partial.
-    items: (r0, c0, ph, pw, piece_bytes, src_ord). Returns
+    items: (r0, c0, ph, pw, packed_piece_bytes, src_ord). Returns
     (r0, c0, ph, pw, pixels_bytes, ords_bytes|None, src_ord)."""
     if len(items) == 1:
         r0, c0, ph, pw, pb, o = items[0]
@@ -189,7 +187,7 @@ def _combine_cell_pieces(items: list[tuple]) -> tuple:
     canvas = np.full((R1 - R0, C1 - C0), NODATA, dtype=np.uint16)
     ords = np.full((R1 - R0, C1 - C0), _ORD_SENTINEL, dtype=np.uint32)
     for r0, c0, ph, pw, pb, o in items:
-        piece = np.frombuffer(pb, dtype="<u2").reshape(ph, pw)
+        piece = _unpack_piece(pb, ph, pw)
         vc = canvas[r0 - R0 : r0 - R0 + ph, c0 - C0 : c0 - C0 + pw]
         vo = ords[r0 - R0 : r0 - R0 + ph, c0 - C0 : c0 - C0 + pw]
         win = (piece != NODATA) & (np.uint32(o) < vo)
@@ -277,12 +275,13 @@ def merge_tiles(
         canvas = np.full((T, T), NODATA, dtype=np.uint16)
         ords = np.full((T, T), _ORD_SENTINEL, dtype=np.uint32)
         for r0, c0, ph, pw, pb, ob, so in items:
-            px = np.frombuffer(pb, dtype="<u2").reshape(ph, pw)
-            if ob is None:
+            if ob is None:  # single-source partial: still zlib-packed
+                px = _unpack_piece(pb, ph, pw)
                 od = np.where(px != NODATA, np.uint32(so), _ORD_SENTINEL).astype(
                     np.uint32
                 )
-            else:
+            else:  # locally-combined partial: raw canvas + ord plane
+                px = np.frombuffer(pb, dtype="<u2").reshape(ph, pw)
                 od = np.frombuffer(ob, dtype=np.uint32).reshape(ph, pw)
             vc = canvas[r0 : r0 + ph, c0 : c0 + pw]
             vo = ords[r0 : r0 + ph, c0 : c0 + pw]
@@ -385,12 +384,13 @@ def tile_images(
 
 def pyramid_up(tiles: DataFrame, from_zoom: int, tile_size: int = 256) -> DataFrame:
     """One pyramid level z -> z-1 (T6). Children (c,r) land in parent
-    (c/2, r/2) quadrant (c%2, r%2), NN-decimated 2x."""
+    (c/2, r/2) quadrant (c%2, r%2), NN-decimated 2x. One shuffle via
+    the manual grouped-map (amortized Arrow overhead; see core.grouped)."""
     T = tile_size
     half = T // 2
     to_zoom = from_zoom - 1
 
-    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def assemble(parent: int, pdf: pd.DataFrame) -> dict:
         canvas = np.full((T, T), NODATA, dtype=np.uint16)
         for i in range(len(pdf)):
             child = codecs.decode_tile(
@@ -403,27 +403,22 @@ def pyramid_up(tiles: DataFrame, from_zoom: int, tile_size: int = 256) -> DataFr
             )
         pc = int(pdf["key_col"].iloc[0]) // 2
         pr = int(pdf["key_row"].iloc[0]) // 2
-        return pd.DataFrame(
-            {
-                "layer": [pdf["layer"].iloc[0]],
-                "zoom": [to_zoom],
-                "key_col": [pc],
-                "key_row": [pr],
-                "cell_id": [int(sfc.zorder(pc, pr))],
-                "tile": [codecs.encode_tile(canvas, pdf["fmt"].iloc[0])],
-                "fmt": [pdf["fmt"].iloc[0]],
-                "w": [T],
-                "h": [T],
-                "cell_type": [pdf["cell_type"].iloc[0]],
-            }
-        )
+        return {
+            "layer": pdf["layer"].iloc[0],
+            "zoom": to_zoom,
+            "key_col": pc,
+            "key_row": pr,
+            "cell_id": int(sfc.zorder(pc, pr)),
+            "tile": codecs.encode_tile(canvas, pdf["fmt"].iloc[0]),
+            "fmt": pdf["fmt"].iloc[0],
+            "w": T,
+            "h": T,
+            "cell_type": pdf["cell_type"].iloc[0],
+        }
 
     parent = sfc.parent_cell  # noqa: F841 (documented relation)
-    return (
-        tiles.withColumn("parent_cell", F.shiftright(F.col("cell_id"), 2))
-        .groupBy("parent_cell")
-        .applyInPandas(lambda k, p: assemble(k, p), TILE_SCHEMA)
-    )
+    withp = tiles.withColumn("parent_cell", F.shiftright(F.col("cell_id"), 2))
+    return grouped.grouped_rows(withp, "parent_cell", assemble, TILE_SCHEMA)
 
 
 def build_pyramid(
@@ -485,9 +480,7 @@ def merge_layers(
                     out["c0"].append(0)
                     out["ph"].append(int(pdf["h"].iloc[i]))
                     out["pw"].append(int(pdf["w"].iloc[i]))
-                    out["piece"].append(
-                        np.ascontiguousarray(t, dtype="<u2").tobytes()
-                    )
+                    out["piece"].append(_pack_piece(t))
                 yield pd.DataFrame(out)
 
         return df.mapInPandas(gen, PIECE_SCHEMA)
@@ -596,9 +589,7 @@ def focal_tiles(
                     out["key_row"].append(tr)
                     out["dx"].append(dx)
                     out["dy"].append(dy)
-                    out["part"].append(
-                        np.ascontiguousarray(part, dtype="<u2").tobytes()
-                    )
+                    out["part"].append(_pack_piece(part))
                     for name, v in zip(("fmt", "layer", "zoom", "cell_type"), meta):
                         out[name].append(v)
 
@@ -615,7 +606,7 @@ def focal_tiles(
                     emit(tc, tr, -dx, -dy, tile[rows, cols])
             yield pd.DataFrame(out)
 
-    def stencil(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def stencil(cell: int, pdf: pd.DataFrame) -> dict | None:
         pad = np.full((T + 2 * r, T + 2 * r), np.nan)
         fmt = layer = ctype = None
         zoom_v = 0
@@ -623,27 +614,24 @@ def focal_tiles(
         has_center = False
         for i in range(len(pdf)):
             dx, dy = int(pdf["dx"].iloc[i]), int(pdf["dy"].iloc[i])
-            part = np.frombuffer(bytes(pdf["part"].iloc[i]), dtype="<u2")
             if dx == 0 and dy == 0:
                 has_center = True
                 kc, kr = int(pdf["key_col"].iloc[i]), int(pdf["key_row"].iloc[i])
                 fmt, layer = pdf["fmt"].iloc[i], pdf["layer"].iloc[i]
                 zoom_v, ctype = int(pdf["zoom"].iloc[i]), pdf["cell_type"].iloc[i]
-                t = part.reshape(T, T).astype(np.float64)
+                t = _unpack_piece(bytes(pdf["part"].iloc[i]), T, T).astype(np.float64)
                 t[t == NODATA] = np.nan
                 pad[r : T + r, r : T + r] = t
         if not has_center:
-            return pd.DataFrame({f.name: [] for f in TILE_SCHEMA.fields})
+            return None
         for i in range(len(pdf)):
             dx, dy = int(pdf["dx"].iloc[i]), int(pdf["dy"].iloc[i])
             if dx == 0 and dy == 0:
                 continue
             h_ = T if dy == 0 else r
             w_ = T if dx == 0 else r
-            part = (
-                np.frombuffer(bytes(pdf["part"].iloc[i]), dtype="<u2")
-                .reshape(h_, w_)
-                .astype(np.float64)
+            part = _unpack_piece(bytes(pdf["part"].iloc[i]), h_, w_).astype(
+                np.float64
             )
             part[part == NODATA] = np.nan
             rs = 0 if dy == -1 else (T + r if dy == 1 else r)
@@ -651,20 +639,18 @@ def focal_tiles(
             pad[rs : rs + h_, cs : cs + w_] = part
         res = kernels.focal_stat(pad, stat, r)[r : T + r, r : T + r]
         out = np.where(np.isnan(res), float(NODATA), np.rint(np.clip(res, 0, 65535)))
-        return pd.DataFrame(
-            {
-                "layer": [layer],
-                "zoom": [zoom_v],
-                "key_col": [kc],
-                "key_row": [kr],
-                "cell_id": [key[0]],
-                "tile": [codecs.encode_tile(out.astype(np.uint16), fmt)],
-                "fmt": [fmt],
-                "w": [T],
-                "h": [T],
-                "cell_type": [ctype],
-            }
-        )
+        return {
+            "layer": layer,
+            "zoom": zoom_v,
+            "key_col": kc,
+            "key_row": kr,
+            "cell_id": cell,
+            "tile": codecs.encode_tile(out.astype(np.uint16), fmt),
+            "fmt": fmt,
+            "w": T,
+            "h": T,
+            "cell_type": ctype,
+        }
 
     strips = tiles.mapInPandas(explode, strip_schema)
-    return strips.groupBy("cell_id").applyInPandas(stencil, TILE_SCHEMA)
+    return grouped.grouped_rows(strips, "cell_id", stencil, TILE_SCHEMA)

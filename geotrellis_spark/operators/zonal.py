@@ -78,9 +78,15 @@ def polygonal_summary(
     wkb_col: str = "wkb", geom_id_col: str = "geom_id",
 ) -> DataFrame:
     """Stats of raster cells under each polygon (Z2). Per-tile visit =
-    rasterize the clipped polygon over the tile's cell-center lattice
-    (numpy scanline, == PIP of cell centers), NoData excluded."""
-    cells = cover_cells(polys, zoom, wkb_col).select(geom_id_col, wkb_col, "cell_id")
+    rasterize the CLIPPED polygon (ClipToGrid per-cell clip — scanline
+    cost proportional to geometry inside the cell, not the whole
+    polygon) over the tile's cell-center lattice (numpy scanline, ==
+    PIP of cell centers), NoData excluded."""
+    cells = (
+        cover_cells(polys, zoom, wkb_col, clip=True)
+        .where(F.col("clipped_wkb").isNotNull())
+        .select(geom_id_col, F.col("clipped_wkb").alias(wkb_col), "cell_id")
+    )
     joined = tiles.join(F.broadcast(cells), "cell_id")
     tl = layout.tile_layout
 

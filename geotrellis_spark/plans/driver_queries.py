@@ -523,6 +523,16 @@ def sql_embedding_lsh() -> str:
     return similarity.lsh_buckets_sql()
 
 
+def q_ann_bucketed(spark, sf_dir) -> DataFrame:
+    """The 100 TB ANN path: LSH-bucket equi-join + per-bucket cosine
+    top-k (no full-table cross join in the plan)."""
+    return similarity.lsh_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def sql_ann_bucketed() -> str:
+    return similarity.lsh_topk_sql()
+
+
 # ----------------------------------------- quantiles / rollup / hilbert
 
 def q_class_breaks(spark, sf_dir) -> DataFrame:
@@ -916,6 +926,7 @@ QUERIES = {
     "doc_fingerprint": (q_fingerprint, sql_fingerprint),
     "ann_topk": (q_ann_topk, sql_ann_topk),
     "embedding_lsh": (q_embedding_lsh, sql_embedding_lsh),
+    "ann_bucketed": (q_ann_bucketed, sql_ann_bucketed),
     "class_breaks": (q_class_breaks, sql_class_breaks),
     "rollup_cube": (q_rollup_cube, sql_rollup_cube),
     "sessionize": (q_sessionize, sql_sessionize),

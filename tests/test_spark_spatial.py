@@ -87,3 +87,60 @@ def test_knn_exact(spark, points_df):
         for rank, pid in enumerate(order, start=1):
             assert got[(qid, rank)] == int(pid), (qid, rank)
     assert len(got) == 8 * 5
+
+
+def test_knn_many_queries_bounded_actions(spark, points_df):
+    """Batched ring search: a 400-query table completes exactly with
+    driver work independent of query count (the J4 scale contract)."""
+    qn = 400
+    qdf = spark.range(qn).selectExpr(
+        "id as q_id",
+        f"{exprs.lon_sql('(id + 3) * 41')} as q_lon",
+        f"{exprs.lat_sql('(id + 7) * 59')} as q_lat",
+    )
+    out = spatial.knn_join(
+        points_df, qdf, k=3, zoom=5, point_cols=("id", "lon", "lat"),
+        max_rings=4,
+    )
+    got = {(r["q_id"], r["rank"]): r["id"] for r in out.collect()}
+    assert len(got) == qn * 3
+    lon, lat = _oracle_lonlat()
+    qlon, qlat = exprs.lonlat_np((np.arange(qn) + 3) * 41, (np.arange(qn) + 7) * 59)
+    for qid in range(0, qn, 37):  # spot-check a deterministic sample
+        d = np.hypot(lon - qlon[qid], lat - qlat[qid])
+        order = np.lexsort((np.arange(N_POINTS), d))[:3]
+        for rank, pid in enumerate(order, start=1):
+            assert got[(qid, rank)] == int(pid), (qid, rank)
+
+
+def test_cover_cells_clipped(spark):
+    """J5 vector_cells contract: per-cell clipped geometry is exact —
+    clipped areas sum to the polygon area, and PIP against the clipped
+    ring equals PIP against the original for points inside the cell."""
+    zoom = 3
+    n = 1 << zoom
+    ring = np.array(
+        [[-100.0, -30.0], [40.0, -50.0], [60.0, 40.0], [-70.0, 55.0]]
+    )
+    wkb = G.wkb_write_polygon([ring])
+    polys_df = spark.createDataFrame([(1, bytearray(wkb))], "geom_id long, wkb binary")
+    rows = spatial.cover_cells(polys_df, zoom, clip=True).collect()
+    assert len(rows) > 4
+    area = 0.0
+    rng = np.random.default_rng(11)
+    for r in rows:
+        if r["clipped_wkb"] is None:
+            continue
+        kind, rings = G.wkb_read(bytes(r["clipped_wkb"]))
+        assert kind == "polygon"
+        area += sum(abs(G.shoelace_area(rg)) for rg in rings)
+        # random points strictly inside this cell
+        xmin = -180.0 + r["key_col"] * 360.0 / n
+        ymax = 90.0 - r["key_row"] * 180.0 / n
+        px = xmin + rng.uniform(0.01, 0.99, 50) * (360.0 / n)
+        py = ymax - rng.uniform(0.01, 0.99, 50) * (180.0 / n)
+        np.testing.assert_array_equal(
+            G.points_in_polygon(px, py, bytes(r["clipped_wkb"])),
+            G.points_in_polygon(px, py, wkb),
+        )
+    assert area == pytest.approx(abs(G.shoelace_area(ring)), rel=1e-9)
