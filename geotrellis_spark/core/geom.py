@@ -35,6 +35,11 @@ __all__ = [
     "shoelace_area",
     "polygon_centroid",
     "point_segment_distance",
+    "polygons_intersect",
+    "wkt_read",
+    "wkt_write",
+    "geojson_read",
+    "geojson_write",
 ]
 
 _GEOM_POINT = 1
@@ -255,6 +260,219 @@ def polygon_centroid(ring: np.ndarray) -> tuple[float, float]:
     cx = np.sum((x + x1) * cross) / (6.0 * a)
     cy = np.sum((y + y1) * cross) / (6.0 * a)
     return float(cx), float(cy)
+
+
+def _edges(ring: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    r = np.asarray(ring, dtype=np.float64)
+    if not np.array_equal(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    return r[:-1, 0], r[:-1, 1], r[1:, 0], r[1:, 1]
+
+
+def _segments_cross_any(ring_a: np.ndarray, ring_b: np.ndarray) -> bool:
+    """Any edge of ring_a properly or improperly intersects any edge of
+    ring_b (standard orientation + on-segment tests, vectorized over
+    ring_b's edges per ring_a edge)."""
+    ax0, ay0, ax1, ay1 = _edges(ring_a)
+    bx0, by0, bx1, by1 = _edges(ring_b)
+
+    def orient(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    for i in range(ax0.shape[0]):
+        p0x, p0y, p1x, p1y = ax0[i], ay0[i], ax1[i], ay1[i]
+        d1 = orient(p0x, p0y, p1x, p1y, bx0, by0)
+        d2 = orient(p0x, p0y, p1x, p1y, bx1, by1)
+        d3 = orient(bx0, by0, bx1, by1, p0x, p0y)
+        d4 = orient(bx0, by0, bx1, by1, p1x, p1y)
+        proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & \
+                 (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+        if proper.any():
+            return True
+        # collinear / endpoint-touching cases
+        for dv, qx, qy in ((d1, bx0, by0), (d2, bx1, by1)):
+            on = (dv == 0) & (np.minimum(p0x, p1x) <= qx) & (qx <= np.maximum(p0x, p1x)) \
+                 & (np.minimum(p0y, p1y) <= qy) & (qy <= np.maximum(p0y, p1y))
+            if on.any():
+                return True
+        for dv, qx, qy in ((d3, p0x, p0y), (d4, p1x, p1y)):
+            on = (dv == 0) & (np.minimum(bx0, bx1) <= qx) & (qx <= np.maximum(bx0, bx1)) \
+                 & (np.minimum(by0, by1) <= qy) & (qy <= np.maximum(by0, by1))
+            if np.asarray(on).any():
+                return True
+    return False
+
+
+def _poly_list(wkb: bytes) -> list[list[np.ndarray]]:
+    kind, payload = wkb_read(wkb)
+    if kind == "polygon":
+        return [payload]
+    if kind == "multipolygon":
+        return payload
+    raise ValueError(f"intersects needs polygonal geometry, got {kind}")
+
+
+def polygons_intersect(wkb_a: bytes, wkb_b: bytes) -> bool:
+    """J2 geom-x-geom predicate: two polygonal geometries intersect iff
+    a vertex of one lies inside the other, or any boundary edges cross
+    (covers overlap, containment, and touching). Bbox reject first."""
+    axmin, aymin, axmax, aymax = polygon_bbox(wkb_a)
+    bxmin, bymin, bxmax, bymax = polygon_bbox(wkb_b)
+    if axmax < bxmin or bxmax < axmin or aymax < bymin or bymax < aymin:
+        return False
+    pa = _poly_list(wkb_a)
+    pb = _poly_list(wkb_b)
+    for rings_a in pa:
+        ext_a = rings_a[0]
+        for rings_b in pb:
+            ext_b = rings_b[0]
+            if points_in_rings(ext_a[:, 0], ext_a[:, 1], rings_b).any():
+                return True
+            if points_in_rings(ext_b[:, 0], ext_b[:, 1], rings_a).any():
+                return True
+            if _segments_cross_any(ext_a, ext_b):
+                return True
+    return False
+
+
+# ------------------------------------------------------- WKT / GeoJSON
+
+def wkt_write(wkb: bytes, prec: int = 12) -> str:
+    """WKB -> WKT (S8 vector interchange, ``vector/.../io/wkt`` role)."""
+    kind, payload = wkb_read(wkb)
+
+    def ring_s(r):
+        return "(" + ", ".join(f"{x:.{prec}g} {y:.{prec}g}" for x, y in r) + ")"
+
+    if kind == "point":
+        x, y = payload
+        return f"POINT ({x:.{prec}g} {y:.{prec}g})"
+    if kind == "linestring":
+        return "LINESTRING " + ring_s(payload)
+    if kind == "polygon":
+        return "POLYGON (" + ", ".join(ring_s(_close(r)) for r in payload) + ")"
+    if kind == "multipolygon":
+        return "MULTIPOLYGON (" + ", ".join(
+            "(" + ", ".join(ring_s(_close(r)) for r in rings) + ")"
+            for rings in payload
+        ) + ")"
+    raise ValueError(kind)
+
+
+def _close(r: np.ndarray) -> np.ndarray:
+    r = np.asarray(r, dtype=np.float64)
+    return r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[:1]])
+
+
+def wkt_read(wkt: str) -> bytes:
+    """WKT -> WKB for POINT / LINESTRING / POLYGON / MULTIPOLYGON."""
+    s = wkt.strip()
+    head = s.split("(", 1)[0].strip().upper()
+
+    def parse_ring(txt: str) -> np.ndarray:
+        pts = [
+            [float(v) for v in pair.split()]
+            for pair in txt.strip().split(",")
+        ]
+        return np.asarray(pts, dtype=np.float64)
+
+    body = s[s.index("(") :]
+    if head == "POINT":
+        x, y = (float(v) for v in body.strip("() \t").split())
+        return wkb_write_point(x, y)
+    if head == "LINESTRING":
+        return wkb_write_linestring(parse_ring(body.strip("()")))
+    if head == "POLYGON":
+        rings = _split_groups(body)
+        return wkb_write_polygon([parse_ring(r) for r in rings])
+    if head == "MULTIPOLYGON":
+        import struct as _st
+
+        polys = [
+            [parse_ring(r) for r in _split_groups(g)]
+            for g in _split_groups(body)
+        ]
+        out = [_st.pack("<BII", 1, _GEOM_MULTIPOLYGON, len(polys))]
+        for rings in polys:
+            out.append(wkb_write_polygon(rings))
+        return b"".join(out)
+    raise ValueError(f"unsupported WKT type {head}")
+
+
+def _split_groups(txt: str) -> list[str]:
+    """Split '(a), (b), ...' (one nesting level) into ['a', 'b', ...]."""
+    txt = txt.strip()
+    assert txt[0] == "(" and txt[-1] == ")"
+    txt = txt[1:-1]
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(txt):
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                groups.append(txt[start:i])
+    return groups if groups else [txt]
+
+
+def wkb_write_linestring(pts: np.ndarray) -> bytes:
+    pts = np.asarray(pts, dtype=np.float64)
+    return (
+        struct.pack("<BII", 1, _GEOM_LINESTRING, pts.shape[0])
+        + pts.astype("<f8").tobytes()
+    )
+
+
+def geojson_write(wkb: bytes) -> str:
+    """WKB -> GeoJSON geometry string (S8; RFC 7946 coordinate order)."""
+    import json
+
+    kind, payload = wkb_read(wkb)
+    if kind == "point":
+        return json.dumps({"type": "Point", "coordinates": list(payload)})
+    if kind == "linestring":
+        return json.dumps(
+            {"type": "LineString", "coordinates": payload.tolist()}
+        )
+    if kind == "polygon":
+        return json.dumps(
+            {"type": "Polygon",
+             "coordinates": [_close(r).tolist() for r in payload]}
+        )
+    if kind == "multipolygon":
+        return json.dumps(
+            {"type": "MultiPolygon",
+             "coordinates": [[_close(r).tolist() for r in rings]
+                             for rings in payload]}
+        )
+    raise ValueError(kind)
+
+
+def geojson_read(txt: str) -> bytes:
+    """GeoJSON geometry (or Feature) -> WKB."""
+    import json
+
+    obj = json.loads(txt)
+    if obj.get("type") == "Feature":
+        obj = obj["geometry"]
+    t = obj["type"]
+    c = obj["coordinates"]
+    if t == "Point":
+        return wkb_write_point(float(c[0]), float(c[1]))
+    if t == "LineString":
+        return wkb_write_linestring(np.asarray(c, dtype=np.float64))
+    if t == "Polygon":
+        return wkb_write_polygon([np.asarray(r, dtype=np.float64) for r in c])
+    if t == "MultiPolygon":
+        out = [struct.pack("<BII", 1, _GEOM_MULTIPOLYGON, len(c))]
+        for rings in c:
+            out.append(
+                wkb_write_polygon([np.asarray(r, dtype=np.float64) for r in rings])
+            )
+        return b"".join(out)
+    raise ValueError(f"unsupported GeoJSON type {t}")
 
 
 def point_segment_distance(px, py, ax, ay, bx, by) -> np.ndarray:

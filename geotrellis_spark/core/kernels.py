@@ -34,6 +34,7 @@ __all__ = [
     "local_binary",
     "local_unary",
     "local_stack_stats",
+    "neighborhood_mask",
     "focal_stat",
     "focal_mean",
     "focal_sum",
@@ -42,14 +43,23 @@ __all__ = [
     "focal_median",
     "focal_std",
     "focal_mode",
+    "convolve",
+    "morans_i_global",
+    "morans_i_local",
     "conway",
     "slope",
     "aspect",
     "hillshade",
     "resample_nearest",
     "resample_bilinear",
+    "resample_cubic",
+    "resample_average",
+    "resample_mode",
     "decimate2",
+    "euclidean_distance",
     "rasterize_polygon",
+    "rasterize_line",
+    "rasterize_points",
     "zonal_partials",
     "NODATA_U16",
 ]
@@ -161,16 +171,10 @@ def local_stack_stats(stack: np.ndarray, stat: str, nodata=NODATA_U16) -> np.nda
             return uniq.astype(np.float64)
         if stat in ("majority", "minority"):
             h, w = f.shape[1:]
-            out = np.full((h, w), np.nan)
-            pick = np.argmax if stat == "majority" else np.argmin
-            for r in range(h):  # per-row vectorized bincount fallback
-                for c in range(w):
-                    v = f[:, r, c]
-                    v = v[~np.isnan(v)]
-                    if v.size:
-                        vals, cnt = np.unique(v, return_counts=True)
-                        out[r, c] = vals[pick(cnt)]
-            return out
+            stack_lastaxis = np.moveaxis(f, 0, -1)  # (h, w, n)
+            return _window_mode(
+                stack_lastaxis, (h, w), pick="max" if stat == "majority" else "min"
+            )
     raise ValueError(f"unknown stack stat {stat}")
 
 
@@ -182,11 +186,65 @@ def _windows(padded: np.ndarray, radius: int) -> np.ndarray:
     return np.lib.stride_tricks.sliding_window_view(padded, (k, k))
 
 
-def focal_stat(
-    tile: np.ndarray, stat: str, radius: int = 1, nodata=NODATA_U16
+def neighborhood_mask(kind: str, radius: int, **kw) -> np.ndarray:
+    """Boolean (k, k) mask selecting the cells of a GeoTrellis
+    Neighborhood (``raster/.../mapalgebra/focal/Neighborhood.scala``
+    role): square | circle | annulus(inner=) | nesw | wedge(start=,
+    end= degrees, counter-clockwise from east)."""
+    k = 2 * radius + 1
+    dy, dx = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    if kind == "square":
+        return np.ones((k, k), dtype=bool)
+    if kind == "circle":
+        return dx * dx + dy * dy <= radius * radius
+    if kind == "annulus":
+        inner = float(kw.get("inner", 1.0))
+        d2 = dx * dx + dy * dy
+        return (d2 >= inner * inner) & (d2 <= radius * radius)
+    if kind == "nesw":  # plus shape: N/E/S/W arms + center
+        return (dx == 0) | (dy == 0)
+    if kind == "wedge":
+        start = float(kw.get("start", 0.0))
+        end = float(kw.get("end", 90.0))
+        ang = np.degrees(np.arctan2(-dy, dx)) % 360.0  # CCW from east
+        inside = (
+            ((ang - start) % 360.0) <= ((end - start) % 360.0)
+            if start != end
+            else np.ones((k, k), dtype=bool)
+        )
+        inside = inside & (dx * dx + dy * dy <= radius * radius)
+        inside[radius, radius] = True  # center always participates
+        return inside
+    raise ValueError(f"unknown neighborhood {kind!r}")
+
+
+def _apply_target(
+    result: np.ndarray, tile_f: np.ndarray, target: str
 ) -> np.ndarray:
-    """Square(radius) focal statistic; NoData cells excluded from the
-    neighborhood; result float64 with NaN where no data cell in window.
+    """TargetCell semantics (``focal/TargetCell.scala`` role): compute
+    only where the center cell is data ('data') / NoData ('nodata');
+    other cells keep their original value."""
+    if target == "all":
+        return result
+    if target == "data":
+        return np.where(np.isnan(tile_f), tile_f, result)
+    if target == "nodata":
+        return np.where(np.isnan(tile_f), result, tile_f)
+    raise ValueError(f"unknown target {target!r}")
+
+
+def focal_stat(
+    tile: np.ndarray,
+    stat: str,
+    radius: int = 1,
+    nodata=NODATA_U16,
+    neighborhood: str | np.ndarray = "square",
+    target: str = "all",
+) -> np.ndarray:
+    """Focal statistic over any Neighborhood (Square/Circle/Annulus/
+    Nesw/Wedge or an explicit (k,k) bool mask); NoData cells excluded
+    from the neighborhood; result float64 with NaN where no data cell
+    in window. ``target`` gives TargetCell semantics.
 
     ``tile`` may already be a buffered tile — the caller crops back to
     the center region (BufferTiles contract, SURVEY.md §2.F).
@@ -194,31 +252,67 @@ def focal_stat(
     f = _to_float(tile, nodata)
     padded = np.pad(f, radius, constant_values=np.nan)
     w = _windows(padded, radius).reshape(f.shape + (-1,))
+    if isinstance(neighborhood, np.ndarray):
+        mask = neighborhood.astype(bool)
+    else:
+        mask = neighborhood_mask(neighborhood, radius)
+    if not mask.all():
+        w = np.where(mask.ravel()[None, None, :], w, np.nan)
+
+    def _done(res):
+        return _apply_target(res, f, target)
+
     with np.errstate(invalid="ignore"), np.testing.suppress_warnings() as sup:
         sup.filter(RuntimeWarning)
         if stat == "mean":
-            return np.nanmean(w, axis=-1)
+            return _done(np.nanmean(w, axis=-1))
         if stat == "sum":
-            return np.nansum(w, axis=-1)
+            return _done(np.nansum(w, axis=-1))
         if stat == "min":
-            return np.nanmin(w, axis=-1)
+            return _done(np.nanmin(w, axis=-1))
         if stat == "max":
-            return np.nanmax(w, axis=-1)
+            return _done(np.nanmax(w, axis=-1))
         if stat == "median":
-            return np.nanmedian(w, axis=-1)
+            return _done(np.nanmedian(w, axis=-1))
         if stat == "std":
-            return np.nanstd(w, axis=-1)
+            return _done(np.nanstd(w, axis=-1))
         if stat == "mode":
-            out = np.full(f.shape, np.nan)
-            for r in range(f.shape[0]):
-                for c in range(f.shape[1]):
-                    v = w[r, c]
-                    v = v[~np.isnan(v)]
-                    if v.size:
-                        vals, cnt = np.unique(v, return_counts=True)
-                        out[r, c] = vals[np.argmax(cnt)]
-            return out
+            return _done(_window_mode(w, f.shape))
     raise ValueError(f"unknown focal stat {stat}")
+
+
+def _window_mode(
+    w: np.ndarray, shape: tuple[int, int], pick: str = "max"
+) -> np.ndarray:
+    """Vectorized per-window mode/anti-mode (smallest value wins count
+    ties, the np.unique/argmax convention): sort each window, run-length
+    via boundary diffs — no per-pixel python loop. ``pick='min'`` gives
+    the minority (least frequent) value instead."""
+    s = np.sort(w, axis=-1)  # NaNs sort to the end
+    m = s.shape[-1]
+    # run id of each sorted slot (new run where value changes)
+    new_run = np.ones(s.shape, dtype=np.int64)
+    new_run[..., 1:] = (s[..., 1:] != s[..., :-1]).astype(np.int64)
+    run_id = np.cumsum(new_run, axis=-1) - 1  # 0-based run index per slot
+    valid = ~np.isnan(s)
+    # accumulate run lengths: scatter-add 1 for each valid slot
+    flat_counts = np.zeros(s.shape, dtype=np.int64).reshape(-1, m)
+    flat_run = run_id.reshape(-1, m)
+    flat_valid = valid.reshape(-1, m)
+    rows = np.repeat(np.arange(flat_run.shape[0]), m).reshape(-1, m)
+    np.add.at(flat_counts, (rows[flat_valid], flat_run[flat_valid]), 1)
+    if pick == "max":
+        best_run = np.argmax(flat_counts, axis=-1)  # first max = smallest value
+    else:  # minority: least frequent existing run (0-count runs excluded)
+        best_run = np.argmin(
+            np.where(flat_counts > 0, flat_counts, np.iinfo(np.int64).max),
+            axis=-1,
+        )
+    # first slot of each run: where run_id == best_run first occurs
+    first_slot = np.argmax(flat_run == best_run[:, None], axis=-1)
+    out = s.reshape(-1, m)[np.arange(flat_run.shape[0]), first_slot]
+    out = np.where(flat_valid.any(axis=-1), out, np.nan)
+    return out.reshape(shape)
 
 
 def focal_mean(tile, radius=1, nodata=NODATA_U16):
@@ -247,6 +341,84 @@ def focal_std(tile, radius=1, nodata=NODATA_U16):
 
 def focal_mode(tile, radius=1, nodata=NODATA_U16):
     return focal_stat(tile, "mode", radius, nodata)
+
+
+def convolve(
+    tile: np.ndarray,
+    kernel: np.ndarray,
+    nodata=NODATA_U16,
+    target: str = "all",
+) -> np.ndarray:
+    """Focal convolution (``focal/{Convolve,Kernel}.scala`` role):
+    weighted sum of the window, NoData cells skipped (their weight
+    contributes nothing — GeoTrellis Kernel semantics). ``kernel`` is a
+    (k, k) float array, k odd. Result float64, NaN where the window has
+    no data cell."""
+    kernel = np.asarray(kernel, dtype=np.float64)
+    kh, kw = kernel.shape
+    if kh != kw or kh % 2 == 0:
+        raise ValueError("convolve kernel must be square with odd size")
+    radius = kh // 2
+    f = _to_float(tile, nodata)
+    padded = np.pad(f, radius, constant_values=np.nan)
+    w = _windows(padded, radius).reshape(f.shape + (-1,))
+    kv = kernel.ravel()[None, None, :]
+    with np.errstate(invalid="ignore"):
+        terms = w * kv
+        res = np.nansum(terms, axis=-1)
+        res = np.where(np.isnan(w).all(axis=-1), np.nan, res)
+    return _apply_target(res, f, target)
+
+
+def morans_i_global(tile: np.ndarray, nodata=NODATA_U16) -> float:
+    """Global Moran's I spatial autocorrelation scalar
+    (``focal/ScalarMoransICalculation`` role): queen-contiguity binary
+    weights (8 neighbors), NoData excluded. I = (n/SumW) *
+    sum_ij w_ij z_i z_j / sum_i z_i^2 over deviations z = v - mean."""
+    f = _to_float(tile, nodata)
+    ok = ~np.isnan(f)
+    n = int(ok.sum())
+    if n < 2:
+        return float("nan")
+    z = np.where(ok, f - f[ok].mean(), 0.0)
+    # sum over the 8 queen directions of z_i * z_j, and the weight count
+    num = 0.0
+    sw = 0.0
+    h, w_ = f.shape
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            ys = slice(max(0, dy), h + min(0, dy))
+            xs = slice(max(0, dx), w_ + min(0, dx))
+            ys2 = slice(max(0, -dy), h + min(0, -dy))
+            xs2 = slice(max(0, -dx), w_ + min(0, -dx))
+            pair_ok = ok[ys, xs] & ok[ys2, xs2]
+            num += float((z[ys, xs] * z[ys2, xs2])[pair_ok].sum())
+            sw += float(pair_ok.sum())
+    den = float((z[ok] ** 2).sum())
+    if sw == 0 or den == 0:
+        return float("nan")
+    return (n / sw) * (num / den)
+
+
+def morans_i_local(tile: np.ndarray, nodata=NODATA_U16) -> np.ndarray:
+    """Local Moran's I per cell (``focal/TileMoransICalculation`` role):
+    I_i = z_i * sum_j(w_ij z_j) / (sum z^2 / n), queen weights."""
+    f = _to_float(tile, nodata)
+    ok = ~np.isnan(f)
+    n = int(ok.sum())
+    if n < 2:
+        return np.full(f.shape, np.nan)
+    z = f - f[ok].mean()
+    zf = np.where(ok, z, np.nan)
+    padded = np.pad(zf, 1, constant_values=np.nan)
+    w = _windows(padded, 1).reshape(f.shape + (-1,))
+    w = np.delete(w, 4, axis=-1)  # drop the center from the 3x3 window
+    with np.errstate(invalid="ignore"):
+        lag = np.nansum(w, axis=-1)
+    m2 = float((z[ok] ** 2).sum()) / n
+    return np.where(ok, z * lag / m2, np.nan)
 
 
 def conway(tile: np.ndarray) -> np.ndarray:
@@ -377,6 +549,136 @@ def nearest_sample(
     return out
 
 
+def resample_cubic(
+    tile: np.ndarray, out_h: int, out_w: int, nodata=NODATA_U16, a: float = -0.5
+) -> np.ndarray:
+    """Cubic-convolution resample (Keys 1981, the GDAL/GeoTrellis
+    CubicConvolution default a=-0.5; ``resample/CubicConvolution
+    Resample.scala`` role). Separable 4-tap kernel; windows containing
+    NoData fall back to bilinear-of-data semantics via NaN propagation
+    -> NoData (GeoTrellis marks them NoData)."""
+
+    def _k(t: np.ndarray) -> np.ndarray:
+        at = np.abs(t)
+        return np.where(
+            at <= 1,
+            (a + 2) * at**3 - (a + 3) * at**2 + 1,
+            np.where(at < 2, a * at**3 - 5 * a * at**2 + 8 * a * at - 4 * a, 0.0),
+        )
+
+    f = _to_float(tile, nodata)
+    h, w = f.shape
+    ry = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    rx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.floor(ry).astype(np.int64)
+    x0 = np.floor(rx).astype(np.int64)
+    fy = ry - y0
+    fx = rx - x0
+    out = np.zeros((out_h, out_w))
+    for j in range(-1, 3):
+        wy = _k(j - fy)[:, None]
+        yy = np.clip(y0 + j, 0, h - 1)
+        row_acc = np.zeros((out_h, out_w))
+        for i in range(-1, 3):
+            wx = _k(i - fx)[None, :]
+            xx = np.clip(x0 + i, 0, w - 1)
+            row_acc += f[np.ix_(yy, xx)] * wx
+        out += row_acc * wy
+    return _from_float(out, tile.dtype, nodata)
+
+
+def resample_average(
+    tile: np.ndarray, out_h: int, out_w: int, nodata=NODATA_U16
+) -> np.ndarray:
+    """Aggregate downsample: mean of each source block (NoData-aware;
+    ``resample/AverageResample.scala`` role). Requires integer block
+    ratios (the pyramid case: 2x)."""
+    h, w = tile.shape
+    by, bx = h // out_h, w // out_w
+    if by * out_h != h or bx * out_w != w:
+        raise ValueError("resample_average needs integer block ratios")
+    f = _to_float(tile, nodata).reshape(out_h, by, out_w, bx)
+    with np.errstate(invalid="ignore"), np.testing.suppress_warnings() as sup:
+        sup.filter(RuntimeWarning)
+        return _from_float(
+            np.nanmean(f, axis=(1, 3)), tile.dtype, nodata
+        )
+
+
+def resample_mode(
+    tile: np.ndarray, out_h: int, out_w: int, nodata=NODATA_U16
+) -> np.ndarray:
+    """Aggregate downsample: mode of each source block (NoData-aware,
+    smallest value wins ties; ``resample/ModeResample.scala`` role)."""
+    h, w = tile.shape
+    by, bx = h // out_h, w // out_w
+    if by * out_h != h or bx * out_w != w:
+        raise ValueError("resample_mode needs integer block ratios")
+    f = _to_float(tile, nodata).reshape(out_h, by, out_w, bx)
+    blocks = f.transpose(0, 2, 1, 3).reshape(out_h, out_w, by * bx)
+    return _from_float(
+        _window_mode(blocks, (out_h, out_w)), tile.dtype, nodata
+    )
+
+
+def euclidean_distance(mask: np.ndarray, cw: float = 1.0, ch: float = 1.0) -> np.ndarray:
+    """Exact Euclidean distance transform: distance from every cell
+    center to the nearest True cell (RV7 ``distance/EuclideanDistance
+    Tile`` role, computed per tile). Felzenszwalb & Huttenlocher's
+    two-pass separable lower-envelope algorithm (O(n) per scanline,
+    public domain formulation). Cells with no feature anywhere -> inf."""
+
+    def _edt1d(frow: np.ndarray) -> np.ndarray:
+        n = frow.shape[0]
+        d = np.full(n, np.inf)
+        v = np.zeros(n, dtype=np.int64)  # locations of parabolas
+        zb = np.full(n + 1, np.inf)  # boundaries
+        zb[0] = -np.inf
+        k = 0
+        first = True
+        for q in range(n):
+            if frow[q] == np.inf:
+                continue
+            if first:
+                v[0] = q
+                zb[0], zb[1] = -np.inf, np.inf
+                k = 0
+                first = False
+                continue
+            while True:
+                p = v[k]
+                s = ((frow[q] + q * q) - (frow[p] + p * p)) / (2 * q - 2 * p)
+                if s <= zb[k]:
+                    k -= 1
+                else:
+                    break
+            k += 1
+            v[k] = q
+            zb[k] = s
+            zb[k + 1] = np.inf
+        if first:
+            return d
+        k = 0
+        for q in range(n):
+            while zb[k + 1] < q:
+                k += 1
+            p = v[k]
+            d[q] = (q - p) * (q - p) + frow[p]
+        return d
+
+    h, w = mask.shape
+    f = np.where(mask, 0.0, np.inf)
+    # column pass then row pass, with anisotropic cell size folded in
+    # by scaling coordinates (distance in cw/ch units)
+    tmp = np.empty((h, w))
+    for x in range(w):
+        tmp[:, x] = _edt1d(f[:, x]) * (ch * ch)
+    out = np.empty((h, w))
+    for y in range(h):
+        out[y, :] = _edt1d(tmp[y, :] / (cw * cw)) * (cw * cw)
+    return np.sqrt(out)
+
+
 def decimate2(tile: np.ndarray) -> np.ndarray:
     """2x downsample by NearestNeighbor (pyramid default: top-left of
     each 2x2 block — matches NN at the parent cell center convention
@@ -421,6 +723,48 @@ def rasterize_polygon(
         # parity of crossings right of each cell center
         cross = active[:, None, :] & (xs[None, :, None] < xc[:, None, :])
         mask ^= (cross.sum(axis=2) % 2).astype(bool)
+    return mask
+
+
+def rasterize_points(
+    pxs: np.ndarray, pys: np.ndarray, xs: np.ndarray, ys: np.ndarray
+) -> np.ndarray:
+    """Burn points into the cell grid (RV1 point branch): a point marks
+    the cell whose extent contains it (floor math on the cell lattice;
+    xs ascending cell-center x, ys descending cell-center y)."""
+    cols = xs.shape[0]
+    rows = ys.shape[0]
+    cw = xs[1] - xs[0] if cols > 1 else 1.0
+    ch = ys[0] - ys[1] if rows > 1 else 1.0
+    x0 = xs[0] - cw / 2.0
+    y1 = ys[0] + ch / 2.0  # top edge
+    c = np.floor((np.asarray(pxs, dtype=np.float64) - x0) / cw).astype(np.int64)
+    r = np.floor((y1 - np.asarray(pys, dtype=np.float64)) / ch).astype(np.int64)
+    ok = (c >= 0) & (c < cols) & (r >= 0) & (r < rows)
+    mask = np.zeros((rows, cols), dtype=bool)
+    mask[r[ok], c[ok]] = True
+    return mask
+
+
+def rasterize_line(
+    pts: np.ndarray, xs: np.ndarray, ys: np.ndarray
+) -> np.ndarray:
+    """Burn a polyline into the cell grid (RV1 line branch): dense
+    sampling at sub-cell steps marks every cell the line passes through
+    (the DDA role, vectorized — each segment sampled at ~2 samples per
+    cell-width)."""
+    cols = xs.shape[0]
+    rows = ys.shape[0]
+    cw = xs[1] - xs[0] if cols > 1 else 1.0
+    ch = ys[0] - ys[1] if rows > 1 else 1.0
+    step = min(cw, ch) / 2.0
+    mask = np.zeros((rows, cols), dtype=bool)
+    p = np.asarray(pts, dtype=np.float64)
+    for i in range(p.shape[0] - 1):
+        (ax, ay), (bx, by) = p[i], p[i + 1]
+        n = max(int(np.hypot(bx - ax, by - ay) / step) + 1, 2)
+        t = np.linspace(0.0, 1.0, n)
+        mask |= rasterize_points(ax + t * (bx - ax), ay + t * (by - ay), xs, ys)
     return mask
 
 

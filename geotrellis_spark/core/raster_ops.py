@@ -31,60 +31,52 @@ from .kernels import NODATA_U16
 
 def region_group(tile: np.ndarray, connectivity: int = 4, nodata=NODATA_U16) -> np.ndarray:
     """Label 4/8-connected equal-value regions; NoData cells get label 0;
-    labels are 1..K in first-visit (row-major) order."""
+    labels are 1..K in first-visit (row-major) order.
+
+    Vectorized min-label propagation with pointer jumping (label =
+    smallest flat index reachable in the region; doubling convergence,
+    ~log2(n) sweeps of pure numpy ops — no per-pixel python loop)."""
     h, w = tile.shape
-    labels = np.zeros((h, w), dtype=np.int64)
     nod = kernels.is_nodata(tile, nodata)
-    parent: list[int] = [0]
+    data = ~nod
+    lab = np.where(data, np.arange(h * w, dtype=np.int64).reshape(h, w), -1)
+    offsets = [(0, 1), (1, 0)]
+    if connectivity == 8:
+        offsets += [(1, 1), (1, -1)]
 
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    def slices(dr: int, dc: int):
+        sa = (slice(max(0, -dr), h - max(0, dr)),
+              slice(max(0, -dc), w - max(0, dc)))
+        sb = (slice(max(0, dr), h - max(0, -dr)),
+              slice(max(0, dc), w - max(0, -dc)))
+        return sa, sb
 
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+    eqs = []
+    for dr, dc in offsets:
+        sa, sb = slices(dr, dc)
+        eqs.append((sa, sb, (tile[sa] == tile[sb]) & data[sa] & data[sb]))
 
-    nxt = 1
-    for r in range(h):
-        for c in range(w):
-            if nod[r, c]:
-                continue
-            v = tile[r, c]
-            left = labels[r, c - 1] if c > 0 and tile[r, c - 1] == v else 0
-            up = labels[r - 1, c] if r > 0 and tile[r - 1, c] == v else 0
-            cand = [x for x in (left, up) if x]
-            if connectivity == 8 and r > 0:
-                if c > 0 and tile[r - 1, c - 1] == v and labels[r - 1, c - 1]:
-                    cand.append(labels[r - 1, c - 1])
-                if c + 1 < w and tile[r - 1, c + 1] == v and labels[r - 1, c + 1]:
-                    cand.append(labels[r - 1, c + 1])
-            if not cand:
-                labels[r, c] = nxt
-                parent.append(nxt)
-                nxt += 1
-            else:
-                m = min(cand)
-                labels[r, c] = m
-                for x in cand:
-                    union(m, x)
-    # second pass: resolve + renumber densely in first-visit order
-    remap: dict[int, int] = {}
-    out = np.zeros_like(labels)
-    k = 1
-    for r in range(h):
-        for c in range(w):
-            lab = labels[r, c]
-            if lab == 0:
-                continue
-            root = find(lab)
-            if root not in remap:
-                remap[root] = k
-                k += 1
-            out[r, c] = remap[root]
+    while True:
+        prev = lab
+        m = lab.copy()
+        for sa, sb, eq in eqs:
+            a, b = m[sa], lab[sb]
+            np.minimum(a, np.where(eq, b, a), out=a)
+            b2, a2 = m[sb], lab[sa]
+            np.minimum(b2, np.where(eq, a2, b2), out=b2)
+        flat = m.ravel()
+        ok = flat >= 0
+        flat[ok] = flat[flat[ok]]  # pointer jump: follow label-of-label
+        flat[ok] = flat[flat[ok]]
+        lab = flat.reshape(h, w)
+        if np.array_equal(lab, prev):
+            break
+    # renumber densely: region roots are their min flat index, which is
+    # also the region's first row-major visit -> sorted roots = 1..K
+    roots = np.unique(lab[lab >= 0])
+    out = np.zeros((h, w), dtype=np.int64)
+    if roots.size:
+        out[lab >= 0] = np.searchsorted(roots, lab[lab >= 0]) + 1
     return out
 
 
@@ -143,6 +135,43 @@ def idw(
         idx = exact.argmax(axis=-1)
         out[hit] = pv[idx[hit]]
     return out
+
+
+def spherical_variogram(h: np.ndarray, rng: float, sill: float, nugget: float) -> np.ndarray:
+    """Spherical semivariogram gamma(h) (``vector/.../interpolation/
+    Semivariogram.scala`` role)."""
+    h = np.asarray(h, dtype=np.float64)
+    inside = nugget + (sill - nugget) * (1.5 * h / rng - 0.5 * (h / rng) ** 3)
+    return np.where(h == 0.0, 0.0, np.where(h < rng, inside, sill))
+
+
+def ordinary_kriging(
+    px: np.ndarray, py: np.ndarray, pv: np.ndarray,
+    xs: np.ndarray, ys: np.ndarray,
+    rng: float = 100.0, sill: float = 1.0, nugget: float = 0.0,
+) -> np.ndarray:
+    """Ordinary kriging of sample points onto the cell-center lattice
+    (RV8, ``vector/.../interpolation/OrdinaryKriging.scala`` role) with
+    a spherical variogram. One (n+1)x(n+1) system solved once; the
+    prediction for every grid cell is then a single matmul — exact
+    interpolator (reproduces sample values at sample locations)."""
+    n = px.shape[0]
+    dxy = np.hypot(px[:, None] - px[None, :], py[:, None] - py[None, :])
+    a = np.full((n + 1, n + 1), 1.0)
+    a[:n, :n] = spherical_variogram(dxy, rng, sill, nugget)
+    a[n, n] = 0.0
+    gx, gy = np.meshgrid(xs, ys)
+    d0 = np.hypot(gx[..., None] - px, gy[..., None] - py)  # (rows, cols, n)
+    b = np.concatenate(
+        [
+            spherical_variogram(d0, rng, sill, nugget),
+            np.ones(d0.shape[:2] + (1,)),
+        ],
+        axis=-1,
+    )
+    wts = np.linalg.solve(a, b.reshape(-1, n + 1).T).T  # (cells, n+1)
+    out = (wts[:, :n] * pv[None, :]).sum(axis=-1)
+    return out.reshape(gx.shape)
 
 
 def histogram_equalize(tile: np.ndarray, nodata=NODATA_U16) -> np.ndarray:

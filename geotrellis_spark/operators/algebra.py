@@ -129,6 +129,49 @@ def local_stats_layers(layers: list[DataFrame], stat: str) -> DataFrame:
     return grouped.grouped_rows(u, "cell_id", kernel, TILE_SCHEMA)
 
 
+def euclidean_distance_layer(
+    a: DataFrame, cw: float = 1.0, ch: float = 1.0, cap: float = 65534.0
+) -> DataFrame:
+    """RV7 EuclideanDistance per tile: each cell gets the distance (in
+    cw/ch units) to the nearest DATA cell of its tile — narrow map, no
+    shuffle (exact Felzenszwalb EDT kernel). Distances are clipped to
+    ``cap`` and stored +1 so 0 stays the NoData sentinel; tiles with no
+    data cells come back all-NoData."""
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            tiles = []
+            for i in range(len(pdf)):
+                t = _decode(pdf, i, "tile", "fmt")
+                d = kernels.euclidean_distance(t != kernels.NODATA_U16, cw, ch)
+                enc = np.where(
+                    np.isinf(d), 0.0, np.rint(np.minimum(d, cap)) + 1.0
+                ).astype(np.uint16)
+                tiles.append(codecs.encode_tile(enc, pdf["fmt"].iloc[i]))
+            pdf["tile"] = tiles
+            yield pdf
+
+    return a.mapInPandas(kern, a.schema)
+
+
+def temporal_stack_stats(
+    tiles: DataFrame, stat: str, t_col: str = "t_ord",
+    t_min: int | None = None, t_max: int | None = None,
+) -> DataFrame:
+    """L-t per-pixel temporal statistic: reduce a SpaceTimeKey layer's
+    time stack to one tile per spatial cell over the [t_min, t_max]
+    window (``spark/.../mapalgebra/local/temporal`` role). The time
+    filter is an ordinary pushed-down predicate; then one shuffle and
+    the stack kernel — identical machinery to local_stats_layers."""
+    f = tiles
+    if t_min is not None:
+        f = f.where(F.col(t_col) >= t_min)
+    if t_max is not None:
+        f = f.where(F.col(t_col) <= t_max)
+    return local_stats_layers([f.drop(t_col)], stat)
+
+
 def rasterize_features(
     feats: DataFrame, layout: LayoutDefinition, zoom: int,
     value_col: str = "burn_value", zindex_col: str | None = None,

@@ -230,6 +230,47 @@ def pip_join(
     return refined.drop(wkb_col)
 
 
+def vector_join(
+    a: DataFrame,
+    b: DataFrame,
+    zoom: int,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+    a_wkb: str = "wkb",
+    b_wkb: str = "wkb",
+    broadcast_b: bool = True,
+) -> DataFrame:
+    """General vector x vector intersects join (J2, the reference's
+    ``spark/.../join/VectorJoin.scala`` partition-wise nested loop
+    re-expressed): both sides explode to covering cells, equi-join on
+    cell_id (Catalyst-plannable; broadcast the small side), de-dupe the
+    (a_id, b_id) candidates that co-occur in several cells, then refine
+    with the exact geom x geom intersects predicate (vertex-in +
+    edge-cross, core.geom.polygons_intersect). Output: a_id, b_id."""
+    ca = cover_cells(a.select(a_id, a_wkb), zoom, a_wkb).select(
+        a_id, F.col(a_wkb).alias("_wkb_a"), "cell_id"
+    )
+    cb = cover_cells(b.select(b_id, b_wkb), zoom, b_wkb).select(
+        b_id, F.col(b_wkb).alias("_wkb_b"), "cell_id"
+    )
+    if broadcast_b:
+        cb = F.broadcast(cb)
+    cand = ca.join(cb, "cell_id").dropDuplicates([a_id, b_id])
+
+    @F.pandas_udf(BooleanType())
+    def _intersects(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                G.polygons_intersect(bytes(x), bytes(y))
+                for x, y in zip(wa, wb)
+            ]
+        )
+
+    return cand.where(_intersects(F.col("_wkb_a"), F.col("_wkb_b"))).select(
+        a_id, b_id
+    )
+
+
 def knn_join(
     points: DataFrame,
     queries: DataFrame,

@@ -532,7 +532,105 @@ def zoom_resample(
     return tiles.mapInPandas(gen, TILE_SCHEMA)
 
 
+def regrid(
+    tiles: DataFrame,
+    zoom: int,
+    from_size: int,
+    to_size: int,
+    layer: str = "regridded",
+    fmt: str = "raw16",
+) -> DataFrame:
+    """T9 Regrid (``spark/.../regrid/Regrid.scala`` role): re-slice a
+    layer to a different tile size on the SAME zoom pixel lattice
+    (256 -> 512 and back). Each tile slices itself into pieces aligned
+    to the target grid (narrow flatMap), then the standard single-
+    shuffle grouped merge reassembles target tiles."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in PIECE_SCHEMA.fields}
+            for i in range(len(pdf)):
+                t = codecs.decode_tile(
+                    bytes(pdf["tile"].iloc[i]), from_size, from_size,
+                    pdf["fmt"].iloc[i],
+                )
+                gx = int(pdf["key_col"].iloc[i]) * from_size
+                gy = int(pdf["key_row"].iloc[i]) * from_size
+                t0c, t1c = gx // to_size, (gx + from_size - 1) // to_size
+                t0r, t1r = gy // to_size, (gy + from_size - 1) // to_size
+                for tc in range(t0c, t1c + 1):
+                    for tr in range(t0r, t1r + 1):
+                        x0 = max(gx, tc * to_size)
+                        x1 = min(gx + from_size, (tc + 1) * to_size)
+                        y0 = max(gy, tr * to_size)
+                        y1 = min(gy + from_size, (tr + 1) * to_size)
+                        piece = t[y0 - gy : y1 - gy, x0 - gx : x1 - gx]
+                        out["cell_id"].append(int(sfc.zorder(tc, tr)))
+                        out["key_col"].append(tc)
+                        out["key_row"].append(tr)
+                        out["salt"].append(0)
+                        out["src_ord"].append(0)
+                        out["r0"].append(y0 - tr * to_size)
+                        out["c0"].append(x0 - tc * to_size)
+                        out["ph"].append(y1 - y0)
+                        out["pw"].append(x1 - x0)
+                        out["piece"].append(_pack_piece(piece))
+            yield pd.DataFrame(out)
+
+    pieces = tiles.mapInPandas(gen, PIECE_SCHEMA)
+    return merge_tiles(pieces, zoom, to_size, layer, fmt)
+
+
 _DIRS = [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
+
+
+NEIGHBOR_SCHEMA = StructType(
+    [
+        StructField("cell_id", LongType()),
+        StructField("key_col", LongType()),
+        StructField("key_row", LongType()),
+        StructField("dx", IntegerType()),
+        StructField("dy", IntegerType()),
+        StructField("tile", BinaryType()),
+        StructField("fmt", StringType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+    ]
+)
+
+
+def collect_neighbors(tiles: DataFrame) -> DataFrame:
+    """T11 CollectNeighbors (``spark/.../mapalgebra/focal/
+    CollectNeighbors.scala`` role): annotate every tile key with its 8
+    neighbors' full payloads. Each tile emits itself to its own key
+    (dx=dy=0) and to each in-bounds neighbor key with the offset it
+    occupies relative to that neighbor; ONE shuffle groups them —
+    downstream groupBy(cell_id) sees (center + up to 8 neighbors)."""
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in NEIGHBOR_SCHEMA.fields}
+            for i in range(len(pdf)):
+                kc = int(pdf["key_col"].iloc[i])
+                kr = int(pdf["key_row"].iloc[i])
+                n = 1 << int(pdf["zoom"].iloc[i])
+                tb = bytes(pdf["tile"].iloc[i])
+                for dx, dy in [(0, 0)] + _DIRS:
+                    tc, tr = kc + dx, kr + dy
+                    if not (0 <= tc < n and 0 <= tr < n):
+                        continue
+                    out["cell_id"].append(int(sfc.zorder(tc, tr)))
+                    out["key_col"].append(tc)
+                    out["key_row"].append(tr)
+                    out["dx"].append(-dx)  # this tile's offset seen from
+                    out["dy"].append(-dy)  # the receiving key
+                    out["tile"].append(tb)
+                    out["fmt"].append(pdf["fmt"].iloc[i])
+                    out["w"].append(int(pdf["w"].iloc[i]))
+                    out["h"].append(int(pdf["h"].iloc[i]))
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(explode, NEIGHBOR_SCHEMA)
 
 
 def focal_tiles(
@@ -541,6 +639,9 @@ def focal_tiles(
     radius: int = 1,
     zoom: int | None = None,
     tile_size: int = 256,
+    neighborhood: str = "square",
+    target: str = "all",
+    kernel: np.ndarray | None = None,
 ) -> DataFrame:
     """BufferTiles + focal stencil, one shuffle (T10 + 2.F).
 
@@ -549,7 +650,16 @@ def focal_tiles(
     group kernel assembles a (T+2r, T+2r) padded canvas (NaN outside),
     runs the stencil, crops the center back, and re-encodes. Output
     tiles are float64 rounded back to uint16 (NoData where the window
-    held no data)."""
+    held no data).
+
+    ``neighborhood`` selects Square/Circle/Annulus/Nesw/Wedge cells
+    within ``radius``; ``target`` gives TargetCell semantics; passing
+    ``kernel`` (odd square float array) runs Convolve instead of
+    ``stat`` (``focal/{Convolve,Kernel}.scala`` role) with radius taken
+    from the kernel size."""
+    if kernel is not None:
+        kernel = np.asarray(kernel, dtype=np.float64)
+        radius = kernel.shape[0] // 2
     T, r = tile_size, radius
 
     strip_schema = StructType(
@@ -637,7 +747,13 @@ def focal_tiles(
             rs = 0 if dy == -1 else (T + r if dy == 1 else r)
             cs = 0 if dx == -1 else (T + r if dx == 1 else r)
             pad[rs : rs + h_, cs : cs + w_] = part
-        res = kernels.focal_stat(pad, stat, r)[r : T + r, r : T + r]
+        if kernel is not None:
+            res = kernels.convolve(pad, kernel, target=target)
+        else:
+            res = kernels.focal_stat(
+                pad, stat, r, neighborhood=neighborhood, target=target
+            )
+        res = res[r : T + r, r : T + r]
         out = np.where(np.isnan(res), float(NODATA), np.rint(np.clip(res, 0, 65535)))
         return {
             "layer": layer,

@@ -282,6 +282,66 @@ def sql_pip_diamond() -> str:
     """
 
 
+# ------------------------------------------------ J2 vector x vector
+
+_VJ_N_RX, _VJ_N_RY = 20.0, 12.0   # nation diamonds
+_VJ_C_RX, _VJ_C_RY = 5.0, 3.0     # customer diamonds (same 0.6 ratio)
+
+
+def q_vector_join(spark, sf_dir) -> DataFrame:
+    """J2 general vector x vector intersects join: customer diamonds x
+    nation diamonds, cover-cell equi-join + exact geom x geom refine.
+    The oracle exploits the Minkowski-sum identity for homothetic
+    diamonds (same ry/rx ratio): two intersect iff
+    |dcx|/(rx1+rx2) + |dcy|/(ry1+ry2) <= 1 — pure arithmetic DuckDB can
+    evaluate exactly on the same derived centers."""
+    from pyspark.sql.types import BinaryType
+
+    def dia_maker(rx, ry):
+        @F.pandas_udf(BinaryType())
+        def mk(cx: pd.Series, cy: pd.Series) -> pd.Series:
+            out = []
+            for x, y in zip(cx, cy):
+                ring = np.array(
+                    [[x - rx, y], [x, y - ry], [x + rx, y], [x, y + ry]]
+                )
+                out.append(G.wkb_write_polygon([ring]))
+            return pd.Series(out)
+        return mk
+
+    cust = _t(spark, sf_dir, "customer").selectExpr(
+        "cast(c_custkey as bigint) as c_custkey",
+        f"{exprs.lon_sql('(c_custkey + 1) * 31')} as cx",
+        f"{exprs.lat_sql('(c_custkey + 5) * 43')} as cy",
+    ).withColumn("wkb", dia_maker(_VJ_C_RX, _VJ_C_RY)(F.col("cx"), F.col("cy")))
+    nat = _t(spark, sf_dir, "nation").selectExpr(
+        "cast(n_nationkey as bigint) as n_nationkey",
+        f"{exprs.lon_sql('(n_nationkey + 1) * 37')} as cx",
+        f"{exprs.lat_sql('(n_nationkey + 1) * 53')} as cy",
+    ).withColumn("wkb", dia_maker(_VJ_N_RX, _VJ_N_RY)(F.col("cx"), F.col("cy")))
+    return spatial.vector_join(
+        cust, nat, zoom=4, a_id="c_custkey", b_id="n_nationkey"
+    )
+
+
+def sql_vector_join() -> str:
+    ccx = exprs.lon_sql("(c_custkey + 1) * 31")
+    ccy = exprs.lat_sql("(c_custkey + 5) * 43")
+    ncx = exprs.lon_sql("(n_nationkey + 1) * 37")
+    ncy = exprs.lat_sql("(n_nationkey + 1) * 53")
+    sx = _VJ_N_RX + _VJ_C_RX
+    sy = _VJ_N_RY + _VJ_C_RY
+    return f"""
+    WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                      {ccx} AS cx, {ccy} AS cy FROM customer),
+    n AS (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                 {ncx} AS cx, {ncy} AS cy FROM nation)
+    SELECT c.c_custkey, n.n_nationkey
+    FROM c, n
+    WHERE abs(c.cx - n.cx) / {sx} + abs(c.cy - n.cy) / {sy} <= 1
+    """
+
+
 # --------------------------------------------------- J4 kNN
 
 def q_knn(spark, sf_dir) -> DataFrame:
@@ -911,6 +971,7 @@ QUERIES = {
     "spacetime_cell": (q_spacetime_cell, sql_spacetime_cell),
     "pip_grid": (q_pip_grid, sql_pip_grid),
     "pip_diamond": (q_pip_diamond, sql_pip_diamond),
+    "vector_join": (q_vector_join, sql_vector_join),
     "knn": (q_knn, sql_knn),
     "zonal_stats": (q_zonal_stats, sql_zonal_stats),
     "layer_join": (q_layer_join, sql_layer_join),

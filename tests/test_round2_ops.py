@@ -1,0 +1,309 @@
+"""Round-2 operator oracles: Convolve/neighborhoods/TargetCell, Regrid,
+Euclidean distance, vector x vector join, Moran's I, kriging,
+cubic/average/mode resample, line/point rasterize, CollectNeighbors,
+temporal stack stats, WKT/GeoJSON IO (reference spec roles:
+``focal/ConvolveSpec``, ``regrid/RegridSpec``, ``distance/
+EuclideanDistanceTileSpec``, ``join/VectorJoinSpec``,
+``interpolation/KrigingSpec`` — SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from geotrellis_spark.core import geom as G
+from geotrellis_spark.core import kernels as K
+from geotrellis_spark.core import raster_ops as R
+
+
+# ----------------------------------------------------------- kernels
+
+def test_convolve_golden_5x5():
+    tile = np.arange(1, 26, dtype=np.uint16).reshape(5, 5)
+    k = np.array([[0, 1, 0], [1, 2, 1], [0, 1, 0]], dtype=float)
+    got = K.convolve(tile, k)
+    # hand-computed interior cell (2,2): v=13; N=8 E=14 S=18 W=12
+    assert got[2, 2] == 2 * 13 + 8 + 14 + 18 + 12
+    # corner (0,0): v=1 (w2), E=2, S=6 -> 2+2+6=10
+    assert got[0, 0] == 10
+
+
+def test_convolve_skips_nodata():
+    tile = np.full((3, 3), 5, dtype=np.uint16)
+    tile[1, 1] = 0  # NoData
+    got = K.convolve(tile, np.ones((3, 3)))
+    assert got[0, 0] == 15  # 4 neighbors in window minus the NoData center
+    assert np.isnan(got[1, 1]) or got[1, 1] == 40  # center: 8 data cells
+    assert got[1, 1] == 40
+
+
+def test_neighborhood_circle_and_annulus_focal():
+    tile = np.ones((7, 7), dtype=np.uint16)
+    # circle r=2 has 13 cells; annulus default inner=1 drops the center
+    c = K.focal_stat(tile, "sum", 2, neighborhood="circle")
+    assert c[3, 3] == 13
+    a = K.focal_stat(tile, "sum", 2, neighborhood="annulus")
+    assert a[3, 3] == 12
+    assert K.neighborhood_mask("annulus", 2, inner=2).sum() == 4
+    n = K.focal_stat(tile, "sum", 2, neighborhood="nesw")
+    assert n[3, 3] == 9  # two arms of 2 x 4 directions + center
+
+
+def test_target_cell():
+    tile = np.array([[1, 0], [3, 4]], dtype=np.uint16)  # 0 = NoData
+    res = K.focal_stat(tile, "sum", 1, target="data")
+    assert np.isnan(res[0, 1])  # NoData center untouched (stays NaN)
+    res2 = K.focal_stat(tile, "sum", 1, target="nodata")
+    assert res2[0, 0] == 1.0  # data centers keep original value
+    assert res2[0, 1] == 8.0  # NoData center gets the focal result
+
+
+def test_morans_i_signs():
+    rng = np.random.default_rng(5)
+    smooth = np.cumsum(np.cumsum(np.ones((12, 12)), 0), 1).astype(np.uint16)
+    rough = rng.permutation(smooth.ravel()).reshape(12, 12)
+    assert K.morans_i_global(smooth) > 0.5
+    assert K.morans_i_global(smooth) > K.morans_i_global(rough)
+    loc = K.morans_i_local(smooth)
+    assert np.nanmean(loc) > 0
+
+
+def test_resample_cubic_matches_bilinear_on_linear_ramp():
+    # cubic convolution reproduces any linear function exactly (interior)
+    gy, gx = np.mgrid[0:16, 0:16]
+    ramp = (100 + 3 * gy + 5 * gx).astype(np.uint16)
+    up = K.resample_cubic(ramp, 32, 32)
+    gy2, gx2 = np.mgrid[0:32, 0:32]
+    want = 100 + 3 * ((gy2 + 0.5) / 2 - 0.5) + 5 * ((gx2 + 0.5) / 2 - 0.5)
+    assert np.allclose(up[4:-4, 4:-4], np.rint(want)[4:-4, 4:-4], atol=1)
+
+
+def test_resample_average_mode_nodata_aware():
+    t = np.array([[0, 8], [8, 8]], dtype=np.uint16)  # one NoData in block
+    assert K.resample_average(t, 1, 1)[0, 0] == 8
+    assert K.resample_mode(t, 1, 1)[0, 0] == 8
+    allnod = np.zeros((2, 2), dtype=np.uint16)
+    assert K.resample_average(allnod, 1, 1)[0, 0] == 0  # stays NoData
+
+
+def test_euclidean_distance_exact_vs_brute():
+    rng = np.random.default_rng(9)
+    mask = rng.random((20, 23)) < 0.05
+    mask[0, 0] = True
+    d = K.euclidean_distance(mask)
+    yy, xx = np.mgrid[0:20, 0:23]
+    fy, fx = np.nonzero(mask)
+    brute = np.sqrt(
+        ((yy[..., None] - fy) ** 2 + (xx[..., None] - fx) ** 2).min(axis=-1)
+    )
+    assert np.allclose(d, brute)
+
+
+def test_rasterize_line_connected():
+    xs = np.arange(16) + 0.5
+    ys = (15 - np.arange(16)) + 0.5
+    m = K.rasterize_line(np.array([[0.5, 0.5], [15.5, 7.5]]), xs, ys)
+    assert m.sum() >= 16  # a thin connected path
+    lab = R.region_group(m.astype(np.uint16), connectivity=8)
+    assert lab.max() == 1  # single 8-connected component
+
+
+def test_region_group_vectorized_semantics():
+    t = np.array(
+        [
+            [1, 1, 0, 2, 2],
+            [1, 0, 0, 2, 0],
+            [3, 3, 0, 0, 2],
+            [0, 3, 3, 0, 2],
+        ],
+        dtype=np.uint16,
+    )
+    lab = R.region_group(t, connectivity=4)
+    assert lab[0, 0] == lab[0, 1] == lab[1, 0] == 1
+    assert lab[0, 3] == lab[1, 3] == 2
+    assert lab[2, 0] == lab[2, 1] == lab[3, 1] == lab[3, 2] == 3
+    assert lab[2, 4] == lab[3, 4] == 4  # 4-conn: disconnected from (0,3)
+    assert (lab[t == 0] == 0).all()
+    lab8 = R.region_group(t, connectivity=8)
+    assert lab8[2, 4] == lab8[0, 3]  # 8-conn joins the diagonal
+
+
+def test_stack_majority_minority_vectorized():
+    a = np.array([[1, 2]], dtype=np.uint16)
+    b = np.array([[1, 3]], dtype=np.uint16)
+    c = np.array([[4, 3]], dtype=np.uint16)
+    stack = np.stack([a, b, c])
+    maj = K.local_stack_stats(stack, "majority")
+    mino = K.local_stack_stats(stack, "minority")
+    assert maj[0, 0] == 1 and maj[0, 1] == 3
+    assert mino[0, 0] == 4 and mino[0, 1] == 2
+
+
+def test_ordinary_kriging_exact_interpolation():
+    # samples placed exactly on cell centers: kriging must reproduce them
+    px = np.array([2.5, 8.5, 5.5, 1.5])
+    py = np.array([2.5, 3.5, 8.5, 7.5])
+    pv = np.array([10.0, 20.0, 30.0, 40.0])
+    xs = np.arange(10) + 0.5
+    ys = (9 - np.arange(10)) + 0.5
+    z = R.ordinary_kriging(px, py, pv, xs, ys, rng=20.0, sill=2.0)
+    for x, y, v in zip(px, py, pv):
+        c = int(x - 0.5)
+        r = int(9.5 - y)
+        assert z[r, c] == pytest.approx(v, abs=1e-6)
+    assert z.min() >= 9.0 and z.max() <= 41.0  # bounded by samples here
+
+
+def test_wkt_geojson_roundtrip():
+    ring = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0]])
+    hole = np.array([[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0]])
+    wkb = G.wkb_write_polygon([ring, hole])
+    for codec_w, codec_r in ((G.wkt_write, G.wkt_read),
+                             (G.geojson_write, G.geojson_read)):
+        txt = codec_w(wkb)
+        back = codec_r(txt)
+        k1, p1 = G.wkb_read(wkb)
+        k2, p2 = G.wkb_read(back)
+        assert k1 == k2 == "polygon"
+        for r1, r2 in zip(p1, p2):
+            np.testing.assert_allclose(G._close(r1), G._close(r2))
+    pt = G.wkb_write_point(1.5, -2.5)
+    assert G.wkt_read(G.wkt_write(pt)) == pt
+    assert G.geojson_read(G.geojson_write(pt)) == pt
+
+
+def test_polygons_intersect_cases():
+    sq = lambda x0, y0, s: G.wkb_write_polygon(
+        [np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]])]
+    )
+    assert G.polygons_intersect(sq(0, 0, 4), sq(2, 2, 4))      # overlap
+    assert G.polygons_intersect(sq(0, 0, 10), sq(3, 3, 2))     # contains
+    assert G.polygons_intersect(sq(3, 3, 2), sq(0, 0, 10))     # within
+    assert not G.polygons_intersect(sq(0, 0, 2), sq(5, 5, 2))  # disjoint
+    assert G.polygons_intersect(sq(0, 0, 2), sq(2, 0, 2))      # touching edge
+    # crossing without any vertex inside the other (plus shape)
+    horiz = G.wkb_write_polygon(
+        [np.array([[-5.0, 1.0], [5.0, 1.0], [5.0, 2.0], [-5.0, 2.0]])]
+    )
+    vert = G.wkb_write_polygon(
+        [np.array([[1.0, -5.0], [2.0, -5.0], [2.0, 5.0], [1.0, 5.0]])]
+    )
+    assert G.polygons_intersect(horiz, vert)
+
+
+# ------------------------------------------------------- spark layers
+
+@pytest.fixture(scope="module")
+def small_layer(spark):
+    from geotrellis_spark import synth
+    from geotrellis_spark.operators import tiling
+
+    images = synth.synth_images(spark, 60, partitions=4)
+    return tiling.tile_images(images, 5, 256).cache()
+
+
+def test_regrid_roundtrip_pixels(spark, small_layer):
+    from geotrellis_spark.operators import tiling
+
+    from geotrellis_spark.core import codecs
+
+    up = tiling.regrid(small_layer, 5, 256, 512)
+    assert up.count() > 0
+    # pixel-exact roundtrip per tile key: 256 -> 512 -> 256
+    back = tiling.regrid(up, 5, 512, 256)
+    orig = {r["cell_id"]: (bytes(r["tile"]), r["fmt"])
+            for r in small_layer.collect()}
+    got = {r["cell_id"]: (bytes(r["tile"]), r["fmt"]) for r in back.collect()}
+    assert set(orig) <= set(got)
+    for cell, (tb, fmt) in got.items():
+        t = codecs.decode_tile(tb, 256, 256, fmt)
+        if cell in orig:
+            o = codecs.decode_tile(orig[cell][0], 256, 256, orig[cell][1])
+            np.testing.assert_array_equal(t, o)
+        else:  # a 512-tile slice that held no original tile: all NoData
+            assert (t == 0).all()
+
+
+def test_focal_convolve_layer(spark, small_layer):
+    from geotrellis_spark.core import codecs
+    from geotrellis_spark.operators import tiling
+
+    k = np.ones((3, 3)) / 9.0
+    conv = tiling.focal_tiles(small_layer, "mean", kernel=k)
+    mean = tiling.focal_tiles(small_layer, "mean", radius=1)
+    got = {r["cell_id"]: bytes(r["tile"]) for r in conv.collect()}
+    assert len(got) > 0
+    # convolve with a uniform 1/9 kernel != NaN-aware mean only where a
+    # window holds NoData; on all-data windows they agree. Check one
+    # all-data tile pixel-wise against the mean stencil.
+    for r in mean.collect():
+        m = codecs.decode_tile(bytes(r["tile"]), 256, 256, r["fmt"])
+        c = codecs.decode_tile(got[r["cell_id"]], 256, 256, r["fmt"])
+        interior_equal = (m[1:-1, 1:-1] == c[1:-1, 1:-1])
+        assert interior_equal.mean() > 0.5  # most windows are all-data
+        break
+
+
+def test_collect_neighbors(spark, small_layer):
+    from geotrellis_spark.operators import tiling
+
+    nb = tiling.collect_neighbors(small_layer)
+    counts = {r["cell_id"]: r["n"] for r in nb.groupBy("cell_id").count()
+              .withColumnRenamed("count", "n").collect()}
+    centers = {r["cell_id"] for r in small_layer.select("cell_id").collect()}
+    # every center key received itself; group sizes within 1..9
+    for cell, n in counts.items():
+        assert 1 <= n <= 9
+    assert centers <= set(counts)
+
+
+def test_euclidean_distance_layer(spark, small_layer):
+    from geotrellis_spark.core import codecs
+    from geotrellis_spark.operators import algebra
+
+    out = algebra.euclidean_distance_layer(small_layer.limit(4))
+    for r in out.collect():
+        t = codecs.decode_tile(bytes(r["tile"]), 256, 256, r["fmt"])
+        assert t.shape == (256, 256)
+
+
+def test_temporal_stack_stats(spark):
+    from geotrellis_spark.core import codecs
+    from geotrellis_spark.operators import algebra
+    from geotrellis_spark.operators.tiling import TILE_SCHEMA
+    import pandas as pd
+
+    def tile_row(t_ord, value):
+        px = np.full((8, 8), value, dtype=np.uint16)
+        return {
+            "layer": "t", "zoom": 3, "key_col": 1, "key_row": 1,
+            "cell_id": 3, "tile": codecs.encode_tile(px, "raw16"),
+            "fmt": "raw16", "w": 8, "h": 8, "cell_type": "uint16ud0",
+            "t_ord": t_ord,
+        }
+
+    pdf = pd.DataFrame([tile_row(t, 10 * (t + 1)) for t in range(5)])
+    sdf = spark.createDataFrame(pdf)
+    out = algebra.temporal_stack_stats(sdf, "mean", t_min=1, t_max=3)
+    rows = out.collect()
+    assert len(rows) == 1
+    t = codecs.decode_tile(bytes(rows[0]["tile"]), 8, 8, rows[0]["fmt"])
+    assert (t == 30).all()  # mean of 20,30,40
+
+
+def test_vector_join_spark(spark):
+    sq = lambda x0, y0, s: bytearray(G.wkb_write_polygon(
+        [np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]])]
+    ))
+    from geotrellis_spark.operators import spatial
+
+    a = spark.createDataFrame(
+        [(1, sq(0.0, 0.0, 20.0)), (2, sq(100.0, 40.0, 10.0))],
+        "a_id long, wkb binary",
+    )
+    b = spark.createDataFrame(
+        [(10, sq(15.0, 15.0, 20.0)), (11, sq(-50.0, -50.0, 5.0)),
+         (12, sq(104.0, 44.0, 2.0))],
+        "b_id long, wkb binary",
+    )
+    got = sorted((r["a_id"], r["b_id"])
+                 for r in spatial.vector_join(a, b, zoom=4).collect())
+    assert got == [(1, 10), (2, 12)]
