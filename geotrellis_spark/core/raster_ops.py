@@ -80,6 +80,99 @@ def region_group(tile: np.ndarray, connectivity: int = 4, nodata=NODATA_U16) -> 
     return out
 
 
+def vectorize_tile(
+    tile: np.ndarray, connectivity: int = 4, nodata=NODATA_U16
+) -> list[tuple[float, list[np.ndarray]]]:
+    """RV3 vectorize (``raster/.../vectorize/`` role): trace each
+    connected equal-value region into polygon rings (exterior + holes)
+    in PIXEL-CORNER coordinates ((col, row), row increasing down; the
+    caller maps to world coords via the layout affine).
+
+    Boundary-following: every region cell emits its exposed edges
+    directed with the region interior on the LEFT; stitching start ->
+    end (preferring the left turn at ambiguous corner junctions) yields
+    closed loops. The largest-|area| loop is the exterior, the rest are
+    holes. Even-odd rasterization of the result reproduces the region
+    mask exactly (the property the tests assert)."""
+    labels = region_group(tile, connectivity, nodata)
+    out: list[tuple[float, list[np.ndarray]]] = []
+    nlab = int(labels.max())
+    for lab in range(1, nlab + 1):
+        m = labels == lab
+        rs, cs = np.nonzero(m)
+        value = float(tile[rs[0], cs[0]])
+        h, w = m.shape
+        pad = np.zeros((h + 2, w + 2), dtype=bool)
+        pad[1:-1, 1:-1] = m
+        # exposed edges, interior on the left (y-down coords):
+        edges: dict[tuple, list[tuple]] = {}
+
+        def add(p, q):
+            edges.setdefault(p, []).append(q)
+
+        up_exposed = m & ~pad[:-2, 1:-1]
+        dn_exposed = m & ~pad[2:, 1:-1]
+        lf_exposed = m & ~pad[1:-1, :-2]
+        rt_exposed = m & ~pad[1:-1, 2:]
+        for r, c in zip(*np.nonzero(up_exposed)):
+            add((c, r), (c + 1, r))          # top edge, rightward
+        for r, c in zip(*np.nonzero(rt_exposed)):
+            add((c + 1, r), (c + 1, r + 1))  # right edge, downward
+        for r, c in zip(*np.nonzero(dn_exposed)):
+            add((c + 1, r + 1), (c, r + 1))  # bottom edge, leftward
+        for r, c in zip(*np.nonzero(lf_exposed)):
+            add((c, r + 1), (c, r))          # left edge, upward
+        rings: list[np.ndarray] = []
+        while edges:
+            start = next(iter(edges))
+            ring = [start]
+            cur = start
+            prev_dir = None
+            while True:
+                outs = edges[cur]
+                if len(outs) == 1 or prev_dir is None:
+                    nxt = outs.pop()
+                else:
+                    # ambiguous corner: prefer the LEFT turn relative to
+                    # the incoming direction (keeps loops face-consistent)
+                    def turn(q):
+                        dx, dy = q[0] - cur[0], q[1] - cur[1]
+                        # cross(prev_dir, new_dir); y-down => left turn < 0
+                        return prev_dir[0] * dy - prev_dir[1] * dx
+                    outs.sort(key=turn)
+                    nxt = outs.pop(0)
+                if not edges[cur]:
+                    del edges[cur]
+                prev_dir = (nxt[0] - cur[0], nxt[1] - cur[1])
+                if nxt == start:
+                    break
+                ring.append(nxt)
+                cur = nxt
+            # drop collinear midpoints (unit edges merge into runs)
+            arr = np.asarray(ring, dtype=np.float64)
+            keep = np.ones(len(arr), dtype=bool)
+            for i in range(len(arr)):
+                a = arr[i - 1]
+                b = arr[i]
+                cpt = arr[(i + 1) % len(arr)]
+                if (b[0] - a[0]) * (cpt[1] - a[1]) == (b[1] - a[1]) * (cpt[0] - a[0]):
+                    keep[i] = False
+            rings.append(arr[keep])
+        # exterior = largest |area|; holes follow
+        rings.sort(key=lambda r: -abs(G_shoelace(r)))
+        out.append((value, rings))
+    return out
+
+
+def G_shoelace(ring: np.ndarray) -> float:
+    r = np.asarray(ring, dtype=np.float64)
+    if not np.array_equal(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    x, y = r[:-1, 0], r[:-1, 1]
+    x1, y1 = r[1:, 0], r[1:, 1]
+    return float(0.5 * np.sum(x * y1 - x1 * y))
+
+
 def cost_distance(
     friction: np.ndarray, sources: list[tuple[int, int]], nodata=NODATA_U16
 ) -> np.ndarray:
@@ -89,10 +182,21 @@ def cost_distance(
     f = kernels._to_float(friction, nodata)
     h, w = f.shape
     dist = np.full((h, w), np.inf)
-    pq: list[tuple[float, int, int]] = []
     for r, c in sources:
         dist[r, c] = 0.0
-        heapq.heappush(pq, (0.0, r, c))
+    return cost_distance_seeded(f, dist)
+
+
+def cost_distance_seeded(f: np.ndarray, seed: np.ndarray) -> np.ndarray:
+    """Dijkstra relaxation from ALL cells with finite seed cost (the
+    border-exchange primitive of RV5 IterativeCostDistance): returns
+    the element-wise best of seed and any cheaper path through the
+    tile. ``f`` is float friction with NaN blocking."""
+    h, w = f.shape
+    dist = seed.astype(np.float64).copy()
+    pq: list[tuple[float, int, int]] = []
+    for r, c in zip(*np.nonzero(np.isfinite(dist))):
+        heapq.heappush(pq, (float(dist[r, c]), int(r), int(c)))
     moves = [
         (-1, 0, 1.0), (1, 0, 1.0), (0, -1, 1.0), (0, 1, 1.0),
         (-1, -1, 2**0.5), (-1, 1, 2**0.5), (1, -1, 2**0.5), (1, 1, 2**0.5),

@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..core import codecs, geom as G, grouped, kernels
+from ..core import codecs, geom as G, grouped, kernels, raster_ops
 from ..core.layout import LayoutDefinition
 from .spatial import cover_cells
 from .tiling import TILE_SCHEMA
@@ -170,6 +170,50 @@ def temporal_stack_stats(
     if t_max is not None:
         f = f.where(F.col(t_col) <= t_max)
     return local_stats_layers([f.drop(t_col)], stat)
+
+
+def vectorize_layer(
+    tiles: DataFrame, layout: LayoutDefinition, connectivity: int = 4
+) -> DataFrame:
+    """RV3 vectorize: per-tile boundary tracing of connected equal-value
+    regions to world-coordinate polygons (exterior + holes) — narrow
+    map, no shuffle. Output: (cell_id, key_col, key_row, value, wkb).
+    Cross-tile region stitching is the caller's dissolve step (a
+    groupBy(value) + union in vector space); per-tile polygons already
+    rasterize back to the exact region masks (pytest property)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "cell_id": [], "key_col": [], "key_row": [],
+                "value": [], "wkb": [],
+            }
+            for i in range(len(pdf)):
+                t = _decode(pdf, i, "tile", "fmt")
+                h, w = t.shape
+                kc = int(pdf["key_col"].iloc[i])
+                kr = int(pdf["key_row"].iloc[i])
+                xmin, ymin, xmax, ymax = layout.key_to_extent(kc, kr)
+                cw = (xmax - xmin) / w
+                ch = (ymax - ymin) / h
+                for val, rings in raster_ops.vectorize_tile(t, connectivity):
+                    world = [
+                        np.column_stack(
+                            [xmin + r[:, 0] * cw, ymax - r[:, 1] * ch]
+                        )
+                        for r in rings
+                    ]
+                    out["cell_id"].append(int(pdf["cell_id"].iloc[i]))
+                    out["key_col"].append(kc)
+                    out["key_row"].append(kr)
+                    out["value"].append(float(val))
+                    out["wkb"].append(G.wkb_write_polygon(world))
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(
+        gen,
+        "cell_id long, key_col long, key_row long, value double, wkb binary",
+    )
 
 
 def rasterize_features(

@@ -307,3 +307,76 @@ def test_vector_join_spark(spark):
     got = sorted((r["a_id"], r["b_id"])
                  for r in spatial.vector_join(a, b, zoom=4).collect())
     assert got == [(1, 10), (2, 12)]
+
+
+def test_vectorize_tile_roundtrip_random():
+    """RV3 property (the reference's own invariant): even-odd
+    rasterization of the traced polygons reproduces each region mask."""
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        t = rng.integers(0, 3, size=(13, 16)).astype(np.uint16)
+        labels = R.region_group(t, 4)
+        xs = np.arange(16) + 0.5
+        ys = np.arange(13) + 0.5
+        rebuilt = np.zeros_like(labels)
+        for k, (val, rings) in enumerate(R.vectorize_tile(t, 4), start=1):
+            flipped = [np.column_stack([r[:, 0], -r[:, 1]]) for r in rings]
+            mask = K.rasterize_polygon(flipped, xs, -ys)
+            rebuilt[mask] = k
+        np.testing.assert_array_equal(rebuilt, labels)
+
+
+def test_vectorize_layer_world_coords(spark):
+    from geotrellis_spark.core import codecs
+    from geotrellis_spark.core.layout import Extent, LayoutDefinition, TileLayout
+    from geotrellis_spark.operators import algebra
+    import pandas as pd
+
+    px = np.zeros((8, 8), dtype=np.uint16)
+    px[2:5, 3:7] = 9  # one rectangular region
+    ld = LayoutDefinition(Extent(0, 0, 16, 16), TileLayout(2, 2, 8, 8))
+    pdf = pd.DataFrame([{
+        "layer": "v", "zoom": 1, "key_col": 1, "key_row": 0,
+        "cell_id": 1, "tile": codecs.encode_tile(px, "raw16"),
+        "fmt": "raw16", "w": 8, "h": 8, "cell_type": "uint16ud0",
+    }])
+    out = algebra.vectorize_layer(spark.createDataFrame(pdf), ld).collect()
+    assert len(out) == 1
+    kind, rings = G.wkb_read(bytes(out[0]["wkb"]))
+    assert kind == "polygon" and out[0]["value"] == 9.0
+    # tile (1,0) extent is x in [8,16], y in [8,16]; region cols 3..6,
+    # rows 2..4 -> world x in [11,15], y in [11,14]
+    ext = rings[0]
+    assert ext[:, 0].min() == 11.0 and ext[:, 0].max() == 15.0
+    assert ext[:, 1].min() == 11.0 and ext[:, 1].max() == 14.0
+
+
+def test_iterative_cost_distance_matches_global(spark):
+    from geotrellis_spark.core import codecs
+    from geotrellis_spark.operators import iterative
+    from geotrellis_spark.core import sfc
+    import pandas as pd
+
+    T = 16
+    rng = np.random.default_rng(2)
+    world = rng.integers(1, 5, size=(2 * T, 2 * T)).astype(np.uint16)
+    world[5:20, 11] = 0  # a NoData wall the path must route around
+    rows = []
+    for kr in range(2):
+        for kc in range(2):
+            tile = world[kr * T : (kr + 1) * T, kc * T : (kc + 1) * T]
+            rows.append({
+                "layer": "f", "zoom": 1, "key_col": kc, "key_row": kr,
+                "cell_id": int(sfc.zorder(kc, kr)),
+                "tile": codecs.encode_tile(tile, "raw16"),
+                "fmt": "raw16", "w": T, "h": T, "cell_type": "uint16ud0",
+            })
+    fdf = spark.createDataFrame(pd.DataFrame(rows))
+    out = iterative.iterative_cost_distance(fdf, [(3, 3)], tile_size=T)
+    got = np.full((2 * T, 2 * T), np.nan)
+    for r in out.collect():
+        c = np.frombuffer(bytes(r["cost"])).reshape(T, T)
+        got[r["key_row"] * T : (r["key_row"] + 1) * T,
+            r["key_col"] * T : (r["key_col"] + 1) * T] = c
+    want = R.cost_distance(world, [(3, 3)])
+    np.testing.assert_allclose(got, want)
