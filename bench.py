@@ -31,14 +31,17 @@ HEADLINE = [
     "cell_agg",
     "range_query",
     "pip_grid",
+    "vector_join",
     "knn",
     "zonal_stats",
     "layer_join",
     "temporal_rollup",
+    "class_breaks",
     "minhash_lsh",
     "simhash",
     "token_count",
     "ann_topk",
+    "ann_bucketed",
 ]
 
 

@@ -241,6 +241,55 @@ def idw(
     return out
 
 
+def viewshed(
+    dem: np.ndarray,
+    vr: int,
+    vc: int,
+    observer_height: float = 0.0,
+    nodata=NODATA_U16,
+    samples_per_cell: float = 2.0,
+) -> np.ndarray:
+    """RV6 Viewshed (``raster/.../viewshed/`` role, tile-level): a cell
+    is visible iff no sampled point on the line of sight to the
+    viewpoint rises above the sight line (R3 sampled line-of-sight with
+    bilinear terrain interpolation — the dense-sampling formulation of
+    the reference's ray method). Vectorized over whole rows of cells;
+    NoData terrain blocks sight. Returns bool (h, w)."""
+    f = kernels._to_float(dem, nodata)
+    h, w = f.shape
+    eye = f[vr, vc] + observer_height
+    if np.isnan(eye):
+        return np.zeros((h, w), dtype=bool)
+    out = np.zeros((h, w), dtype=bool)
+    cols = np.arange(w, dtype=np.float64)
+    fn = np.where(np.isnan(f), np.inf, f)  # NoData blocks
+    for r in range(h):
+        dx = cols - vc
+        dy = float(r - vr)
+        dist = np.hypot(dx, dy)
+        n = max(int(dist.max() * samples_per_cell), 1)
+        t = (np.arange(1, n) / n)[:, None]  # interior sample fractions
+        sx = vc + t * dx[None, :]
+        sy = vr + t * dy
+        x0 = np.clip(np.floor(sx).astype(np.int64), 0, w - 2)
+        y0 = np.clip(np.floor(sy).astype(np.int64), 0, h - 2)
+        fx = sx - x0
+        fy = sy - y0
+        terrain = (
+            fn[y0, x0] * (1 - fy) * (1 - fx)
+            + fn[y0, x0 + 1] * (1 - fy) * fx
+            + fn[y0 + 1, x0] * fy * (1 - fx)
+            + fn[y0 + 1, x0 + 1] * fy * fx
+        )
+        sight = eye + t * (f[r, :][None, :] - eye)  # LOS elevation at t
+        # only samples strictly before the target cell can block it
+        before = t * dist[None, :] < (dist[None, :] - 0.5)
+        blocked = ((terrain > sight + 1e-9) & before).any(axis=0)
+        out[r, :] = ~blocked & ~np.isnan(f[r, :])
+    out[vr, vc] = not np.isnan(f[vr, vc])
+    return out
+
+
 def spherical_variogram(h: np.ndarray, rng: float, sill: float, nugget: float) -> np.ndarray:
     """Spherical semivariogram gamma(h) (``vector/.../interpolation/
     Semivariogram.scala`` role)."""

@@ -380,3 +380,14 @@ def test_iterative_cost_distance_matches_global(spark):
             r["key_col"] * T : (r["key_col"] + 1) * T] = c
     want = R.cost_distance(world, [(3, 3)])
     np.testing.assert_allclose(got, want)
+
+
+def test_viewshed_wall_shadow():
+    flat = np.full((12, 12), 100, dtype=np.uint16)
+    assert R.viewshed(flat, 5, 5).all()
+    dem = np.full((9, 15), 10, dtype=np.uint16)
+    dem[:, 7] = 200  # a wall
+    v = R.viewshed(dem, 4, 2)
+    assert v[4, 7] and v[4, 5] and v[4, 0]   # wall + foreground visible
+    assert not v[4, 10] and not v[4, 14]     # shadow behind the wall
+    assert R.viewshed(dem, 4, 2, observer_height=5000.0)[4, 14]
