@@ -38,7 +38,10 @@ def main() -> None:
     t_tile = time.time() - t0
 
     # PIP join: 2M deterministic points (the sf0.1 events table alone is
-    # too small to measure scaling — fixed overheads dominate)
+    # too small to measure scaling — fixed overheads dominate).
+    # Payload-aware Arrow batching: 128-row batches suit ~100KB image
+    # rows; small-row UDFs run 4x faster at 4096 (see bench.py).
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
     from geotrellis_spark.functions import exprs
 
     n_points = 2_000_000

@@ -475,6 +475,38 @@ def geojson_read(txt: str) -> bytes:
     raise ValueError(f"unsupported GeoJSON type {t}")
 
 
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """RV9 convexHull: Andrew's monotone chain (textbook public-domain
+    formulation). Input (n,2); returns the hull ring CCW, closed."""
+    p = np.unique(np.asarray(pts, dtype=np.float64), axis=0)
+    if p.shape[0] <= 2:
+        return np.vstack([p, p[:1]]) if p.shape[0] else p
+    order = np.lexsort((p[:, 1], p[:, 0]))
+    p = p[order]
+
+    def half(points):
+        h: list[np.ndarray] = []
+        for q in points:
+            while len(h) >= 2 and (
+                (h[-1][0] - h[-2][0]) * (q[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (q[0] - h[-2][0])
+            ) <= 0:
+                h.pop()
+            h.append(q)
+        return h
+
+    lower = half(p)
+    upper = half(p[::-1])
+    hull = np.asarray(lower[:-1] + upper[:-1])
+    return np.vstack([hull, hull[:1]])
+
+
+def linestring_length(pts: np.ndarray) -> float:
+    """RV9 length of a polyline."""
+    p = np.asarray(pts, dtype=np.float64)
+    return float(np.hypot(np.diff(p[:, 0]), np.diff(p[:, 1])).sum())
+
+
 def point_segment_distance(px, py, ax, ay, bx, by) -> np.ndarray:
     """Distance from point batch to one segment."""
     px = np.asarray(px, dtype=np.float64)

@@ -100,6 +100,11 @@ _BINARY = {
     "pow": np.power,
     "min": np.fmin,
     "max": np.fmax,
+    # bitwise int ops (local/{And,Or,Xor}.scala semantics: operate on
+    # the integer cell values; NoData propagates like every local op)
+    "and": lambda a, b: np.bitwise_and(a.astype(np.int64), np.int64(b) if np.isscalar(b) else b.astype(np.int64)).astype(np.float64),
+    "or": lambda a, b: np.bitwise_or(a.astype(np.int64), np.int64(b) if np.isscalar(b) else b.astype(np.int64)).astype(np.float64),
+    "xor": lambda a, b: np.bitwise_xor(a.astype(np.int64), np.int64(b) if np.isscalar(b) else b.astype(np.int64)).astype(np.float64),
     "equal": lambda a, b: (a == b).astype(np.float64),
     "unequal": lambda a, b: (a != b).astype(np.float64),
     "greater": lambda a, b: (a > b).astype(np.float64),
@@ -146,6 +151,14 @@ def local_unary(op: str, a: np.ndarray, nodata=NODATA_U16) -> np.ndarray:
     with np.errstate(divide="ignore", invalid="ignore"):
         r = _UNARY[op](fa)
     return _from_float(np.where(np.isnan(fa), np.nan, r), a.dtype, nodata)
+
+
+def if_cell(tile: np.ndarray, cond, value: float, nodata=NODATA_U16) -> np.ndarray:
+    """local/IfCell.scala: where ``cond(cell)`` holds, replace the cell
+    with ``value``; NoData cells stay NoData."""
+    f = _to_float(tile, nodata)
+    r = np.where(cond(f), float(value), f)
+    return _from_float(np.where(np.isnan(f), np.nan, r), tile.dtype, nodata)
 
 
 def local_stack_stats(stack: np.ndarray, stat: str, nodata=NODATA_U16) -> np.ndarray:
@@ -549,23 +562,15 @@ def nearest_sample(
     return out
 
 
-def resample_cubic(
-    tile: np.ndarray, out_h: int, out_w: int, nodata=NODATA_U16, a: float = -0.5
+def _resample_separable(
+    tile: np.ndarray, out_h: int, out_w: int, kfn, support: int,
+    nodata=NODATA_U16,
 ) -> np.ndarray:
-    """Cubic-convolution resample (Keys 1981, the GDAL/GeoTrellis
-    CubicConvolution default a=-0.5; ``resample/CubicConvolution
-    Resample.scala`` role). Separable 4-tap kernel; windows containing
-    NoData fall back to bilinear-of-data semantics via NaN propagation
-    -> NoData (GeoTrellis marks them NoData)."""
-
-    def _k(t: np.ndarray) -> np.ndarray:
-        at = np.abs(t)
-        return np.where(
-            at <= 1,
-            (a + 2) * at**3 - (a + 3) * at**2 + 1,
-            np.where(at < 2, a * at**3 - 5 * a * at**2 + 8 * a * at - 4 * a, 0.0),
-        )
-
+    """Generic separable kernel resampler: taps in
+    [-support+1, support]; weights from kfn(offset); per-axis weight
+    normalization (so truncated edge windows stay unbiased). Windows
+    containing NoData propagate NaN -> NoData (the reference marks
+    them NoData)."""
     f = _to_float(tile, nodata)
     h, w = f.shape
     ry = (np.arange(out_h) + 0.5) * h / out_h - 0.5
@@ -575,16 +580,123 @@ def resample_cubic(
     fy = ry - y0
     fx = rx - x0
     out = np.zeros((out_h, out_w))
-    for j in range(-1, 3):
-        wy = _k(j - fy)[:, None]
+    wy_sum = np.zeros(out_h)
+    wx_sum = np.zeros(out_w)
+    taps = range(-support + 1, support + 1)
+    for j in taps:
+        wy_sum += kfn(j - fy)
+    for i in taps:
+        wx_sum += kfn(i - fx)
+    for j in taps:
+        wy = (kfn(j - fy) / wy_sum)[:, None]
         yy = np.clip(y0 + j, 0, h - 1)
         row_acc = np.zeros((out_h, out_w))
-        for i in range(-1, 3):
-            wx = _k(i - fx)[None, :]
+        for i in taps:
+            wx = (kfn(i - fx) / wx_sum)[None, :]
             xx = np.clip(x0 + i, 0, w - 1)
             row_acc += f[np.ix_(yy, xx)] * wx
         out += row_acc * wy
     return _from_float(out, tile.dtype, nodata)
+
+
+def _keys_kernel(a: float):
+    def _k(t: np.ndarray) -> np.ndarray:
+        at = np.abs(t)
+        return np.where(
+            at <= 1,
+            (a + 2) * at**3 - (a + 3) * at**2 + 1,
+            np.where(at < 2, a * at**3 - 5 * a * at**2 + 8 * a * at - 4 * a, 0.0),
+        )
+    return _k
+
+
+def resample_cubic(
+    tile: np.ndarray, out_h: int, out_w: int, nodata=NODATA_U16, a: float = -0.5
+) -> np.ndarray:
+    """Cubic-convolution resample (Keys 1981, the GDAL/GeoTrellis
+    CubicConvolution default a=-0.5; ``resample/CubicConvolution
+    Resample.scala`` role). Separable 4-tap kernel."""
+    return _resample_separable(tile, out_h, out_w, _keys_kernel(a), 2, nodata)
+
+
+def resample_cubic_spline(
+    tile: np.ndarray, out_h: int, out_w: int, nodata=NODATA_U16
+) -> np.ndarray:
+    """Cubic B-spline resample (``resample/CubicSplineResample.scala``
+    role): smoothing 4-tap B-spline kernel (not interpolating — the
+    reference's convention)."""
+
+    def _k(t: np.ndarray) -> np.ndarray:
+        at = np.abs(t)
+        return np.where(
+            at <= 1,
+            (4 - 6 * at**2 + 3 * at**3) / 6.0,
+            np.where(at < 2, (2 - at) ** 3 / 6.0, 0.0),
+        )
+
+    return _resample_separable(tile, out_h, out_w, _k, 2, nodata)
+
+
+def resample_lanczos(
+    tile: np.ndarray, out_h: int, out_w: int, nodata=NODATA_U16, a: int = 3
+) -> np.ndarray:
+    """Lanczos-windowed sinc resample (``resample/LanczosResample.scala``
+    role), a=3 (6 taps per axis), per-axis weight normalization."""
+
+    def _k(t: np.ndarray) -> np.ndarray:
+        t = np.asarray(t, dtype=np.float64)
+        return np.where(
+            np.abs(t) < 1e-12,
+            1.0,
+            np.where(
+                np.abs(t) < a,
+                a * np.sin(np.pi * t) * np.sin(np.pi * t / a)
+                / (np.pi * np.pi * t * t),
+                0.0,
+            ),
+        )
+
+    return _resample_separable(tile, out_h, out_w, _k, a, nodata)
+
+
+def _resample_block(tile, out_h, out_w, reducer, nodata):
+    h, w = tile.shape
+    by, bx = h // out_h, w // out_w
+    if by * out_h != h or bx * out_w != w:
+        raise ValueError("aggregate resample needs integer block ratios")
+    f = _to_float(tile, nodata).reshape(out_h, by, out_w, bx)
+    with np.errstate(invalid="ignore"), np.testing.suppress_warnings() as sup:
+        sup.filter(RuntimeWarning)
+        return _from_float(reducer(f), tile.dtype, nodata)
+
+
+def resample_max(tile, out_h, out_w, nodata=NODATA_U16):
+    """Aggregate Max downsample (``resample/MaxResample.scala`` role)."""
+    return _resample_block(tile, out_h, out_w,
+                           lambda f: np.nanmax(f, axis=(1, 3)), nodata)
+
+
+def resample_min(tile, out_h, out_w, nodata=NODATA_U16):
+    """Aggregate Min downsample (``resample/MinResample.scala`` role)."""
+    return _resample_block(tile, out_h, out_w,
+                           lambda f: np.nanmin(f, axis=(1, 3)), nodata)
+
+
+def resample_median(tile, out_h, out_w, nodata=NODATA_U16):
+    """Aggregate Median downsample (``resample/MedianResample.scala``)."""
+    return _resample_block(tile, out_h, out_w,
+                           lambda f: np.nanmedian(f, axis=(1, 3)), nodata)
+
+
+def resample_sum(tile, out_h, out_w, nodata=NODATA_U16):
+    """Aggregate Sum downsample (``resample/SumResample.scala`` role);
+    all-NoData blocks stay NoData."""
+
+    def red(f):
+        s = np.nansum(f, axis=(1, 3))
+        return np.where(np.isnan(f).all(axis=(1, 3)), np.nan, s)
+
+    return _resample_block(tile, out_h, out_w, red, nodata)
 
 
 def resample_average(

@@ -391,6 +391,42 @@ def crop(tile: np.ndarray, r0: int, c0: int, r1: int, c1: int) -> np.ndarray:
     return tile[r0:r1, c0:c1].copy()
 
 
+def split(tile: np.ndarray, sub_h: int, sub_w: int) -> list[tuple[int, int, np.ndarray]]:
+    """G3 split: slice a tile into a grid of (row_off, col_off, sub)
+    subtiles (``raster/.../split/`` role); ragged edges kept smaller."""
+    h, w = tile.shape
+    out = []
+    for r0 in range(0, h, sub_h):
+        for c0 in range(0, w, sub_w):
+            out.append((r0, c0, tile[r0 : r0 + sub_h, c0 : c0 + sub_w].copy()))
+    return out
+
+
+def normalize(
+    tile: np.ndarray, old_min: float, old_max: float,
+    new_min: float, new_max: float, nodata=NODATA_U16,
+) -> np.ndarray:
+    """G3 normalize: linear map [old_min, old_max] -> [new_min, new_max]
+    (``raster/.../Tile.normalize`` role); NoData preserved."""
+    f = kernels._to_float(tile, nodata)
+    span = old_max - old_min
+    if span == 0:
+        r = np.full(f.shape, new_min, dtype=np.float64)
+    else:
+        r = (f - old_min) / span * (new_max - new_min) + new_min
+    return kernels._from_float(np.where(np.isnan(f), np.nan, r), tile.dtype, nodata)
+
+
+def rescale(tile: np.ndarray, new_min: float, new_max: float, nodata=NODATA_U16) -> np.ndarray:
+    """G3 rescale: normalize from the tile's own min/max."""
+    f = kernels._to_float(tile, nodata)
+    ok = ~np.isnan(f)
+    if not ok.any():
+        return tile.copy()
+    return normalize(tile, float(f[ok].min()), float(f[ok].max()),
+                     new_min, new_max, nodata)
+
+
 def mask_by_mask(tile: np.ndarray, mask: np.ndarray, inverse: bool = False,
                  nodata=NODATA_U16) -> np.ndarray:
     """G3 mask/inverseMask: cells outside (inside, if inverse) the mask

@@ -129,6 +129,41 @@ def local_stats_layers(layers: list[DataFrame], stat: str) -> DataFrame:
     return grouped.grouped_rows(u, "cell_id", kernel, TILE_SCHEMA)
 
 
+def band_math(
+    tiles: DataFrame, fn, band_col: str = "band", layer: str = "band_math"
+) -> DataFrame:
+    """D2 MultibandTile surface: a multiband layer is the tile table
+    plus an integer ``band`` column (one row per band per cell — the
+    table-native normalization of ``ArrayMultibandTile``).
+    ``fn(stack) -> tile`` combines the (n_bands, h, w) NaN-lifted float
+    stack per cell (e.g. NDVI-style ratios — MultibandTile.combine
+    role). One shuffle via the manual grouped-map."""
+
+    def kernel(cell: int, pdf: pd.DataFrame) -> dict:
+        order = pdf.sort_values(band_col)
+        stack = np.stack(
+            [
+                kernels._to_float(
+                    _decode(order, i, "tile", "fmt"), kernels.NODATA_U16
+                )
+                for i in range(len(order))
+            ]
+        )
+        res = fn(stack)
+        out_t = np.where(np.isnan(res), 0.0, np.rint(np.clip(res, 0, 65535)))
+        row = pdf.iloc[0]
+        return {
+            "layer": layer, "zoom": int(row["zoom"]),
+            "key_col": int(row["key_col"]), "key_row": int(row["key_row"]),
+            "cell_id": cell,
+            "tile": codecs.encode_tile(out_t.astype(np.uint16), row["fmt"]),
+            "fmt": row["fmt"], "w": int(row["w"]), "h": int(row["h"]),
+            "cell_type": row["cell_type"],
+        }
+
+    return grouped.grouped_rows(tiles, "cell_id", kernel, TILE_SCHEMA)
+
+
 def euclidean_distance_layer(
     a: DataFrame, cw: float = 1.0, ch: float = 1.0, cap: float = 65534.0
 ) -> DataFrame:

@@ -126,6 +126,62 @@ def polygonal_summary(
     )
 
 
+def time_series_polygonal(
+    tiles: DataFrame, polys: DataFrame, layout: LayoutDefinition, zoom: int,
+    t_col: str = "t_ord", wkb_col: str = "wkb", geom_id_col: str = "geom_id",
+) -> DataFrame:
+    """TS1 TimeSeries: per-polygon stat PER TIME STEP over a
+    SpaceTimeKey layer (``spark/.../timeseries`` role) — the Z2
+    polygonal-summary machinery grouped by (geom_id, t). One broadcast
+    of the polygon cover, one shuffle for the final hash-agg."""
+    cells = (
+        cover_cells(polys, zoom, wkb_col, clip=True)
+        .where(F.col("clipped_wkb").isNotNull())
+        .select(geom_id_col, F.col("clipped_wkb").alias(wkb_col), "cell_id")
+    )
+    joined = tiles.join(F.broadcast(cells), "cell_id")
+    tl = layout.tile_layout
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("geom_id", "t_ord", "cnt", "s", "mn", "mx")}
+            for i in range(len(pdf)):
+                w, h = int(pdf["w"].iloc[i]), int(pdf["h"].iloc[i])
+                tile = codecs.decode_tile(bytes(pdf["tile"].iloc[i]), w, h,
+                                          pdf["fmt"].iloc[i])
+                xs, ys = layout.cell_lattice(
+                    int(pdf["key_col"].iloc[i]), int(pdf["key_row"].iloc[i])
+                )
+                kind, payload = G.wkb_read(bytes(pdf[wkb_col].iloc[i]))
+                rings = payload if kind == "polygon" else [
+                    r for poly in payload for r in poly
+                ]
+                mask = kernels.rasterize_polygon(rings, xs, ys)
+                vals = kernels._to_float(tile, kernels.NODATA_U16)[mask]
+                vals = vals[~np.isnan(vals)]
+                if vals.size == 0:
+                    continue
+                out["geom_id"].append(int(pdf[geom_id_col].iloc[i]))
+                out["t_ord"].append(int(pdf[t_col].iloc[i]))
+                out["cnt"].append(int(vals.size))
+                out["s"].append(float(vals.sum()))
+                out["mn"].append(float(vals.min()))
+                out["mx"].append(float(vals.max()))
+            yield pd.DataFrame(out)
+
+    p = joined.mapInPandas(
+        partials,
+        "geom_id long, t_ord long, cnt long, s double, mn double, mx double",
+    )
+    return p.groupBy("geom_id", "t_ord").agg(
+        F.sum("cnt").alias("count"),
+        F.sum("s").alias("sum"),
+        F.min("mn").alias("min"),
+        F.max("mx").alias("max"),
+        (F.sum("s") / F.sum("cnt")).alias("mean"),
+    )
+
+
 def layer_histogram(tiles: DataFrame, size: int = 80) -> StreamingHistogram:
     """Z3: mergeable StreamingHistogram over all tile pixels — per-tile
     partial sketches (pandas UDF) merged driver-side (the partials are

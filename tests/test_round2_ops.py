@@ -391,3 +391,115 @@ def test_viewshed_wall_shadow():
     assert v[4, 7] and v[4, 5] and v[4, 0]   # wall + foreground visible
     assert not v[4, 10] and not v[4, 14]     # shadow behind the wall
     assert R.viewshed(dem, 4, 2, observer_height=5000.0)[4, 14]
+
+
+def test_bitwise_and_if_cell():
+    a = np.array([[6, 0], [5, 12]], dtype=np.uint16)
+    b = np.array([[3, 3], [1, 10]], dtype=np.uint16)
+    r = K.local_binary("and", a, b)
+    assert r[0, 0] == 2 and r[1, 0] == 1 and r[1, 1] == 8
+    assert r[0, 1] == 0  # NoData propagates
+    assert K.local_binary("xor", a, b)[1, 1] == 6
+    assert K.local_binary("or", a, b)[0, 0] == 7
+    ic = K.if_cell(a, lambda v: v > 5, 99)
+    assert ic[0, 0] == 99 and ic[1, 0] == 5 and ic[0, 1] == 0
+
+
+def test_resample_kernels_constant_invariance():
+    cst = np.full((16, 16), 1234, dtype=np.uint16)
+    for fn in (K.resample_cubic, K.resample_cubic_spline, K.resample_lanczos):
+        out = fn(cst, 24, 24)
+        assert (out == 1234).all(), fn.__name__
+    t = np.arange(1, 17, dtype=np.uint16).reshape(4, 4)
+    assert K.resample_max(t, 2, 2)[0, 0] == 6
+    assert K.resample_min(t, 2, 2)[1, 1] == 11
+    assert K.resample_sum(t, 2, 2)[0, 1] == 3 + 4 + 7 + 8
+    # integer celltype rounds the 3.5 median to 4
+    assert K.resample_median(t, 2, 2)[0, 0] == 4
+
+
+def test_split_normalize_rescale():
+    t = np.arange(1, 25, dtype=np.uint16).reshape(4, 6)
+    subs = R.split(t, 2, 4)
+    assert len(subs) == 4  # ragged 2x(4+2) grid
+    assert subs[0][2].shape == (2, 4) and subs[1][2].shape == (2, 2)
+    n = R.normalize(t, 1, 24, 0, 230)
+    assert n[0, 0] == 0 and n[3, 5] == 230
+    rs = R.rescale(t, 10, 20)
+    assert rs.min() == 10 and rs.max() == 20
+
+
+def test_convex_hull():
+    rng = np.random.default_rng(4)
+    pts = rng.random((200, 2)) * 10
+    hull = G.convex_hull(pts)
+    # all points inside or on the hull; hull area >= bbox of any subset
+    inside = G.points_in_rings(pts[:, 0], pts[:, 1], [hull])
+    # boundary points may fall "outside" under the half-open rule; check
+    # via area containment instead: hull of hull == hull
+    h2 = G.convex_hull(hull[:-1])
+    assert abs(G.shoelace_area(hull)) == pytest.approx(
+        abs(G.shoelace_area(h2)), rel=1e-12
+    )
+    assert inside.mean() > 0.9
+    assert abs(G.shoelace_area(hull)) > 0.5 * 100 * (
+        0.0 + 0.6
+    )  # hull of 200 uniform points covers most of the square
+
+
+def test_band_math_ndvi(spark):
+    from geotrellis_spark.core import codecs
+    from geotrellis_spark.operators import algebra
+    import pandas as pd
+
+    def row(band, value):
+        px = np.full((8, 8), value, dtype=np.uint16)
+        return {
+            "layer": "mb", "zoom": 3, "key_col": 1, "key_row": 1,
+            "cell_id": 3, "tile": codecs.encode_tile(px, "raw16"),
+            "fmt": "raw16", "w": 8, "h": 8, "cell_type": "uint16ud0",
+            "band": band,
+        }
+
+    sdf = spark.createDataFrame(pd.DataFrame([row(0, 100), row(1, 300)]))
+    # scaled NDVI-ish: (b1-b0)/(b1+b0) * 1000
+    out = algebra.band_math(
+        sdf, lambda s: (s[1] - s[0]) / (s[1] + s[0]) * 1000.0
+    ).collect()
+    assert len(out) == 1
+    t = codecs.decode_tile(bytes(out[0]["tile"]), 8, 8, out[0]["fmt"])
+    assert (t == 500).all()
+
+
+def test_time_series_polygonal(spark):
+    from geotrellis_spark.core import codecs
+    from geotrellis_spark.core.layout import Extent, LayoutDefinition, TileLayout
+    from geotrellis_spark.operators import zonal
+    from geotrellis_spark.core import sfc
+    import pandas as pd
+
+    ld = LayoutDefinition(Extent(-180, -90, 180, 90), TileLayout(2, 2, 8, 8))
+
+    def row(kc, kr, t_ord, value):
+        px = np.full((8, 8), value, dtype=np.uint16)
+        return {
+            "layer": "ts", "zoom": 1, "key_col": kc, "key_row": kr,
+            "cell_id": int(sfc.zorder(kc, kr)),
+            "tile": codecs.encode_tile(px, "raw16"),
+            "fmt": "raw16", "w": 8, "h": 8, "cell_type": "uint16ud0",
+            "t_ord": t_ord,
+        }
+
+    rows = [row(kc, kr, t, 10 * (t + 1) + kc)
+            for kc in range(2) for kr in range(2) for t in range(3)]
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    # polygon covering the west hemisphere interior
+    ring = np.array([[-170.0, -80.0], [-10.0, -80.0], [-10.0, 80.0], [-170.0, 80.0]])
+    polys = spark.createDataFrame(
+        [(7, bytearray(G.wkb_write_polygon([ring])))], "geom_id long, wkb binary"
+    )
+    out = {(r["geom_id"], r["t_ord"]): r["mean"]
+           for r in zonal.time_series_polygonal(tiles, polys, ld, 1).collect()}
+    assert len(out) == 3
+    for t in range(3):
+        assert out[(7, t)] == pytest.approx(10 * (t + 1))  # west tiles kc=0
