@@ -56,6 +56,41 @@ def lonlat_np(lon_id, lat_id) -> tuple[np.ndarray, np.ndarray]:
     return lon, lat
 
 
+HOT_LON, HOT_LAT = 10.0, 45.0  # images hot-spot box corner (0.5 x 0.5 deg)
+HOT_EVERY = 10  # every 10th image lands in the box (real spatial skew)
+
+
+def image_lonlat_np(ordinal) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic image geolocation WITH the hot-spot cluster: every
+    HOT_EVERY-th image maps into one 0.5 x 0.5 degree box — the skew
+    the salting / AQE / map-side-combine machinery must handle."""
+    i = np.asarray(ordinal, dtype=np.int64)
+    lon, lat = lonlat_np(i, i)
+    hot = (i % HOT_EVERY) == 0
+    frac_lon = ((i * LON_MULT) % M32) / M32
+    frac_lat = ((i * LAT_MULT) % M32) / M32
+    lon = np.where(hot, HOT_LON + frac_lon * 0.5, lon)
+    lat = np.where(hot, HOT_LAT + frac_lat * 0.5, lat)
+    return lon, lat
+
+
+def image_lon_sql(id_col: str) -> str:
+    """SQL twin of image_lonlat_np's longitude (exact: same op order)."""
+    frac = f"(cast(({id_col} * {LON_MULT}) % {M32} as double) / {M32})"
+    return (
+        f"(CASE WHEN ({id_col}) % {HOT_EVERY} = 0 "
+        f"THEN {HOT_LON} + {frac} * 0.5 ELSE {frac} * 360 - 180 END)"
+    )
+
+
+def image_lat_sql(id_col: str) -> str:
+    frac = f"(cast(({id_col} * {LAT_MULT}) % {M32} as double) / {M32})"
+    return (
+        f"(CASE WHEN ({id_col}) % {HOT_EVERY} = 0 "
+        f"THEN {HOT_LAT} + {frac} * 0.5 ELSE {frac} * 170 - 85 END)"
+    )
+
+
 def key_col_sql(lon_expr: str, zoom: int) -> str:
     """LatLng ZoomedLayoutScheme key column: floor((lon+180)/360 * 2^z),
     clamped to the grid (far-east edge lands in the last tile)."""

@@ -114,8 +114,10 @@ TILE_SCHEMA = StructType(
 def image_anchor(ordinal: np.ndarray, w: np.ndarray, h: np.ndarray, zoom: int, tile_size: int):
     """Top-left corner of each image on the global pixel lattice at
     ``zoom`` (LatLng scheme): center from the deterministic lon/lat
-    formulas, snapped to integer pixels, clamped inside the world."""
-    lon, lat = exprs.lonlat_np(ordinal, ordinal)
+    formulas INCLUDING the hot-spot cluster (every 10th image in one
+    0.5-degree box — real spatial skew the merge must absorb), snapped
+    to integer pixels, clamped inside the world."""
+    lon, lat = exprs.image_lonlat_np(ordinal)
     n = (1 << zoom) * tile_size  # world size in pixels
     gx = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64) - w // 2
     gy = np.floor((90.0 - lat) / 180.0 * n).astype(np.int64) - h // 2

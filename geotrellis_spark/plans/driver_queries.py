@@ -810,14 +810,13 @@ def _image_cells_duck(n: int, zoom: int = _IMG_ZOOM, T: int = 256) -> str:
     -> DISTINCT (key_col, key_row). Exact: the anchor math is integer
     floor/clip arithmetic on doubles both engines compute identically."""
     npix = (1 << zoom) * T
-    lm, tm, m32 = exprs.LON_MULT, exprs.LAT_MULT, exprs.M32
     return f"""
     imgs AS (
       SELECT i,
         CASE (i*7)%3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END AS w,
         CASE (i*13)%3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END AS h,
-        CAST((i*{lm}) % {m32} AS DOUBLE)/{m32}*360 - 180 AS lon,
-        CAST((i*{tm}) % {m32} AS DOUBLE)/{m32}*170 - 85 AS lat
+        {exprs.image_lon_sql('i')} AS lon,
+        {exprs.image_lat_sql('i')} AS lat
       FROM range({n}) t(i)
     ),
     anch AS (

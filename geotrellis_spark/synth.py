@@ -47,20 +47,14 @@ _ADJ = ("amber", "quiet", "vivid", "rustic", "bright", "mossy", "pale", "stark")
 _NOUN = ("harbor", "ridge", "meadow", "canyon", "grove", "delta", "mesa", "fjord")
 _SIZES = (64, 128, 256)
 
-HOT_LON, HOT_LAT = 10.0, 45.0  # hot-spot box corner (0.5 x 0.5 deg)
+HOT_LON, HOT_LAT = exprs.HOT_LON, exprs.HOT_LAT  # hot-spot box corner
 
 
 def image_lonlat(ordinal: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Derived geolocation: FIXTURES.md hash formulas, with every 10th
-    image concentrated into the hot-spot box."""
-    i = np.asarray(ordinal, dtype=np.int64)
-    lon, lat = exprs.lonlat_np(i, i)
-    hot = (i % 10) == 0
-    frac_lon = ((i * exprs.LON_MULT) % exprs.M32) / exprs.M32
-    frac_lat = ((i * exprs.LAT_MULT) % exprs.M32) / exprs.M32
-    lon = np.where(hot, HOT_LON + frac_lon * 0.5, lon)
-    lat = np.where(hot, HOT_LAT + frac_lat * 0.5, lat)
-    return lon, lat
+    image concentrated into the hot-spot box (exprs.image_lonlat_np —
+    the same formula the tiling anchor and the SQL oracles use)."""
+    return exprs.image_lonlat_np(ordinal)
 
 
 def make_row(i: int) -> dict:
