@@ -109,8 +109,11 @@ def main() -> None:
     extras["pip_rows_per_sec"] = round(n_joined / best_dt, 1)
     print(f"# pip_join: {n_joined} rows in {best_dt:.1f}s", file=sys.stderr)
 
-    _gc_barrier(spark)
     for name in HEADLINE:
+        # barrier per query: each timing measures THAT query, not the
+        # previous query's deferred GC/cleanup debt (measured up to 6x
+        # distortion on late-suite shuffle-heavy queries)
+        _gc_barrier(spark)
         fn, _sql = dq.QUERIES[name]
         t0 = time.time()
         n = _run(fn(spark, sf_dir))
