@@ -53,6 +53,24 @@ def main() -> None:
         dq.q_cell_agg(spark, "/root/testdata/sf0.01"),
     )
 
+    cap(
+        "class_breaks: distributed exact ntile — every window is "
+        "range-partitioned (NO single-partition global-sort Exchange)",
+        dq.q_class_breaks(spark, "/root/testdata/sf0.01"),
+    )
+
+    cap(
+        "ann_bucketed: LSH-bucket equi-join ANN top-k — "
+        "BroadcastHashJoin on bucket, NO CartesianProduct of the table",
+        dq.q_ann_bucketed(spark, "/root/testdata/sf0.01"),
+    )
+
+    cap(
+        "vector_join (J2): cover-cell equi-join of two vector sides + "
+        "geom x geom refine after the join",
+        dq.q_vector_join(spark, "/root/testdata/sf0.01"),
+    )
+
     hdr = """# PLANS — physical-plan evidence
 
 `.explain("formatted")` captures showing the engine gets the plans a
