@@ -50,9 +50,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """Exact DuckDB twins; image-pipeline entries are omitted (binary
-    tile payloads are not SQL-expressible — covered by pytest oracles
-    in tests/test_spark_tiling.py instead)."""
+    """Exact DuckDB twins for EVERY query (32/32): the image-pipeline
+    entries compare tile-cover/pyramid key math directly and verify
+    binary payloads as match-vs-independent-golden booleans; Hilbert is
+    the xy2d rotation unrolled to SQL CASE steps."""
     return {
         name: sql_fn()
         for name, (_fn, sql_fn) in QUERIES.items()

@@ -1,0 +1,324 @@
+"""Mapbox Vector Tile (MVT) codec — from-scratch minimal protobuf
+writer/reader per the public MVT 2.1 spec (S8 vector-tile I/O,
+reference role ``vectortile/src/main/scala/geotrellis/vectortile/``).
+
+Scope: single-ring/multi-ring polygons, linestrings, points; string/
+float property values; zigzag-delta geometry commands on the integer
+extent grid (default 4096). The encoder quantizes world coordinates to
+the tile extent grid; the decoder returns grid coordinates + the
+inverse transform, so encode->decode round-trips to within half a grid
+cell (the spec's inherent quantization).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from . import geom as G
+
+__all__ = ["encode_mvt", "decode_mvt", "EXTENT"]
+
+EXTENT = 4096
+
+_MOVETO, _LINETO, _CLOSEPATH = 1, 2, 7
+_T_POINT, _T_LINESTRING, _T_POLYGON = 1, 2, 3
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    v &= (1 << 64) - 1
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _field(num: int, wire: int) -> bytes:
+    return _varint((num << 3) | wire)
+
+
+def _len_field(num: int, payload: bytes) -> bytes:
+    return _field(num, 2) + _varint(len(payload)) + payload
+
+
+def _packed(num: int, values: list[int]) -> bytes:
+    return _len_field(num, b"".join(_varint(v) for v in values))
+
+
+def _geom_commands(parts: list[np.ndarray], gtype: int) -> list[int]:
+    """parts: list of (n,2) int arrays in extent grid coords."""
+    cmds: list[int] = []
+    cx = cy = 0
+    for part in parts:
+        p = np.asarray(part, dtype=np.int64)
+        if gtype == _T_POLYGON and np.array_equal(p[0], p[-1]):
+            p = p[:-1]  # ClosePath replaces the repeated vertex
+        n = p.shape[0]
+        if gtype == _T_POINT:
+            cmds.append((_MOVETO & 0x7) | (n << 3))
+            for x, y in p:
+                cmds += [_zigzag(int(x) - cx), _zigzag(int(y) - cy)]
+                cx, cy = int(x), int(y)
+            continue
+        cmds.append((_MOVETO & 0x7) | (1 << 3))
+        cmds += [_zigzag(int(p[0, 0]) - cx), _zigzag(int(p[0, 1]) - cy)]
+        cx, cy = int(p[0, 0]), int(p[0, 1])
+        cmds.append((_LINETO & 0x7) | ((n - 1) << 3))
+        for x, y in p[1:]:
+            cmds += [_zigzag(int(x) - cx), _zigzag(int(y) - cy)]
+            cx, cy = int(x), int(y)
+        if gtype == _T_POLYGON:
+            cmds.append(_CLOSEPATH | (1 << 3))
+    return cmds
+
+
+def _value_msg(v) -> bytes:
+    if isinstance(v, str):
+        return _len_field(1, v.encode())
+    if isinstance(v, bool):
+        return _field(7, 0) + _varint(1 if v else 0)
+    if isinstance(v, int):
+        return _field(6, 0) + _varint(_zigzag(v))
+    return _field(3, 1) + struct.pack("<d", float(v))
+
+
+def encode_mvt(
+    layer_name: str,
+    features: list[dict],
+    tile_extent: tuple[float, float, float, float],
+    extent: int = EXTENT,
+) -> bytes:
+    """Encode one layer of features into an MVT tile.
+
+    feature dict: {"wkb": bytes, "id": int, "props": {k: v}}.
+    ``tile_extent`` = (xmin, ymin, xmax, ymax) world bounds of the tile
+    (grid y axis points DOWN per spec: y=0 at ymax)."""
+    xmin, ymin, xmax, ymax = tile_extent
+    sx = extent / (xmax - xmin)
+    sy = extent / (ymax - ymin)
+
+    def to_grid(pts: np.ndarray) -> np.ndarray:
+        p = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+        gx = np.rint((p[:, 0] - xmin) * sx).astype(np.int64)
+        gy = np.rint((ymax - p[:, 1]) * sy).astype(np.int64)
+        return np.column_stack([gx, gy])
+
+    keys: list[str] = []
+    vals: list[bytes] = []
+    key_ix: dict[str, int] = {}
+    val_ix: dict[bytes, int] = {}
+    feat_msgs: list[bytes] = []
+    for f in features:
+        kind, payload = G.wkb_read(f["wkb"])
+        if kind == "point":
+            gtype, parts = _T_POINT, [to_grid(np.array([payload]))]
+        elif kind == "linestring":
+            gtype, parts = _T_LINESTRING, [to_grid(payload)]
+        elif kind == "polygon":
+            gtype = _T_POLYGON
+            parts = [to_grid(r) for r in payload]
+        elif kind == "multipolygon":
+            gtype = _T_POLYGON
+            parts = [to_grid(r) for rings in payload for r in rings]
+        else:  # pragma: no cover
+            raise ValueError(kind)
+        tags: list[int] = []
+        for k, v in (f.get("props") or {}).items():
+            if k not in key_ix:
+                key_ix[k] = len(keys)
+                keys.append(k)
+            vm = _value_msg(v)
+            if vm not in val_ix:
+                val_ix[vm] = len(vals)
+                vals.append(vm)
+            tags += [key_ix[k], val_ix[vm]]
+        body = b""
+        if "id" in f:
+            body += _field(1, 0) + _varint(int(f["id"]))
+        if tags:
+            body += _packed(2, tags)
+        body += _field(3, 0) + _varint(gtype)
+        body += _packed(4, _geom_commands(parts, gtype))
+        feat_msgs.append(body)
+    layer = _field(15, 0) + _varint(2)  # version (field 15 per spec)
+    layer += _len_field(1, layer_name.encode())
+    for m in feat_msgs:
+        layer += _len_field(2, m)
+    for k in keys:
+        layer += _len_field(3, k.encode())
+    for vm in vals:
+        layer += _len_field(4, vm)
+    layer += _field(5, 0) + _varint(extent)
+    return _len_field(3, layer)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    v = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+
+
+def decode_mvt(data: bytes) -> dict:
+    """Decode an MVT tile -> {layer_name: {"extent": int, "features":
+    [{"id", "type", "parts": [(n,2) grid arrays], "props": {...}}]}}."""
+    out: dict = {}
+    pos = 0
+    while pos < len(data):
+        tag, pos = _read_varint(data, pos)
+        num, wire = tag >> 3, tag & 7
+        if num == 3 and wire == 2:
+            ln, pos = _read_varint(data, pos)
+            name, layer = _decode_layer(data[pos : pos + ln])
+            out[name] = layer
+            pos += ln
+        else:  # pragma: no cover
+            pos = _skip(data, pos, wire)
+    return out
+
+
+def _skip(buf: bytes, pos: int, wire: int) -> int:
+    if wire == 0:
+        _, pos = _read_varint(buf, pos)
+        return pos
+    if wire == 1:
+        return pos + 8
+    if wire == 2:
+        ln, pos = _read_varint(buf, pos)
+        return pos + ln
+    if wire == 5:
+        return pos + 4
+    raise ValueError(f"wire {wire}")  # pragma: no cover
+
+
+def _decode_value(buf: bytes):
+    pos = 0
+    tag, pos = _read_varint(buf, pos)
+    num, wire = tag >> 3, tag & 7
+    if num == 1:
+        ln, pos = _read_varint(buf, pos)
+        return buf[pos : pos + ln].decode()
+    if num == 3:
+        return struct.unpack_from("<d", buf, pos)[0]
+    if num == 6:
+        v, _ = _read_varint(buf, pos)
+        return _unzigzag(v)
+    if num == 7:
+        v, _ = _read_varint(buf, pos)
+        return bool(v)
+    raise ValueError(f"value field {num}")  # pragma: no cover
+
+
+def _decode_layer(buf: bytes) -> tuple[str, dict]:
+    name = ""
+    extent = EXTENT
+    feats_raw: list[bytes] = []
+    keys: list[str] = []
+    vals: list = []
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        num, wire = tag >> 3, tag & 7
+        if num == 1 and wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            name = buf[pos : pos + ln].decode()
+            pos += ln
+        elif num == 2 and wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            feats_raw.append(buf[pos : pos + ln])
+            pos += ln
+        elif num == 3 and wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            keys.append(buf[pos : pos + ln].decode())
+            pos += ln
+        elif num == 4 and wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            vals.append(_decode_value(buf[pos : pos + ln]))
+            pos += ln
+        elif num == 5 and wire == 0:
+            extent, pos = _read_varint(buf, pos)
+        else:
+            pos = _skip(buf, pos, wire)
+    features = [_decode_feature(fb, keys, vals) for fb in feats_raw]
+    return name, {"extent": extent, "features": features}
+
+
+def _decode_feature(buf: bytes, keys: list[str], vals: list) -> dict:
+    fid = None
+    gtype = 0
+    geom: list[int] = []
+    props: dict = {}
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        num, wire = tag >> 3, tag & 7
+        if num == 1:
+            fid, pos = _read_varint(buf, pos)
+        elif num == 2 and wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            end = pos + ln
+            flat = []
+            while pos < end:
+                v, pos = _read_varint(buf, pos)
+                flat.append(v)
+            for i in range(0, len(flat), 2):
+                props[keys[flat[i]]] = vals[flat[i + 1]]
+        elif num == 3:
+            gtype, pos = _read_varint(buf, pos)
+        elif num == 4 and wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            end = pos + ln
+            while pos < end:
+                v, pos = _read_varint(buf, pos)
+                geom.append(v)
+        else:  # pragma: no cover
+            pos = _skip(buf, pos, wire)
+    # decode geometry commands -> parts
+    parts: list[np.ndarray] = []
+    cur: list[tuple[int, int]] = []
+    cx = cy = 0
+    i = 0
+    while i < len(geom):
+        cmd = geom[i]
+        cid, cnt = cmd & 0x7, cmd >> 3
+        i += 1
+        if cid == _MOVETO:
+            for _ in range(cnt):
+                cx += _unzigzag(geom[i]); cy += _unzigzag(geom[i + 1]); i += 2
+                if gtype == _T_POINT:
+                    parts.append(np.array([[cx, cy]], dtype=np.int64))
+                else:
+                    if cur:
+                        parts.append(np.asarray(cur, dtype=np.int64))
+                    cur = [(cx, cy)]
+        elif cid == _LINETO:
+            for _ in range(cnt):
+                cx += _unzigzag(geom[i]); cy += _unzigzag(geom[i + 1]); i += 2
+                cur.append((cx, cy))
+        elif cid == _CLOSEPATH:
+            if cur:
+                cur.append(cur[0])
+                parts.append(np.asarray(cur, dtype=np.int64))
+                cur = []
+    if cur:
+        parts.append(np.asarray(cur, dtype=np.int64))
+    return {"id": fid, "type": gtype, "parts": parts, "props": props}

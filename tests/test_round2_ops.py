@@ -503,3 +503,79 @@ def test_time_series_polygonal(spark):
     assert len(out) == 3
     for t in range(3):
         assert out[(7, t)] == pytest.approx(10 * (t + 1))  # west tiles kc=0
+
+
+def test_delaunay_empty_circumcircle():
+    from geotrellis_spark.core import triangulate as T
+
+    rng = np.random.default_rng(3)
+    pts = rng.random((40, 2)) * 100
+    tris = T.delaunay(pts)
+    assert len(tris) >= 40  # ~2n triangles for random points
+    # the defining property: no point strictly inside any circumcircle
+    for a, b, c in tris:
+        cc = T._circumcircle(pts, a, b, c)
+        assert cc is not None
+        ux, uy, r2 = cc
+        d2 = (pts[:, 0] - ux) ** 2 + (pts[:, 1] - uy) ** 2
+        inside = d2 < r2 - 1e-7
+        inside[[a, b, c]] = False
+        assert not inside.any(), (a, b, c)
+    # triangles tile the convex hull: areas sum to hull area
+    hull = G.convex_hull(pts)
+    tri_area = sum(
+        abs(G.shoelace_area(np.array([pts[a], pts[b], pts[c]])))
+        for a, b, c in tris
+    )
+    assert tri_area == pytest.approx(abs(G.shoelace_area(hull)), rel=1e-9)
+
+
+def test_voronoi_partition_and_nearest():
+    from geotrellis_spark.core import triangulate as T
+
+    rng = np.random.default_rng(8)
+    sites = rng.random((15, 2)) * 10
+    cells = T.voronoi_cells(sites, (0.0, 0.0, 10.0, 10.0))
+    # cells partition the bbox
+    area = sum(abs(G.shoelace_area(c)) for c in cells if c is not None)
+    assert area == pytest.approx(100.0, rel=1e-9)
+    # membership == nearest site for random probes
+    probes = rng.random((300, 2)) * 10
+    d = np.hypot(
+        probes[:, 0:1] - sites[None, :, 0], probes[:, 1:2] - sites[None, :, 1]
+    )
+    nearest = d.argmin(axis=1)
+    for i, c in enumerate(cells):
+        if c is None:
+            continue
+        inside = G.points_in_rings(probes[:, 0], probes[:, 1], [c])
+        assert (nearest[inside] == i).all()
+
+
+def test_mvt_roundtrip():
+    from geotrellis_spark.core import mvt
+
+    ring = np.array([[0.0, 0.0], [40.0, 0.0], [40.0, 30.0], [0.0, 30.0]])
+    hole = np.array([[10.0, 10.0], [20.0, 10.0], [20.0, 20.0], [10.0, 20.0]])
+    poly = G.wkb_write_polygon([ring, hole])
+    line = G.wkb_write_linestring(np.array([[1.0, 1.0], [35.0, 25.0]]))
+    pt = G.wkb_write_point(12.5, 7.25)
+    tile = mvt.encode_mvt("roads", [
+        {"wkb": poly, "id": 7, "props": {"name": "p", "area": 1200.0, "rank": 3}},
+        {"wkb": line, "id": 8, "props": {"ok": True}},
+        {"wkb": pt, "id": 9, "props": {}},
+    ], (0.0, 0.0, 40.0, 30.0))
+    dec = mvt.decode_mvt(tile)["roads"]
+    assert dec["extent"] == mvt.EXTENT
+    f0, f1, f2 = dec["features"]
+    assert (f0["id"], f0["type"]) == (7, 3)
+    assert f0["props"] == {"name": "p", "area": 1200.0, "rank": 3}
+    assert f1["props"] == {"ok": True}
+    assert len(f0["parts"]) == 2  # exterior + hole
+    # quantization round-trip within half a grid cell
+    sx, sy = mvt.EXTENT / 40.0, mvt.EXTENT / 30.0
+    gr = f0["parts"][0].astype(float)
+    back = np.column_stack([gr[:, 0] / sx, 30.0 - gr[:, 1] / sy])
+    want = np.vstack([ring, ring[:1]])
+    assert np.max(np.abs(back - want)) <= 0.5 / min(sx, sy) + 1e-9
+    assert (f2["parts"][0] == [[1280, 3106]]).all()
