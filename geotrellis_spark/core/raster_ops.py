@@ -327,6 +327,24 @@ def ordinary_kriging(
     return out.reshape(gx.shape)
 
 
+def simple_kriging(
+    px: np.ndarray, py: np.ndarray, pv: np.ndarray,
+    xs: np.ndarray, ys: np.ndarray, mean: float,
+    rng: float = 100.0, sill: float = 1.0, nugget: float = 0.0,
+) -> np.ndarray:
+    """Simple kriging with KNOWN mean (RV8 ``SimpleKriging.scala``
+    role): residuals r = v - mean, weights from the covariance system
+    C w = c0 (C = sill - gamma), prediction = mean + w.r."""
+    n = px.shape[0]
+    dxy = np.hypot(px[:, None] - px[None, :], py[:, None] - py[None, :])
+    cmat = sill - spherical_variogram(dxy, rng, sill, nugget)
+    gx, gy = np.meshgrid(xs, ys)
+    d0 = np.hypot(gx[..., None] - px, gy[..., None] - py)
+    c0 = sill - spherical_variogram(d0, rng, sill, nugget)
+    wts = np.linalg.solve(cmat, c0.reshape(-1, n).T).T
+    return mean + (wts * (pv - mean)[None, :]).sum(axis=-1).reshape(gx.shape)
+
+
 def histogram_equalize(tile: np.ndarray, nodata=NODATA_U16) -> np.ndarray:
     """Global histogram equalization to the full uint16 range (G5)."""
     f = kernels._to_float(tile, nodata)

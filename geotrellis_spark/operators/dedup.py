@@ -80,10 +80,19 @@ def minhash_signatures(
 
 
 def minhash_candidates(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = 4
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bands: int = 4, max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding (4 bands x 2 rows): docs sharing any band value are
-    candidate near-duplicates. Returns (doc_a, doc_b), doc_a < doc_b."""
+    candidate near-duplicates. Returns (doc_a, doc_b), doc_a < doc_b.
+
+    ``max_bucket`` is the 100 TB safety valve: a degenerate hot bucket
+    (boilerplate text hashing to one band value) otherwise produces a
+    quadratic pair blowup in the self-join. Capping keeps the
+    ``max_bucket`` smallest ids per (band, bval) — every kept doc still
+    pairs with the bucket's representative, so transitive-duplicate
+    CLUSTERS are preserved even though the full pair list is truncated.
+    Default None = exact pair enumeration (the oracle-checked path)."""
     sig = minhash_signatures(docs, id_col, text_col)
     rows_per = len(MINHASH_A) // bands
     band_exprs = []
@@ -96,6 +105,15 @@ def minhash_candidates(
     banded = sig.selectExpr(
         id_col, f"explode(array({', '.join(band_exprs)})) as bk"
     ).select(id_col, "bk.band", "bk.bval")
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bval").orderBy(F.col(id_col).asc())
+        banded = (
+            banded.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= max_bucket)
+            .drop("_rk")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

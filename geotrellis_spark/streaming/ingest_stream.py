@@ -101,3 +101,63 @@ def windowed_tile_counts(
     return keyed.groupBy(
         F.window("ts", window), "key_col", "key_row"
     ).agg(F.count("*").alias("n_images"))
+
+
+def stateful_cell_tracker(
+    images_stream: DataFrame, zoom: int = 6, watermark: str = "30 seconds",
+    idle_timeout_ms: int = 60_000,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the brief's pattern for operators Spark's windowed aggs can't
+    express): per layout cell, maintain a running (n_images, min_ord,
+    max_ord) state across micro-batches and emit the updated row each
+    trigger; idle cells time out and emit a final tombstone row
+    (done=true). The state is a pure function of the data keys, so a
+    restart from checkpoint resumes it exactly."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from ..functions import exprs
+
+    keyed = images_stream.withWatermark("ts", watermark).selectExpr(
+        "ts",
+        "cast(substring(image_id, 4) as bigint) as ord",
+    ).selectExpr(
+        "ord",
+        f"{exprs.key_col_sql(exprs.lon_sql('ord'), zoom)} as key_col",
+        f"{exprs.key_row_sql(exprs.lat_sql('ord'), zoom)} as key_row",
+    )
+
+    out_schema = (
+        "key_col long, key_row long, n_images long, min_ord long, "
+        "max_ord long, done boolean"
+    )
+    state_schema = "n long, mn long, mx long"
+
+    def track(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        kc, kr = int(key[0]), int(key[1])
+        if state.hasTimedOut:
+            n, mn, mx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"key_col": kc, "key_row": kr, "n_images": n,
+                  "min_ord": mn, "max_ord": mx, "done": True}]
+            )
+            return
+        n, mn, mx = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            o = pdf["ord"].to_numpy()
+            n += len(o)
+            mn = int(o.min()) if mn is None else min(mn, int(o.min()))
+            mx = int(o.max()) if mx is None else max(mx, int(o.max()))
+        state.update((n, mn, mx))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [{"key_col": kc, "key_row": kr, "n_images": n,
+              "min_ord": mn, "max_ord": mx, "done": False}]
+        )
+
+    return keyed.groupBy("key_col", "key_row").applyInPandasWithState(
+        track, out_schema, state_schema, "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

