@@ -166,7 +166,8 @@ def main() -> None:
                 "all_tiles_per_sec": [x["tiles_per_sec"] for x in rs],
                 "all_pip_rows_per_sec": [x["pip_rows_per_sec"] for x in rs],
             }
-        levels[32] = state.get("32", levels[8])
+        if "32" in state:  # only include level 32 when actually measured
+            levels[32] = state["32"]
         pair_eff_tiles = [
             (p["8"]["tiles_per_sec"] / p["2"]["tiles_per_sec"]) / 4 for p in pairs
         ]
@@ -219,6 +220,25 @@ def main() -> None:
             )
     except NameError:
         pass
+    # level 32 is optional in --assemble mode: render its sections only
+    # when it was actually measured, never by substituting level 8 data.
+    if 32 in levels:
+        _raw32 = f", local[32] {levels[32]['all_tiles_per_sec']}"
+        _raw32p = f", local[32] {levels[32]['all_pip_rows_per_sec']}"
+        _wall32 = (f";\nlocal[32] {levels[32]['tile_sec']:.1f}s / "
+                   f"{levels[32]['pip_sec']:.1f}s")
+        _sec_8_32 = f"""## 8 vs 32 (single-box contention regime, reported for transparency)
+
+| metric | local[8] | local[32] | efficiency |
+|---|---|---|---|
+| tiling tiles/sec | {levels[8]['tiles_per_sec']:.1f} | {levels[32]['tiles_per_sec']:.1f} | {eff(8, 32, 'tiles_per_sec'):.3f} |
+| PIP joined rows/sec | {levels[8]['pip_rows_per_sec']:.1f} | {levels[32]['pip_rows_per_sec']:.1f} | {eff(8, 32, 'pip_rows_per_sec'):.3f} |
+
+"""
+    else:
+        _raw32 = _raw32p = _wall32 = ""
+        _sec_8_32 = ("## 8 vs 32: not measured in this assembly "
+                     "(no local[32] run recorded)\n\n")
     _pair_md = ""
     if pair_eff_tiles:
         rows = "\n".join(
@@ -285,18 +305,11 @@ plan shape (broadcast join + codegen prefilter + vectorized refine)
 targets; the single-box ratio is reported unvarnished.
 
 Raw runs (tiles/s): local[2] {levels[2]['all_tiles_per_sec']},
-local[8] {levels[8]['all_tiles_per_sec']}, local[32] {levels[32]['all_tiles_per_sec']}.
+local[8] {levels[8]['all_tiles_per_sec']}{_raw32}.
 Raw runs (pip rows/s): local[2] {levels[2]['all_pip_rows_per_sec']},
-local[8] {levels[8]['all_pip_rows_per_sec']}, local[32] {levels[32]['all_pip_rows_per_sec']}.
+local[8] {levels[8]['all_pip_rows_per_sec']}{_raw32p}.
 
-## 8 vs 32 (single-box contention regime, reported for transparency)
-
-| metric | local[8] | local[32] | efficiency |
-|---|---|---|---|
-| tiling tiles/sec | {levels[8]['tiles_per_sec']:.1f} | {levels[32]['tiles_per_sec']:.1f} | {eff(8, 32, 'tiles_per_sec'):.3f} |
-| PIP joined rows/sec | {levels[8]['pip_rows_per_sec']:.1f} | {levels[32]['pip_rows_per_sec']:.1f} | {eff(8, 32, 'pip_rows_per_sec'):.3f} |
-
-Why 8->32 can degrade IN LOCAL MODE and why it does not transfer to a
+{_sec_8_32}Why 8->32 can degrade IN LOCAL MODE and why it does not transfer to a
 real cluster: local "executors" share one DRAM bus, one loopback, one
 disk. The tiling job moves tile payloads through Arrow IPC + shuffle;
 each byte is memcpy'd ~6-10x (python->socket->JVM->UnsafeRow->lz4->
@@ -322,8 +335,7 @@ Output sizes: {levels[2]['n_tiles']} tiles, {levels[2]['n_joined']} joined rows
 (identical at all levels — same deterministic input).
 
 Wall-clock medians (tiling / PIP): local[2] {levels[2]['tile_sec']:.1f}s / {levels[2]['pip_sec']:.1f}s;
-local[8] {levels[8]['tile_sec']:.1f}s / {levels[8]['pip_sec']:.1f}s;
-local[32] {levels[32]['tile_sec']:.1f}s / {levels[32]['pip_sec']:.1f}s.
+local[8] {levels[8]['tile_sec']:.1f}s / {levels[8]['pip_sec']:.1f}s{_wall32}.
 
 Config: spark.sql.shuffle.partitions = cores; AQE + skew-join on;
 grouped-map merge via repartition+sortWithinPartitions+mapInPandas
@@ -340,14 +352,16 @@ in {time.time() - t0:.0f}s total (this invocation).
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(md)
-    print(json.dumps({
+    summary = {
         "eff_tile_2_8_best": round(effb(2, 8, "tiles_per_sec"), 3),
         "eff_pip_2_8_best": round(effb(2, 8, "pip_rows_per_sec"), 3),
         "eff_tile_2_8_median": round(eff(2, 8, "tiles_per_sec"), 3),
         "eff_pip_2_8_median": round(eff(2, 8, "pip_rows_per_sec"), 3),
-        "eff_tile_8_32_best": round(effb(8, 32, "tiles_per_sec"), 3),
-        "eff_pip_8_32_best": round(effb(8, 32, "pip_rows_per_sec"), 3),
-    }))
+    }
+    if 32 in levels:
+        summary["eff_tile_8_32_best"] = round(effb(8, 32, "tiles_per_sec"), 3)
+        summary["eff_pip_8_32_best"] = round(effb(8, 32, "pip_rows_per_sec"), 3)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -351,8 +351,13 @@ def polygons_intersect(wkb_a: bytes, wkb_b: bytes) -> bool:
                 return True
             if points_in_rings(ext_b[:, 0], ext_b[:, 1], rings_a).any():
                 return True
-            if _segments_cross_any(ext_a, ext_b):
-                return True
+            # Boundary-boundary crossings must consider hole rings too: a
+            # B edge that crosses the notch of a hole in A passes through
+            # A-material even when every B vertex lies inside the hole.
+            for ring_a in rings_a:
+                for ring_b in rings_b:
+                    if _segments_cross_any(ring_a, ring_b):
+                        return True
     return False
 
 

@@ -59,6 +59,23 @@ def _packed(num: int, values: list[int]) -> bytes:
     return _len_field(num, b"".join(_varint(v) for v in values))
 
 
+def _signed_area(p: np.ndarray) -> float:
+    """Surveyor's formula in tile grid coords (y-down). MVT 2.1 defines
+    exterior rings as positive-area and interior rings (holes) as
+    negative-area under exactly this convention."""
+    p = np.asarray(p, dtype=np.float64)
+    x, y = p[:, 0], p[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    return float(np.sum(x * y1 - x1 * y)) / 2.0
+
+
+def _orient_ring(p: np.ndarray, hole: bool) -> np.ndarray:
+    a = _signed_area(p)
+    if a != 0.0 and (a > 0) == hole:
+        p = p[::-1].copy()
+    return p
+
+
 def _geom_commands(parts: list[np.ndarray], gtype: int) -> list[int]:
     """parts: list of (n,2) int arrays in extent grid coords."""
     cmds: list[int] = []
@@ -130,10 +147,17 @@ def encode_mvt(
             gtype, parts = _T_LINESTRING, [to_grid(payload)]
         elif kind == "polygon":
             gtype = _T_POLYGON
-            parts = [to_grid(r) for r in payload]
+            parts = [
+                _orient_ring(to_grid(r), hole=i > 0)
+                for i, r in enumerate(payload)
+            ]
         elif kind == "multipolygon":
             gtype = _T_POLYGON
-            parts = [to_grid(r) for rings in payload for r in rings]
+            parts = [
+                _orient_ring(to_grid(r), hole=i > 0)
+                for rings in payload
+                for i, r in enumerate(rings)
+            ]
         else:  # pragma: no cover
             raise ValueError(kind)
         tags: list[int] = []
@@ -321,4 +345,10 @@ def _decode_feature(buf: bytes, keys: list[str], vals: list) -> dict:
                 cur = []
     if cur:
         parts.append(np.asarray(cur, dtype=np.int64))
-    return {"id": fid, "type": gtype, "parts": parts, "props": props}
+    out = {"id": fid, "type": gtype, "parts": parts, "props": props}
+    if gtype == _T_POLYGON:
+        # Spec-conformant classification: winding decides shell vs hole.
+        out["ring_roles"] = [
+            "exterior" if _signed_area(p) > 0 else "hole" for p in parts
+        ]
+    return out

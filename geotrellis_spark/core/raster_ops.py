@@ -275,16 +275,32 @@ def viewshed(
         y0 = np.clip(np.floor(sy).astype(np.int64), 0, h - 2)
         fx = sx - x0
         fy = sy - y0
+        w00 = (1 - fy) * (1 - fx)
+        w01 = (1 - fy) * fx
+        w10 = fy * (1 - fx)
+        w11 = fy * fx
+        c00, c01 = fn[y0, x0], fn[y0, x0 + 1]
+        c10, c11 = fn[y0 + 1, x0], fn[y0 + 1, x0 + 1]
+        # Per-corner masking: a NoData (inf) corner blocks only when its
+        # bilinear weight is > 0 — letting inf flow through the weighted
+        # sum would yield inf*0 = NaN on grid-line samples and wrongly
+        # mark the cell visible. Interpolate finite values separately.
+        nodata_hit = (
+            ((w00 > 0) & np.isinf(c00))
+            | ((w01 > 0) & np.isinf(c01))
+            | ((w10 > 0) & np.isinf(c10))
+            | ((w11 > 0) & np.isinf(c11))
+        )
         terrain = (
-            fn[y0, x0] * (1 - fy) * (1 - fx)
-            + fn[y0, x0 + 1] * (1 - fy) * fx
-            + fn[y0 + 1, x0] * fy * (1 - fx)
-            + fn[y0 + 1, x0 + 1] * fy * fx
+            np.where(np.isinf(c00), 0.0, c00) * w00
+            + np.where(np.isinf(c01), 0.0, c01) * w01
+            + np.where(np.isinf(c10), 0.0, c10) * w10
+            + np.where(np.isinf(c11), 0.0, c11) * w11
         )
         sight = eye + t * (f[r, :][None, :] - eye)  # LOS elevation at t
         # only samples strictly before the target cell can block it
         before = t * dist[None, :] < (dist[None, :] - 0.5)
-        blocked = ((terrain > sight + 1e-9) & before).any(axis=0)
+        blocked = ((nodata_hit | (terrain > sight + 1e-9)) & before).any(axis=0)
         out[r, :] = ~blocked & ~np.isnan(f[r, :])
     out[vr, vc] = not np.isnan(f[vr, vc])
     return out

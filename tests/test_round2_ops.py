@@ -577,7 +577,13 @@ def test_mvt_roundtrip():
     gr = f0["parts"][0].astype(float)
     back = np.column_stack([gr[:, 0] / sx, 30.0 - gr[:, 1] / sy])
     want = np.vstack([ring, ring[:1]])
-    assert np.max(np.abs(back - want)) <= 0.5 / min(sx, sy) + 1e-9
+    # encoder normalizes winding per MVT 2.1 (exterior positive in
+    # y-down grid coords), so the ring may come back reversed
+    err = min(
+        np.max(np.abs(back - want)), np.max(np.abs(back - want[::-1]))
+    )
+    assert err <= 0.5 / min(sx, sy) + 1e-9
+    assert f0["ring_roles"] == ["exterior", "hole"]
     assert (f2["parts"][0] == [[1280, 3106]]).all()
 
 
