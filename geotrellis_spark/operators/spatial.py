@@ -180,30 +180,40 @@ def cover_cells(
                 out["bbox_xmax"] = bb[idx, 2]
                 out["bbox_ymax"] = bb[idx, 3]
             if clip:
-                ring_cache: dict[int, list] = {}
-                clipped = []
-                for k in range(total):
-                    ri = int(idx[k])
-                    if ri not in ring_cache:
-                        kind, payload = G.wkb_read(wkbs[ri])
-                        ring_cache[ri] = (
-                            payload if kind == "polygon"
-                            else [r for poly in payload for r in poly]
+                # Batched per POLYGON, not per (polygon, cell): each of
+                # the polygon's rings is Sutherland–Hodgman-clipped
+                # against ALL its cover cells in one vectorized pass
+                # (core.geom.clip_ring_to_rects_batch); only the WKB
+                # serialization of surviving rings remains per cell.
+                xmin_a = -180.0 + cols * 360.0 / n
+                xmax_a = -180.0 + (cols + 1) * 360.0 / n
+                ymax_a = 90.0 - rows * 180.0 / n
+                ymin_a = 90.0 - (rows + 1) * 180.0 / n
+                clipped: list = [None] * total
+                for ri in range(len(pdf)):
+                    lo = int(offs[ri])
+                    hi = lo + int(ncell[ri])
+                    if hi == lo:
+                        continue
+                    kind, payload = G.wkb_read(wkbs[ri])
+                    rings_in = (
+                        payload if kind == "polygon"
+                        else [r for poly in payload for r in poly]
+                    )
+                    per_cell: list[list] = [[] for _ in range(hi - lo)]
+                    for rg in rings_in:
+                        pts, cnts = G.clip_ring_to_rects_batch(
+                            rg, xmin_a[lo:hi], ymin_a[lo:hi],
+                            xmax_a[lo:hi], ymax_a[lo:hi],
                         )
-                    c, r = int(cols[k]), int(rows[k])
-                    xmin = -180.0 + c * 360.0 / n
-                    xmax = -180.0 + (c + 1) * 360.0 / n
-                    ymax = 90.0 - r * 180.0 / n
-                    ymin = 90.0 - (r + 1) * 180.0 / n
-                    rings = [
-                        cr
-                        for cr in (
-                            G.clip_polygon_to_rect(rg, xmin, ymin, xmax, ymax)
-                            for rg in ring_cache[ri]
-                        )
-                        if cr is not None
-                    ]
-                    clipped.append(G.wkb_write_polygon(rings) if rings else None)
+                        for j in np.nonzero(cnts > 0)[0]:
+                            ring = pts[j, : cnts[j]]
+                            per_cell[j].append(
+                                np.vstack([ring, ring[:1]])
+                            )
+                    for j, rings in enumerate(per_cell):
+                        if rings:
+                            clipped[lo + j] = G.wkb_write_polygon(rings)
                 out["clipped_wkb"] = clipped
             yield out
 
@@ -309,6 +319,8 @@ def pip_join(
     wkb_col: str = "wkb",
     broadcast_polys: bool = True,
     points_have_cells: bool = False,
+    max_broadcast_polys: int = 100_000,
+    max_broadcast_cells: int = 4_000_000,
 ) -> DataFrame:
     """Point-in-polygon join: equi-join on covering cell_id, a pushed
     JVM-side bbox prefilter (kills the ~4x bbox-cover false-positive
@@ -320,31 +332,53 @@ def pip_join(
     collected geometry pattern): geometries travel ONCE as a Spark
     broadcast variable; the refine UDF receives only an int polygon
     ordinal per row, so per-row Arrow traffic is 8 bytes instead of the
-    whole WKB (measured ~3x on complex polygons). The distributed path
-    (broadcast_polys=False) keeps WKB columns end-to-end."""
+    whole WKB (measured ~3x on complex polygons). The path is SIZE-
+    GUARDED: more than ``max_broadcast_polys`` polygons, or a cover-cell
+    enumeration exceeding ``max_broadcast_cells`` (e.g. a continent-
+    sized polygon at high zoom), automatically falls back to the
+    distributed path — nothing unbounded ever sits on the driver. The
+    distributed path (broadcast_polys=False) keeps WKB columns
+    end-to-end."""
     if not points_have_cells:
         points = assign_cells(points, lon_col, lat_col, zoom)
+    if broadcast_polys and polys.limit(max_broadcast_polys + 1).count() > max_broadcast_polys:
+        broadcast_polys = False  # too many polygons to hold on the driver
     if broadcast_polys:
         spark = points.sparkSession
-        rows = polys.collect()  # small side by contract
+        rows = polys.collect()  # small side (guarded above)
         other_cols = [c for c in polys.columns if c != wkb_col]
         wkbs = [bytes(r[wkb_col]) for r in rows]
-        bc = spark.sparkContext.broadcast(wkbs)
         n = 1 << zoom
-        cell_rows = []
-        for ordn, r in enumerate(rows):
-            xmin, ymin, xmax, ymax = G.polygon_bbox(wkbs[ordn])
-            c0 = int(np.clip(np.floor((xmin + 180.0) / 360.0 * n), 0, n - 1))
-            c1 = int(np.clip(np.floor((xmax + 180.0) / 360.0 * n), 0, n - 1))
-            r0 = int(np.clip(np.floor((90.0 - ymax) / 180.0 * n), 0, n - 1))
-            r1 = int(np.clip(np.floor((90.0 - ymin) / 180.0 * n), 0, n - 1))
-            for tc in range(c0, c1 + 1):
-                for tr in range(r0, r1 + 1):
-                    cell_rows.append(
-                        tuple(r[c] for c in other_cols)
-                        + (int(sfc.zorder(tc, tr)), ordn,
-                           xmin, ymin, xmax, ymax)
-                    )
+        bb = np.array(
+            [G.polygon_bbox(w) for w in wkbs], dtype=np.float64
+        ).reshape(-1, 4)
+        c0 = np.clip(np.floor((bb[:, 0] + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+        c1 = np.clip(np.floor((bb[:, 2] + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+        r0 = np.clip(np.floor((90.0 - bb[:, 3]) / 180.0 * n), 0, n - 1).astype(np.int64)
+        r1 = np.clip(np.floor((90.0 - bb[:, 1]) / 180.0 * n), 0, n - 1).astype(np.int64)
+        nrows = r1 - r0 + 1
+        ncell = (c1 - c0 + 1) * nrows
+        total = int(ncell.sum())
+        if total > max_broadcast_cells:
+            broadcast_polys = False  # enumeration too big for the driver
+        else:
+            bc = spark.sparkContext.broadcast(wkbs)
+            # vectorized cell enumeration (repeat/cumsum — the
+            # cover_cells trick, no driver-side double for loop)
+            idx = np.repeat(np.arange(len(rows)), ncell)
+            offs = np.concatenate(([0], np.cumsum(ncell)[:-1]))
+            j = np.arange(total) - np.repeat(offs, ncell)
+            cols = c0[idx] + j // nrows[idx]
+            rws = r0[idx] + j % nrows[idx]
+            base = pd.DataFrame({c: [r[c] for r in rows] for c in other_cols})
+            cell_pdf = base.iloc[idx].reset_index(drop=True)
+            cell_pdf["cell_id"] = sfc.zorder(cols, rws)
+            cell_pdf["_poly_ord"] = idx.astype(np.int32)
+            cell_pdf["bbox_xmin"] = bb[idx, 0]
+            cell_pdf["bbox_ymin"] = bb[idx, 1]
+            cell_pdf["bbox_xmax"] = bb[idx, 2]
+            cell_pdf["bbox_ymax"] = bb[idx, 3]
+    if broadcast_polys:
         cells_schema = (
             ", ".join(
                 f"{c} {polys.schema[c].dataType.simpleString()}"
@@ -353,7 +387,7 @@ def pip_join(
             + ", cell_id long, _poly_ord int, bbox_xmin double, "
             "bbox_ymin double, bbox_xmax double, bbox_ymax double"
         )
-        cells = F.broadcast(spark.createDataFrame(cell_rows, cells_schema))
+        cells = F.broadcast(spark.createDataFrame(cell_pdf, cells_schema))
         joined = points.join(cells, "cell_id", "inner").where(
             F.col(lon_col).between(F.col("bbox_xmin"), F.col("bbox_xmax"))
             & F.col(lat_col).between(F.col("bbox_ymin"), F.col("bbox_ymax"))
@@ -391,26 +425,31 @@ def vector_join(
     ``spark/.../join/VectorJoin.scala`` partition-wise nested loop
     re-expressed): both sides explode to covering cells, equi-join on
     cell_id (Catalyst-plannable; broadcast the small side), de-dupe the
-    (a_id, b_id) candidates that co-occur in several cells, then refine
-    with the exact geom x geom intersects predicate (vertex-in +
-    edge-cross, core.geom.polygons_intersect). Output: a_id, b_id."""
-    ca = cover_cells(a.select(a_id, a_wkb), zoom, a_wkb).select(
-        a_id, F.col(a_wkb).alias("_wkb_a"), "cell_id"
-    )
-    cb = cover_cells(b.select(b_id, b_wkb), zoom, b_wkb).select(
-        b_id, F.col(b_wkb).alias("_wkb_b"), "cell_id"
-    )
+    (a_id, b_id) candidates that co-occur in several cells — on the id
+    pair ONLY, so the dedup shuffle never carries WKB binaries — then
+    re-attach geometry (a side by equi-join, b side by broadcast) and
+    refine with the exact geom x geom intersects predicate, evaluated
+    as ONE batched numpy pass per Arrow batch
+    (core.geom.polygons_intersect_batch — no per-pair python).
+    Output: a_id, b_id."""
+    ca = cover_cells(a.select(a_id, a_wkb), zoom, a_wkb).select(a_id, "cell_id")
+    cb = cover_cells(b.select(b_id, b_wkb), zoom, b_wkb).select(b_id, "cell_id")
     if broadcast_b:
         cb = F.broadcast(cb)
     cand = ca.join(cb, "cell_id").dropDuplicates([a_id, b_id])
+    b_geom = b.select(b_id, F.col(b_wkb).alias("_wkb_b"))
+    if broadcast_b:
+        b_geom = F.broadcast(b_geom)
+    cand = cand.join(
+        a.select(a_id, F.col(a_wkb).alias("_wkb_a")), a_id
+    ).join(b_geom, b_id)
 
     @F.pandas_udf(BooleanType())
     def _intersects(wa: pd.Series, wb: pd.Series) -> pd.Series:
         return pd.Series(
-            [
-                G.polygons_intersect(bytes(x), bytes(y))
-                for x, y in zip(wa, wb)
-            ]
+            G.polygons_intersect_batch(
+                [bytes(x) for x in wa], [bytes(y) for y in wb]
+            )
         )
 
     return cand.where(_intersects(F.col("_wkb_a"), F.col("_wkb_b"))).select(
