@@ -101,6 +101,15 @@ def vectorize_tile(
         m = labels == lab
         rs, cs = np.nonzero(m)
         value = float(tile[rs[0], cs[0]])
+        out.append((value, trace_mask_rings(m)))
+    return out
+
+
+def trace_mask_rings(m: np.ndarray) -> list[np.ndarray]:
+    """Boundary-trace one boolean region mask into rings (exterior
+    first, then holes), pixel-corner coordinates — the core of
+    vectorize_tile, reusable on cross-tile assembled masks."""
+    if True:
         h, w = m.shape
         pad = np.zeros((h + 2, w + 2), dtype=bool)
         pad[1:-1, 1:-1] = m
@@ -160,8 +169,7 @@ def vectorize_tile(
             rings.append(arr[keep])
         # exterior = largest |area|; holes follow
         rings.sort(key=lambda r: -abs(G_shoelace(r)))
-        out.append((value, rings))
-    return out
+        return rings
 
 
 def G_shoelace(ring: np.ndarray) -> float:

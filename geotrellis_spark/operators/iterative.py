@@ -1,4 +1,5 @@
-"""Iterative layer ops: cross-tile cost distance (RV5).
+"""Iterative layer ops: cross-tile cost distance (RV5) and layer
+viewshed (RV6).
 
 Re-expression of ``spark/.../costdistance/IterativeCostDistance.scala``
 (upstream 3.x layout, SURVEY.md §0): the reference keeps a driver-side
@@ -23,13 +24,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StructField,
     StructType,
 )
 
-from ..core import codecs, grouped, raster_ops, sfc
+from ..core import codecs, geom as G, grouped, raster_ops, sfc
 from ..core.kernels import NODATA_U16, _to_float
 
 STATE_SCHEMA = StructType(
@@ -189,3 +191,461 @@ def iterative_cost_distance(
         if not n_changed:
             break
     return state.select("cell_id", "key_col", "key_row", "zoom", "cost")
+
+
+_VIEWSHED_SCHEMA = StructType(
+    [
+        StructField("cell_id", LongType()),
+        StructField("key_col", LongType()),
+        StructField("key_row", LongType()),
+        StructField("zoom", IntegerType()),
+        StructField("visible", BinaryType()),  # bool (T,T)
+    ]
+)
+
+_NEEDS_SCHEMA = StructType(
+    [
+        StructField("tgt_cell", LongType()),
+        StructField("tgt_kc", LongType()),
+        StructField("tgt_kr", LongType()),
+        StructField("src_cell", LongType()),
+    ]
+)
+
+
+def layer_viewshed(
+    dem_tiles: DataFrame,
+    vr: int,
+    vc: int,
+    observer_height: float = 0.0,
+    tile_size: int = 256,
+    samples_per_cell: float = 2.0,
+    nodata=NODATA_U16,
+) -> DataFrame:
+    """Cross-tile viewshed (RV6 layer level; reference role
+    ``spark/.../viewshed/IterativeViewshed.scala``). ``(vr, vc)`` is the
+    viewpoint pixel in STITCHED layer coordinates (origin = the min
+    present key). Returns (cell_id, key_col, key_row, zoom, visible)
+    with ``visible`` a bool (T,T) plane, bit-identical to running
+    ``raster_ops.viewshed`` on the stitched layer.
+
+    Spark-first shape: instead of the reference's driver-queue ray
+    iteration, this is ONE declared shuffle. Every line of sight from
+    the eye to a target tile lies inside the convex hull of {eye} and
+    the tile's corners, so each target tile gathers exactly the source
+    tiles overlapping its (margin-padded) hull, assembles that terrain
+    on a local canvas, and runs the same sampled-LOS row kernel as the
+    single-array op with GLOBAL coordinates — exact by construction,
+    embarrassingly parallel per tile, no per-round driver actions. Cost
+    is the hull terrain duplication (~sqrt(n_tiles) x layer bytes for a
+    central viewpoint), the price of replacing O(diagonal) iterative
+    rounds with one shuffle; absent tiles inside a hull block sight
+    (NoData semantics)."""
+    T = tile_size
+    spc = samples_per_cell
+    b = dem_tiles.agg(
+        F.min("key_col"), F.max("key_col"), F.min("key_row"), F.max("key_row")
+    ).collect()[0]
+    min_kc, max_kc, min_kr, max_kr = int(b[0]), int(b[1]), int(b[2]), int(b[3])
+    W = (max_kc - min_kc + 1) * T
+    H = (max_kr - min_kr + 1) * T
+    zoom_val = dem_tiles.select("zoom").first()[0]
+
+    def enum_needs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core import geom as G
+
+        for pdf in batches:
+            out = {f.name: [] for f in _NEEDS_SCHEMA.fields}
+            for i in range(len(pdf)):
+                kc, kr = int(pdf["key_col"].iloc[i]), int(pdf["key_row"].iloc[i])
+                c0 = (kc - min_kc) * T
+                r0 = (kr - min_kr) * T
+                pts = np.array(
+                    [
+                        [float(vc), float(vr)],
+                        [c0, r0], [c0 + T - 1, r0],
+                        [c0 + T - 1, r0 + T - 1], [c0, r0 + T - 1],
+                    ]
+                )
+                hull = G.convex_hull(pts)
+                hx0, hy0 = pts[:, 0].min(), pts[:, 1].min()
+                hx1, hy1 = pts[:, 0].max(), pts[:, 1].max()
+                kc_lo = max(int((hx0 - 2) // T), 0)
+                kc_hi = min(int((hx1 + 2) // T), (W - 1) // T)
+                kr_lo = max(int((hy0 - 2) // T), 0)
+                kr_hi = min(int((hy1 + 2) // T), (H - 1) // T)
+                tgt_cell = int(sfc.zorder(kc, kr))
+                for sc in range(kc_lo, kc_hi + 1):
+                    for sr in range(kr_lo, kr_hi + 1):
+                        rect = (
+                            sc * T - 2.0, sr * T - 2.0,
+                            (sc + 1) * T + 1.0, (sr + 1) * T + 1.0,
+                        )
+                        if hull.shape[0] >= 4:  # closed ring, >=3 distinct
+                            if G.clip_polygon_to_rect(hull, *rect) is None:
+                                continue
+                        out["tgt_cell"].append(tgt_cell)
+                        out["tgt_kc"].append(kc)
+                        out["tgt_kr"].append(kr)
+                        out["src_cell"].append(
+                            int(sfc.zorder(sc + min_kc, sr + min_kr))
+                        )
+            yield pd.DataFrame(out)
+
+    needs = dem_tiles.select("key_col", "key_row").mapInPandas(
+        enum_needs, _NEEDS_SCHEMA
+    )
+    joined = needs.join(
+        dem_tiles.select(
+            F.col("cell_id").alias("src_cell"),
+            F.col("key_col").alias("src_kc"),
+            F.col("key_row").alias("src_kr"),
+            "tile", "fmt",
+        ),
+        "src_cell",
+    )
+
+    def compute(cell: int, pdf: pd.DataFrame) -> dict | None:
+        kc = int(pdf["tgt_kc"].iloc[0])
+        kr = int(pdf["tgt_kr"].iloc[0])
+        src_kc = pdf["src_kc"].to_numpy(np.int64) - min_kc
+        src_kr = pdf["src_kr"].to_numpy(np.int64) - min_kr
+        row_lo = int(src_kr.min()) * T
+        col_lo = int(src_kc.min()) * T
+        ch = (int(src_kr.max()) + 1) * T - row_lo
+        cw = (int(src_kc.max()) + 1) * T - col_lo
+        canvas = np.full((ch, cw), np.nan)
+        for i in range(len(pdf)):
+            f = _to_float(
+                codecs.decode_tile(
+                    bytes(pdf["tile"].iloc[i]), T, T, pdf["fmt"].iloc[i]
+                ),
+                nodata,
+            )
+            rr = src_kr[i] * T - row_lo
+            cc = src_kc[i] * T - col_lo
+            canvas[rr : rr + T, cc : cc + T] = f
+        fn = np.where(np.isnan(canvas), np.inf, canvas)
+        eye_f = canvas[vr - row_lo, vc - col_lo]
+        vis = np.zeros((T, T), dtype=bool)
+        r0 = (kr - min_kr) * T
+        c0 = (kc - min_kc) * T
+        if not np.isnan(eye_f):
+            eye = eye_f + observer_height
+            cg = c0 + np.arange(T, dtype=np.float64)
+            dx = cg - vc
+            for rl in range(T):
+                rg = r0 + rl
+                dy = float(rg - vr)
+                dist = np.hypot(dx, dy)
+                # row max over the FULL stitched width (hypot of the
+                # farther edge column) — keeps n identical to the
+                # single-array op
+                far = max(float(vc), float(W - 1 - vc))
+                n = max(int(np.hypot(far, dy) * spc), 1)
+                t = (np.arange(1, n) / n)[:, None]
+                sx = vc + t * dx[None, :]
+                sy = vr + t * dy
+                x0 = np.clip(np.floor(sx).astype(np.int64), 0, W - 2)
+                y0 = np.clip(np.floor(sy).astype(np.int64), 0, H - 2)
+                fx = sx - x0
+                fy = sy - y0
+                x0c = x0 - col_lo
+                y0c = y0 - row_lo
+                w00 = (1 - fy) * (1 - fx)
+                w01 = (1 - fy) * fx
+                w10 = fy * (1 - fx)
+                w11 = fy * fx
+                c00, c01 = fn[y0c, x0c], fn[y0c, x0c + 1]
+                c10, c11 = fn[y0c + 1, x0c], fn[y0c + 1, x0c + 1]
+                nodata_hit = (
+                    ((w00 > 0) & np.isinf(c00))
+                    | ((w01 > 0) & np.isinf(c01))
+                    | ((w10 > 0) & np.isinf(c10))
+                    | ((w11 > 0) & np.isinf(c11))
+                )
+                terrain = (
+                    np.where(np.isinf(c00), 0.0, c00) * w00
+                    + np.where(np.isinf(c01), 0.0, c01) * w01
+                    + np.where(np.isinf(c10), 0.0, c10) * w10
+                    + np.where(np.isinf(c11), 0.0, c11) * w11
+                )
+                trow = canvas[rg - row_lo, c0 - col_lo : c0 - col_lo + T]
+                sight = eye + t * (trow[None, :] - eye)
+                before = t * dist[None, :] < (dist[None, :] - 0.5)
+                blocked = (
+                    (nodata_hit | (terrain > sight + 1e-9)) & before
+                ).any(axis=0)
+                vis[rl, :] = ~blocked & ~np.isnan(trow)
+            if r0 <= vr < r0 + T and c0 <= vc < c0 + T:
+                vis[vr - r0, vc - c0] = not np.isnan(eye_f)
+        return {
+            "cell_id": cell,
+            "key_col": kc,
+            "key_row": kr,
+            "zoom": int(zoom_val),
+            "visible": vis.tobytes(),
+        }
+
+    return grouped.grouped_rows(joined, "tgt_cell", compute, _VIEWSHED_SCHEMA)
+
+
+_RG_STATE = StructType(
+    [
+        StructField("cell_id", LongType()),
+        StructField("key_col", LongType()),
+        StructField("key_row", LongType()),
+        StructField("labels", BinaryType()),  # int64 (T,T) local labels
+    ]
+)
+
+_RG_BORDER = StructType(
+    [
+        StructField("ekey", LongType()),   # shared-edge id
+        StructField("side", IntegerType()),
+        StructField("pos", IntegerType()),
+        StructField("label", LongType()),  # packed global node id
+        StructField("value", LongType()),  # cell value (exact equality)
+    ]
+)
+
+_LABEL_BITS = 20  # local labels < 2^20 (tile <= 1024x1024)
+
+
+def _pack_node(cell_id: int, label) -> int:
+    return (int(cell_id) << _LABEL_BITS) | int(label)
+
+
+def region_group_layer(
+    tiles: DataFrame,
+    tile_size: int = 256,
+    connectivity: int = 4,
+    nodata=NODATA_U16,
+) -> DataFrame:
+    """RV4 at layer level: connected equal-value regions across tile
+    borders (cross-tile dissolve of ``raster_ops.region_group``).
+
+    Shape: (1) one narrow map labels each tile locally and emits its
+    4 border runs keyed by the shared edge; (2) a plain equi-join on
+    (edge, pos) + value equality yields the cross-tile label adjacency
+    graph; (3) the driver union-finds the DISTINCT label pairs (the
+    graph is tiny relative to pixels: at most tiles x 4T edges, far
+    fewer distinct label pairs) and broadcasts the root map; (4) one
+    narrow relabel map rewrites each tile. Region ids are the packed
+    (cell_id << 20 | local_label) of the component's minimum node —
+    deterministic, not dense. 4-connectivity (the reference default);
+    8 would add pos+-1 and corner joins.
+
+    Returns (cell_id, key_col, key_row, labels) with ``labels`` an
+    int64 (T,T) plane, 0 = NoData."""
+    if connectivity != 4:
+        raise ValueError("region_group_layer supports connectivity=4")
+    T = tile_size
+    spark = tiles.sparkSession
+
+    def label_tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in _RG_STATE.fields}
+            for i in range(len(pdf)):
+                t = codecs.decode_tile(
+                    bytes(pdf["tile"].iloc[i]), T, T, pdf["fmt"].iloc[i]
+                )
+                lab = raster_ops.region_group(t, 4, nodata)
+                out["cell_id"].append(int(pdf["cell_id"].iloc[i]))
+                out["key_col"].append(int(pdf["key_col"].iloc[i]))
+                out["key_row"].append(int(pdf["key_row"].iloc[i]))
+                out["labels"].append(lab.tobytes())
+            yield pd.DataFrame(out)
+
+    state = tiles.mapInPandas(label_tiles, _RG_STATE).localCheckpoint()
+    tile_vals = tiles.select("cell_id", "tile", "fmt")
+    with_tiles = state.join(tile_vals, "cell_id")
+
+    def borders(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in _RG_BORDER.fields}
+            for i in range(len(pdf)):
+                kc = int(pdf["key_col"].iloc[i])
+                kr = int(pdf["key_row"].iloc[i])
+                cid = int(pdf["cell_id"].iloc[i])
+                lab = np.frombuffer(
+                    bytes(pdf["labels"].iloc[i]), dtype=np.int64
+                ).reshape(T, T)
+                t = codecs.decode_tile(
+                    bytes(pdf["tile"].iloc[i]), T, T, pdf["fmt"].iloc[i]
+                ).astype(np.int64)
+
+                def emit(edge_cell, orient, side, labs, vals):
+                    keep = labs > 0
+                    if not keep.any():
+                        return
+                    ek = (int(edge_cell) << 1) | orient
+                    ps = np.nonzero(keep)[0]
+                    out["ekey"] += [ek] * len(ps)
+                    out["side"] += [side] * len(ps)
+                    out["pos"] += [int(p) for p in ps]
+                    out["label"] += [
+                        _pack_node(cid, v) for v in labs[keep]
+                    ]
+                    out["value"] += [int(v) for v in vals[keep]]
+
+                # vertical edge between (kc,kr) and (kc+1,kr): key by the
+                # LEFT tile; horizontal edge keyed by the TOP tile.
+                emit(sfc.zorder(kc, kr), 0, 0, lab[:, -1], t[:, -1])
+                if kc > 0:
+                    emit(sfc.zorder(kc - 1, kr), 0, 1, lab[:, 0], t[:, 0])
+                emit(sfc.zorder(kc, kr), 1, 0, lab[-1, :], t[-1, :])
+                if kr > 0:
+                    emit(sfc.zorder(kc, kr - 1), 1, 1, lab[0, :], t[0, :])
+            yield pd.DataFrame(out)
+
+    bdf = with_tiles.mapInPandas(borders, _RG_BORDER)
+    a = bdf.where(F.col("side") == 0).select(
+        "ekey", "pos", F.col("label").alias("lab_a"), F.col("value").alias("va")
+    )
+    b = bdf.where(F.col("side") == 1).select(
+        "ekey", "pos", F.col("label").alias("lab_b"), F.col("value").alias("vb")
+    )
+    adj = (
+        a.join(b, ["ekey", "pos"])
+        .where(F.col("va") == F.col("vb"))
+        .select("lab_a", "lab_b")
+        .distinct()
+        .collect()
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in adj:
+        ra, rb = find(int(row["lab_a"])), find(int(row["lab_b"]))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo  # min node id wins: deterministic roots
+    root_map = {x: find(x) for x in list(parent)}
+    bc = spark.sparkContext.broadcast(root_map)
+
+    def relabel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        roots = bc.value
+        for pdf in batches:
+            out = {f.name: [] for f in _RG_STATE.fields}
+            for i in range(len(pdf)):
+                cid = int(pdf["cell_id"].iloc[i])
+                lab = np.frombuffer(
+                    bytes(pdf["labels"].iloc[i]), dtype=np.int64
+                ).reshape(T, T)
+                packed = np.where(lab > 0, (cid << _LABEL_BITS) | lab, 0)
+                uniq = np.unique(packed[packed > 0])
+                lut = {int(u): roots.get(int(u), int(u)) for u in uniq}
+                glob = packed.copy()
+                for u, r in lut.items():
+                    if r != u:
+                        glob[packed == u] = r
+                out["cell_id"].append(cid)
+                out["key_col"].append(int(pdf["key_col"].iloc[i]))
+                out["key_row"].append(int(pdf["key_row"].iloc[i]))
+                out["labels"].append(glob.tobytes())
+            yield pd.DataFrame(out)
+
+    return state.mapInPandas(relabel, _RG_STATE)
+
+
+def vectorize_layer_dissolved(
+    tiles: DataFrame,
+    layout,
+    tile_size: int = 256,
+    nodata=NODATA_U16,
+) -> DataFrame:
+    """RV3 at layer level: vectorize with cross-tile region dissolve.
+    ``region_group_layer`` stitches the label space; each global region
+    then gathers its per-tile masks (one shuffle keyed by region id),
+    assembles them on a bbox canvas, and boundary-traces ONCE — so a
+    region spanning tiles yields one polygon with no internal tile
+    seams. Memory per task is the region's bbox (fine for real-world
+    regions; a layer-spanning region degenerates to a single task —
+    the same bound the reference's collected vectorize has).
+
+    Returns (region long, value double, wkb binary) in world coords."""
+    T = tile_size
+    rg = region_group_layer(tiles, T, 4, nodata)
+    with_tiles = rg.join(tiles.select("cell_id", "tile", "fmt"), "cell_id")
+
+    _PIECE = StructType(
+        [
+            StructField("region", LongType()),
+            StructField("key_col", LongType()),
+            StructField("key_row", LongType()),
+            StructField("value", DoubleType()),
+            StructField("mask", BinaryType()),  # bool (T,T)
+        ]
+    )
+
+    def pieces(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in _PIECE.fields}
+            for i in range(len(pdf)):
+                lab = np.frombuffer(
+                    bytes(pdf["labels"].iloc[i]), dtype=np.int64
+                ).reshape(T, T)
+                t = codecs.decode_tile(
+                    bytes(pdf["tile"].iloc[i]), T, T, pdf["fmt"].iloc[i]
+                )
+                for reg in np.unique(lab[lab > 0]):
+                    m = lab == reg
+                    rs, cs = np.nonzero(m)
+                    out["region"].append(int(reg))
+                    out["key_col"].append(int(pdf["key_col"].iloc[i]))
+                    out["key_row"].append(int(pdf["key_row"].iloc[i]))
+                    out["value"].append(float(t[rs[0], cs[0]]))
+                    out["mask"].append(m.tobytes())
+            yield pd.DataFrame(out)
+
+    pc = with_tiles.mapInPandas(pieces, _PIECE)
+
+    OUT = StructType(
+        [
+            StructField("region", LongType()),
+            StructField("value", DoubleType()),
+            StructField("wkb", BinaryType()),
+        ]
+    )
+
+    def assemble(region: int, pdf: pd.DataFrame) -> dict:
+        kcs = pdf["key_col"].to_numpy(np.int64)
+        krs = pdf["key_row"].to_numpy(np.int64)
+        kc0, kr0 = int(kcs.min()), int(krs.min())
+        ch = (int(krs.max()) - kr0 + 1) * T
+        cw = (int(kcs.max()) - kc0 + 1) * T
+        canvas = np.zeros((ch, cw), dtype=bool)
+        for i in range(len(pdf)):
+            m = np.frombuffer(
+                bytes(pdf["mask"].iloc[i]), dtype=bool
+            ).reshape(T, T)
+            rr = (int(krs[i]) - kr0) * T
+            cc = (int(kcs[i]) - kc0) * T
+            canvas[rr : rr + T, cc : cc + T] = m
+        rings = raster_ops.trace_mask_rings(canvas)
+        xmin0, _, xmax0, ymax0 = (
+            float(v) for v in layout.key_to_extent(kc0, kr0)
+        )
+        cwp = (xmax0 - xmin0) / T  # world units per pixel
+        chp = layout.tile_height / T if hasattr(layout, "tile_height") else cwp
+        world = [
+            np.column_stack(
+                [xmin0 + r[:, 0] * cwp, ymax0 - r[:, 1] * chp]
+            )
+            for r in rings
+        ]
+        return {
+            "region": region,
+            "value": float(pdf["value"].iloc[0]),
+            "wkb": G.wkb_write_polygon(world),
+        }
+
+    return grouped.grouped_rows(pc, "region", assemble, OUT)
