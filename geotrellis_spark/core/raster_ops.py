@@ -369,6 +369,51 @@ def simple_kriging(
     return mean + (wts * (pv - mean)[None, :]).sum(axis=-1).reshape(gx.shape)
 
 
+def universal_kriging(
+    px: np.ndarray, py: np.ndarray, pv: np.ndarray,
+    xs: np.ndarray, ys: np.ndarray,
+    rng: float = 100.0, sill: float = 1.0, nugget: float = 0.0,
+    drift: str = "linear",
+) -> np.ndarray:
+    """Universal kriging (RV8, ``vector/.../interpolation/
+    UniversalKriging.scala`` role): ordinary kriging augmented with a
+    polynomial DRIFT model — the kriging system is extended with the
+    drift basis F evaluated at the samples ([[Gamma, F], [F^T, 0]]),
+    and the per-cell RHS carries the basis at the prediction point, so
+    the estimator is exact at samples and reproduces any surface inside
+    the drift space (a linear trend is predicted exactly everywhere,
+    which ordinary kriging reverts to the mean instead).
+    drift: 'constant' (== ordinary), 'linear' [1,x,y], 'quadratic'
+    adds x^2, xy, y^2."""
+
+    def basis(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        cols = [np.ones_like(x)]
+        if drift in ("linear", "quadratic"):
+            cols += [x, y]
+        if drift == "quadratic":
+            cols += [x * x, x * y, y * y]
+        elif drift not in ("constant", "linear"):  # pragma: no cover
+            raise ValueError(drift)
+        return np.stack(cols, axis=-1)
+
+    n = px.shape[0]
+    fb = basis(px, py)                       # (n, m)
+    m = fb.shape[1]
+    dxy = np.hypot(px[:, None] - px[None, :], py[:, None] - py[None, :])
+    a = np.zeros((n + m, n + m))
+    a[:n, :n] = spherical_variogram(dxy, rng, sill, nugget)
+    a[:n, n:] = fb
+    a[n:, :n] = fb.T
+    gx, gy = np.meshgrid(xs, ys)
+    d0 = np.hypot(gx[..., None] - px, gy[..., None] - py)  # (rows, cols, n)
+    b = np.concatenate(
+        [spherical_variogram(d0, rng, sill, nugget), basis(gx, gy)], axis=-1
+    )
+    wts = np.linalg.solve(a, b.reshape(-1, n + m).T).T  # (cells, n+m)
+    out = (wts[:, :n] * pv[None, :]).sum(axis=-1)
+    return out.reshape(gx.shape)
+
+
 def histogram_equalize(tile: np.ndarray, nodata=NODATA_U16) -> np.ndarray:
     """Global histogram equalization to the full uint16 range (G5)."""
     f = kernels._to_float(tile, nodata)

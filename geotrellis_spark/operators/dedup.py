@@ -130,6 +130,23 @@ def minhash_candidates(
     )
 
 
+MAX_BUCKET_DEFAULT = 256
+
+
+def minhash_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bands: int = 4, max_bucket: int | None = MAX_BUCKET_DEFAULT,
+) -> DataFrame:
+    """PRODUCTION MinHash-LSH entry point: ``max_bucket`` defaults ON
+    (256 ids per (band, bval) bucket), so a degenerate hot bucket —
+    boilerplate text collapsing to one band value — cannot produce a
+    quadratic pair blowup at 100 TB. Every kept doc still pairs with
+    the bucket's smallest-id representative, preserving duplicate
+    CLUSTERS. The exact enumeration (``minhash_candidates`` with
+    max_bucket=None) stays the oracle-checked path."""
+    return minhash_candidates(docs, id_col, text_col, bands, max_bucket)
+
+
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bits: int = SIMHASH_BITS,

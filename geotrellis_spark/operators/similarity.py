@@ -196,6 +196,103 @@ def lsh_topk_sql(
     """
 
 
+def multiprobe_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_pred: str = "vec_id % 100 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    probes: int = 1,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Multi-probe LSH ANN top-k: each query searches its own bucket
+    PLUS every bucket at Hamming distance <= ``probes`` bit flips
+    (probes=1: the n_planes single-flip neighbors). Recall becomes a
+    QUERY-TIME knob — no re-bucketing rescan to tune it, which is the
+    piece plain LSH lacks at 100 TB (re-hashing the corpus to change
+    recall is a full pass; flipping probe bits is free). Candidate
+    volume grows by ~(1 + n_planes * probes) x bucket size; the plan is
+    still a broadcast equi-join on the bucket id, no cross join.
+    Output: (q_id, vec_id, rank) — deterministic, exact DuckDB twin."""
+    if probes not in (0, 1):
+        raise ValueError("probes in {0, 1} supported (flip-1 multi-probe)")
+    bits = []
+    for j in range(n_planes):
+        lit = ", ".join(f"cast({c!r} as double)" for c in _plane(j))
+        bits.append(
+            f"(CASE WHEN {_dot_sql(vec_col, f'array({lit})')} > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = F.expr(f"cast({' + '.join(bits)} as bigint)")
+    withb = emb.select(id_col, vec_col).withColumn("bucket", bucket)
+    probe_terms = ["bucket"] + [
+        f"bucket ^ {1 << j}" for j in range(n_planes if probes else 0)
+    ]
+    q = withb.where(query_pred).selectExpr(
+        f"{id_col} as q_id",
+        f"{vec_col} as q_vec",
+        f"explode(array({', '.join(probe_terms)})) as bucket",
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    pairs = withb.join(q, "bucket").where(F.col(id_col) != F.col("q_id"))
+    scored = pairs.withColumn(
+        "cos",
+        _dot(vec_col, "q_vec")
+        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("q_vec", "q_vec"))),
+    )
+    win = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("q_id", id_col, "rank")
+    )
+
+
+def multiprobe_topk_sql(
+    k: int = 5,
+    query_pred: str = "vec_id % 100 = 0",
+    source_sql: str = "embeddings",
+    n_planes: int = N_PLANES,
+    probes: int = 1,
+) -> str:
+    bits = []
+    for j in range(n_planes):
+        lit = "[" + ", ".join(repr(c) for c in _plane(j)) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = f"CAST({' + '.join(bits)} AS BIGINT)"
+    probe_terms = ["bucket"] + [
+        f"xor(bucket, {1 << j})" for j in range(n_planes if probes else 0)
+    ]
+    return f"""
+    WITH withb AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM {source_sql}
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec,
+             unnest([{', '.join(probe_terms)}]) AS bucket
+      FROM withb WHERE {query_pred}
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.q_vec::DOUBLE[]) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))) AS cos
+      FROM withb e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, rank FROM (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC)
+               AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 def lsh_buckets_sql(source_sql: str = "embeddings", n_planes: int = N_PLANES) -> str:
     bits = []
     for j in range(n_planes):

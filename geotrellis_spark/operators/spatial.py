@@ -457,6 +457,49 @@ def vector_join(
     )
 
 
+def spacetime_join(
+    a: DataFrame,
+    b: DataFrame,
+    zoom: int,
+    lon_a: str = "lon",
+    lat_a: str = "lat",
+    t_a: str = "ts",
+    lon_b: str = "lon",
+    lat_b: str = "lat",
+    t_b: str = "ts",
+    t_unit: str = "day",
+    epoch: str = "2024-01-01",
+    broadcast_b: bool = False,
+) -> DataFrame:
+    """J7 dedicated temporal-slice join (reference role ``spark/.../
+    join`` over SpaceTimeKey layers): key both sides with the spatial
+    cell at ``zoom`` plus the time bucket (``t_unit`` since ``epoch`` —
+    the Z3 key's temporal component), then ONE equi-join on
+    (cell_id, t_ord). Catalyst plans it as an ordinary shuffled/broadcast
+    hash join — co-located by the same key the layer is stored under
+    (S3 SFC-sorted buckets), so at 100 TB the join is shuffle-free on a
+    bucketed layer. Returns a columns + b columns + (cell_id, t_ord)."""
+    if t_unit == "day":
+        bucket = lambda c: F.datediff(  # noqa: E731
+            F.col(c).cast("date"), F.lit(epoch).cast("date")
+        )
+    elif t_unit == "hour":
+        bucket = lambda c: (  # noqa: E731
+            F.col(c).cast("long") - F.lit(epoch).cast("timestamp").cast("long")
+        ) / 3600
+    else:  # pragma: no cover
+        raise ValueError(t_unit)
+    ka = assign_cells(a, lon_a, lat_a, zoom).withColumn(
+        "t_ord", bucket(t_a).cast("long")
+    ).drop("key_col", "key_row")
+    kb = assign_cells(b, lon_b, lat_b, zoom).withColumn(
+        "t_ord", bucket(t_b).cast("long")
+    ).drop("key_col", "key_row")
+    if broadcast_b:
+        kb = F.broadcast(kb)
+    return ka.join(kb, ["cell_id", "t_ord"])
+
+
 def knn_join(
     points: DataFrame,
     queries: DataFrame,

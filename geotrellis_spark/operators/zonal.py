@@ -182,10 +182,16 @@ def time_series_polygonal(
     )
 
 
-def layer_histogram(tiles: DataFrame, size: int = 80) -> StreamingHistogram:
+def layer_histogram(
+    tiles: DataFrame, size: int = 80, merge_fanin: int = 32
+) -> StreamingHistogram:
     """Z3: mergeable StreamingHistogram over all tile pixels — per-tile
-    partial sketches (pandas UDF) merged driver-side (the partials are
-    tiny: <= size (center,count) pairs each)."""
+    partial sketches (pandas UDF), a distributed TREE-MERGE round
+    (groupBy(partition_id % merge_fanin): each group folds its sketches
+    into one), then a driver merge of at most ``merge_fanin`` rows.
+    The driver-side collect is bounded by the fan-in regardless of tile
+    count — at 100 TB the millions of per-batch partials never leave
+    the executors."""
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -201,9 +207,26 @@ def layer_histogram(tiles: DataFrame, size: int = 80) -> StreamingHistogram:
 
     p = tiles.mapInPandas(
         partials, "centers array<double>, counts array<double>"
-    ).collect()
+    ).withColumn(
+        "_mk", F.pmod(F.spark_partition_id(), F.lit(merge_fanin)).cast("long")
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = StreamingHistogram(size)
+        for _, row in pdf.iterrows():
+            h = h.merge(
+                StreamingHistogram.from_arrays(
+                    row["centers"], row["counts"], size
+                )
+            )
+        c, n = h.to_arrays()
+        return pd.DataFrame({"centers": [c.tolist()], "counts": [n.tolist()]})
+
+    pre = p.groupBy("_mk").applyInPandas(
+        merge_group, "centers array<double>, counts array<double>"
+    ).collect()  # <= merge_fanin rows
     merged = StreamingHistogram(size)
-    for row in p:
+    for row in pre:
         merged = merged.merge(
             StreamingHistogram.from_arrays(row["centers"], row["counts"], size)
         )

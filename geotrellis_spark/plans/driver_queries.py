@@ -593,6 +593,68 @@ def sql_ann_bucketed() -> str:
     return similarity.lsh_topk_sql()
 
 
+def q_ann_multiprobe(spark, sf_dir) -> DataFrame:
+    """Multi-probe LSH ANN: each query also probes the n_planes
+    single-bit-flip neighbor buckets — recall becomes a query-time knob
+    (no corpus re-bucketing). Same broadcast equi-join plan shape."""
+    return similarity.multiprobe_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def sql_ann_multiprobe() -> str:
+    return similarity.multiprobe_topk_sql()
+
+
+# --------------------------------------------- J7 temporal slice join
+
+def q_spacetime_join(spark, sf_dir) -> DataFrame:
+    """J7: two event-derived point layers joined on (cell_id at zoom 3,
+    day bucket) via the dedicated spacetime_join operator."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.selectExpr(
+        "event_id as a_id", "ts",
+        f"{exprs.lon_sql('user_id')} as lon",
+        f"{exprs.lat_sql('event_id')} as lat",
+    )
+    b = ev.selectExpr(
+        "event_id as b_id", "ts",
+        f"{exprs.lon_sql('event_id * 7 + 1')} as lon",
+        f"{exprs.lat_sql('user_id * 5 + 2')} as lat",
+    )
+    out = spatial.spacetime_join(a, b, zoom=3)
+    return out.select("a_id", "b_id", "cell_id", "t_ord")
+
+
+def sql_spacetime_join() -> str:
+    kc_a = exprs.key_col_sql("lon", 3)
+    kr_a = exprs.key_row_sql("lat", 3)
+    return f"""
+    WITH a AS (
+      SELECT event_id AS a_id, ts,
+             {exprs.lon_sql('user_id')} AS lon,
+             {exprs.lat_sql('event_id')} AS lat
+      FROM events
+    ),
+    b AS (
+      SELECT event_id AS b_id, ts,
+             {exprs.lon_sql('event_id * 7 + 1')} AS lon,
+             {exprs.lat_sql('user_id * 5 + 2')} AS lat
+      FROM events
+    ),
+    ka AS (
+      SELECT a_id, {exprs.zorder_sql(kc_a, kr_a, 3)} AS cell_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t_ord
+      FROM a
+    ),
+    kb AS (
+      SELECT b_id, {exprs.zorder_sql(kc_a, kr_a, 3)} AS cell_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t_ord
+      FROM b
+    )
+    SELECT ka.a_id, kb.b_id, ka.cell_id, ka.t_ord
+    FROM ka JOIN kb ON ka.cell_id = kb.cell_id AND ka.t_ord = kb.t_ord
+    """
+
+
 # ----------------------------------------- quantiles / rollup / hilbert
 
 def q_class_breaks(spark, sf_dir) -> DataFrame:
@@ -987,6 +1049,8 @@ QUERIES = {
     "ann_topk": (q_ann_topk, sql_ann_topk),
     "embedding_lsh": (q_embedding_lsh, sql_embedding_lsh),
     "ann_bucketed": (q_ann_bucketed, sql_ann_bucketed),
+    "ann_multiprobe": (q_ann_multiprobe, sql_ann_multiprobe),
+    "spacetime_join": (q_spacetime_join, sql_spacetime_join),
     "class_breaks": (q_class_breaks, sql_class_breaks),
     "rollup_cube": (q_rollup_cube, sql_rollup_cube),
     "sessionize": (q_sessionize, sql_sessionize),

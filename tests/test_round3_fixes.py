@@ -376,3 +376,77 @@ def test_vectorize_layer_dissolved_no_tile_seams(spark):
         if w == 0:
             continue
         assert fwd.setdefault(w, g) == g
+
+
+# ----------------------------------------------- universal kriging RV8
+
+def test_universal_kriging_exact_and_drift():
+    px = np.array([2.0, 8.0, 5.0])
+    py = np.array([2.0, 3.0, 8.0])
+    xs = np.arange(10) + 0.5
+    ys = (9 - np.arange(10)) + 0.5
+    gx, gy = np.meshgrid(xs, ys)
+    # (1) exact interpolator: evaluate on a lattice that contains the
+    # sample locations and read the prediction at each sample
+    pv = np.array([10.0, 30.0, 17.0])
+    zs = raster_ops.universal_kriging(px, py, pv, px, py, rng=6.0, sill=2.0)
+    # the (i, i) lattice cell is sample i's own (x, y)
+    np.testing.assert_allclose(np.diag(zs), pv, atol=1e-9)
+    # (2) a pure linear trend is reproduced EXACTLY everywhere (the
+    # property ordinary kriging lacks — it reverts to the mean)
+    trend = lambda x, y: 3.0 + 2.0 * x - 1.5 * y  # noqa: E731
+    pvt = trend(px, py)
+    zt = raster_ops.universal_kriging(px, py, pvt, xs, ys, rng=6.0, sill=2.0)
+    np.testing.assert_allclose(zt, trend(gx, gy), atol=1e-8)
+    zo = raster_ops.ordinary_kriging(px, py, pvt, xs, ys, rng=6.0, sill=2.0)
+    assert np.abs(zo - trend(gx, gy)).max() > 1.0  # OK genuinely differs far away
+    # (3) drift='constant' degenerates to ordinary kriging
+    zc = raster_ops.universal_kriging(
+        px, py, pv, xs, ys, rng=6.0, sill=2.0, drift="constant"
+    )
+    zo2 = raster_ops.ordinary_kriging(px, py, pv, xs, ys, rng=6.0, sill=2.0)
+    np.testing.assert_allclose(zc, zo2, atol=1e-10)
+
+
+# ------------------------------------ minhash cap + multi-probe recall
+
+def test_minhash_dedup_cap_preserves_clusters(spark):
+    """The production entry caps hot buckets but every kept doc still
+    pairs with the bucket representative: duplicate clusters survive."""
+    import pandas as pd
+    from geotrellis_spark.operators import dedup
+
+    docs = pd.DataFrame({
+        "doc_id": range(40),
+        "text": ["the same boilerplate text repeated verbatim here"] * 30
+                + [f"unique document number {i} with its own words" for i in range(10)],
+    })
+    df = spark.createDataFrame(docs)
+    capped = dedup.minhash_dedup(df, max_bucket=5)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in dedup.minhash_candidates(df).collect()}
+    assert pairs <= exact
+    # far fewer pairs than the quadratic exact enumeration...
+    assert len(pairs) < len(exact)
+    # ...but every duplicate doc is still reachable from doc 0 (the
+    # bucket representative): cluster connectivity preserved
+    linked = {b for a, b in pairs if a == 0} | {0}
+    assert linked >= set(range(1, 5))  # at least the kept bucket members
+
+
+def test_multiprobe_recall_not_below_bucketed(spark):
+    """Flip-1 probing can only ADD candidates, so per-query recall vs
+    the exact top-k is >= the single-bucket LSH's recall."""
+    from geotrellis_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["q_id"], r["vec_id"])
+             for r in similarity.cosine_topk(emb).collect()}
+    single = {(r["q_id"], r["vec_id"])
+              for r in similarity.lsh_topk(emb).collect()}
+    multi = {(r["q_id"], r["vec_id"])
+             for r in similarity.multiprobe_topk(emb).collect()}
+    rec_single = len(single & exact) / len(exact)
+    rec_multi = len(multi & exact) / len(exact)
+    assert rec_multi >= rec_single
