@@ -70,21 +70,7 @@ def main() -> None:
     # warm-up: JVM + python workers + parquet footers
     _run(dq.q_cell_agg(spark, sf_dir))
 
-    # minhash_lsh runs FIRST on clean JVM state, best-of-2: it is the
-    # most GC-debt-sensitive query in the suite (2.2M-pair output;
-    # measured 6-24s swings when it ran after the byte-heavy legs —
-    # the round-2 regression was measurement order, not plan).
-    best_dt, n_mh = None, 0
-    for _rep in range(2):
-        _gc_barrier(spark)
-        t0 = time.time()
-        n_mh = _run(dq.QUERIES["minhash_lsh"][0](spark, sf_dir))
-        dt = time.time() - t0
-        best_dt = dt if best_dt is None else min(best_dt, dt)
-    timings["minhash_lsh"] = round(best_dt, 3)
-    print(f"# minhash_lsh: {n_mh} rows in {best_dt:.1f}s", file=sys.stderr)
-
-    # The north-rule throughput legs run next, on near-clean JVM state —
+    # The north-rule throughput legs run FIRST, on clean JVM state —
     # measured: running the query suite beforehand leaves heap garbage
     # that degrades the byte-heavy Arrow path up to 3x (and a real
     # deployment runs ingest as a dedicated job anyway). The box is
@@ -123,6 +109,22 @@ def main() -> None:
     timings["pip_join"] = round(best_dt, 3)
     extras["pip_rows_per_sec"] = round(n_joined / best_dt, 1)
     print(f"# pip_join: {n_joined} rows in {best_dt:.1f}s", file=sys.stderr)
+
+    # minhash_lsh immediately after the throughput legs, best-of-2 with
+    # a GC barrier per rep: it is the most GC-debt-sensitive query in
+    # the suite (2.2M-pair output; measured 6-24s swings in round 2).
+    # It must NOT run before the tiling leg — its own JVM churn degrades
+    # the byte-heavy Arrow path ~2.5x even through a System.gc() barrier
+    # (measured this round: 1400 -> 570 tiles/s when ordered first).
+    best_dt, n_mh = None, 0
+    for _rep in range(2):
+        _gc_barrier(spark)
+        t0 = time.time()
+        n_mh = _run(dq.QUERIES["minhash_lsh"][0](spark, sf_dir))
+        dt = time.time() - t0
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+    timings["minhash_lsh"] = round(best_dt, 3)
+    print(f"# minhash_lsh: {n_mh} rows in {best_dt:.1f}s", file=sys.stderr)
 
     for name in HEADLINE:
         # barrier per query: each timing measures THAT query, not the
