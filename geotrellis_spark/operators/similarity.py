@@ -293,6 +293,81 @@ def multiprobe_topk_sql(
     """
 
 
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold_milli: int = 250,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection — the fifth dedup mode
+    (exact / minhash / simhash / jaccard / COSINE): candidate pairs are
+    same-LSH-bucket vectors only (equi-join on the bucket id — never the
+    O(n^2) cross join), kept when cosine > threshold. The threshold is
+    an integer milli-cosine so the predicate compares identically in
+    both engines (cos * 1000 floor > threshold would also work; direct
+    double compare is fine because both engines compute the identical
+    sequential fold). Returns (vec_a, vec_b, cos_milli), vec_a < vec_b."""
+    bits = []
+    for j in range(n_planes):
+        lit = ", ".join(f"cast({c!r} as double)" for c in _plane(j))
+        bits.append(
+            f"(CASE WHEN {_dot_sql(vec_col, f'array({lit})')} > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = F.expr(f"cast({' + '.join(bits)} as bigint)")
+    withb = emb.select(id_col, vec_col).withColumn("bucket", bucket)
+    a = withb.alias("a")
+    b = withb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    cos = (
+        _dot(f"a.{vec_col}", f"b.{vec_col}")
+        / (
+            F.sqrt(_dot(f"a.{vec_col}", f"a.{vec_col}"))
+            * F.sqrt(_dot(f"b.{vec_col}", f"b.{vec_col}"))
+        )
+    )
+    return pairs.select(
+        F.col(f"a.{id_col}").alias("vec_a"),
+        F.col(f"b.{id_col}").alias("vec_b"),
+        F.floor(cos * 1000).cast("bigint").alias("cos_milli"),
+    ).where(F.col("cos_milli") >= threshold_milli)
+
+
+def cosine_neardup_sql(
+    threshold_milli: int = 250,
+    source_sql: str = "embeddings",
+    n_planes: int = N_PLANES,
+) -> str:
+    bits = []
+    for j in range(n_planes):
+        lit = "[" + ", ".join(repr(c) for c in _plane(j)) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = f"CAST({' + '.join(bits)} AS BIGINT)"
+    return f"""
+    WITH withb AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM {source_sql}
+    )
+    SELECT vec_a, vec_b, cos_milli FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(floor(
+               list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+               * 1000) AS BIGINT) AS cos_milli
+      FROM withb a JOIN withb b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE cos_milli >= {threshold_milli}
+    """
+
+
 def lsh_buckets_sql(source_sql: str = "embeddings", n_planes: int = N_PLANES) -> str:
     bits = []
     for j in range(n_planes):

@@ -604,6 +604,16 @@ def sql_ann_multiprobe() -> str:
     return similarity.multiprobe_topk_sql()
 
 
+def q_embedding_neardup(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-dup (dedup mode 5): same-LSH-bucket pairs
+    above a cosine threshold — bucketed, never the O(n^2) cross join."""
+    return similarity.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+def sql_embedding_neardup() -> str:
+    return similarity.cosine_neardup_sql()
+
+
 # --------------------------------------------- J7 temporal slice join
 
 def q_spacetime_join(spark, sf_dir) -> DataFrame:
@@ -1050,6 +1060,7 @@ QUERIES = {
     "embedding_lsh": (q_embedding_lsh, sql_embedding_lsh),
     "ann_bucketed": (q_ann_bucketed, sql_ann_bucketed),
     "ann_multiprobe": (q_ann_multiprobe, sql_ann_multiprobe),
+    "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
     "spacetime_join": (q_spacetime_join, sql_spacetime_join),
     "class_breaks": (q_class_breaks, sql_class_breaks),
     "rollup_cube": (q_rollup_cube, sql_rollup_cube),
