@@ -1,0 +1,263 @@
+"""Multimodal columns: image / audio / video as opaque BINARY payloads
+with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
+
+Not in the GeoTrellis reference (raster-only); first-class engine
+additions for large-scale training-data pipelines. The design contract
+(what matters at 100 TB) is REAL here — schemas, partition-preserving
+narrow maps, batch-shaped numpy kernels, byte-offset slicing that never
+decodes more than asked — while decode of EXTERNAL codecs (JPEG, MP3,
+H.264...) is stubbed behind clearly-marked ``NotImplementedError``:
+the image/audio libs are not in this container, and the deterministic
+in-repo codecs (raw16/PNG gray, PCM16, raw frame stacks) stand in so
+every pipeline is end-to-end testable.
+
+Row conventions:
+- image: (image_id long, img binary, w int, h int, fmt string)
+- audio: (audio_id long, pcm binary, sample_rate int, n_samples int,
+  codec string)  — pcm = little-endian int16 mono
+- video: (video_id long, frames binary, n_frames int, w int, h int,
+  codec string) — frames = n_frames concatenated raw16 gray frames
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..core import codecs, imagery, kernels
+
+EXTERNAL_IMAGE_CODECS = ("jpeg", "webp", "tiff")
+EXTERNAL_AUDIO_CODECS = ("mp3", "flac", "opus")
+EXTERNAL_VIDEO_CODECS = ("h264", "vp9", "av1")
+
+
+def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """Decode one image payload. raw16/png are real (in-repo codecs);
+    external codecs are STUBS — the container has no image libraries,
+    so the decode step raises; swap in pillow/libjpeg on a real
+    cluster, the surrounding Spark plumbing is codec-agnostic."""
+    if fmt in ("raw16", "png"):
+        return codecs.decode_tile(data, w, h, fmt)
+    if fmt in EXTERNAL_IMAGE_CODECS:
+        raise NotImplementedError(
+            f"STUB: {fmt} decode needs an external image library "
+            "(not in this container); plug a decoder into decode_image"
+        )
+    raise ValueError(fmt)
+
+
+def image_resize(
+    imgs: DataFrame, out_w: int, out_h: int, method: str = "bilinear",
+) -> DataFrame:
+    """Batch image resize: decode -> G2 resample kernel -> re-encode,
+    one narrow map (no shuffle; partitioning preserved). Output keeps
+    the input schema with w/h/img updated."""
+    fn = getattr(kernels, f"resample_{method}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            payloads = []
+            for i in range(len(pdf)):
+                px = decode_image(
+                    bytes(pdf["img"].iloc[i]), int(pdf["w"].iloc[i]),
+                    int(pdf["h"].iloc[i]), pdf["fmt"].iloc[i],
+                )
+                rs = np.nan_to_num(  # NoData cells resample back to 0
+                    fn(px, out_h, out_w), nan=0.0
+                ).astype(np.uint16)
+                payloads.append(codecs.encode_tile(rs, pdf["fmt"].iloc[i]))
+            out["img"] = payloads
+            out["w"] = out_w
+            out["h"] = out_h
+            yield out
+
+    return imgs.mapInPandas(gen, imgs.schema)
+
+
+def image_features(imgs: DataFrame) -> DataFrame:
+    """Per-image features: 64-bit perceptual hash + integer mean/std
+    surrogates (milli-units, so downstream comparisons are exact)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "phash": [], "mean_milli": [], "std_milli": []}
+            for i in range(len(pdf)):
+                px = decode_image(
+                    bytes(pdf["img"].iloc[i]), int(pdf["w"].iloc[i]),
+                    int(pdf["h"].iloc[i]), pdf["fmt"].iloc[i],
+                ).astype(np.float64)
+                out["image_id"].append(int(pdf["image_id"].iloc[i]))
+                out["phash"].append(int(imagery.phash64(px)))
+                out["mean_milli"].append(int(np.floor(px.mean() * 1000)))
+                out["std_milli"].append(int(np.floor(px.std() * 1000)))
+            yield pd.DataFrame(out)
+
+    return imgs.mapInPandas(
+        gen, "image_id long, phash long, mean_milli long, std_milli long"
+    )
+
+
+# ------------------------------------------------------------- audio
+
+def synth_audio(
+    spark: SparkSession, n: int, sample_rate: int = 8000,
+    n_samples: int = 16000, partitions: int = 8,
+) -> DataFrame:
+    """Deterministic PCM16 test audio: each row is a pure tone + chirp
+    keyed by the row id (Philox-seeded noise floor), regenerable by any
+    partition independently."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"audio_id": [], "pcm": [], "sample_rate": [],
+                   "n_samples": [], "codec": []}
+            for aid in pdf["id"]:
+                aid = int(aid)
+                t = np.arange(n_samples) / sample_rate
+                freq = 200.0 + (aid % 17) * 50.0
+                sig = 0.6 * np.sin(2 * np.pi * freq * t)
+                sig += 0.2 * np.sin(2 * np.pi * (freq + 7 * aid % 40) * t * t)
+                rng = np.random.Generator(np.random.Philox(key=aid))
+                sig += 0.05 * rng.standard_normal(n_samples)
+                pcm = np.clip(sig * 32767, -32768, 32767).astype("<i2")
+                out["audio_id"].append(aid)
+                out["pcm"].append(pcm.tobytes())
+                out["sample_rate"].append(sample_rate)
+                out["n_samples"].append(n_samples)
+                out["codec"].append("pcm16")
+            yield pd.DataFrame(out)
+
+    return spark.range(n, numPartitions=partitions).mapInPandas(
+        gen,
+        "audio_id long, pcm binary, sample_rate int, n_samples int, "
+        "codec string",
+    )
+
+
+def decode_audio(data: bytes, codec: str) -> np.ndarray:
+    """PCM16 is real; compressed codecs are STUBS (no audio libs in
+    this container)."""
+    if codec == "pcm16":
+        return np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    if codec in EXTERNAL_AUDIO_CODECS:
+        raise NotImplementedError(
+            f"STUB: {codec} decode needs an external audio library"
+        )
+    raise ValueError(codec)
+
+
+def audio_features(
+    audio: DataFrame, frame: int = 1024, hop: int = 512,
+) -> DataFrame:
+    """Windowed audio features (RMS + zero-crossing rate per frame),
+    one narrow map; the whole window matrix per row is ONE numpy
+    stride-trick view — no per-sample python. Output: (audio_id,
+    frame_ord, rms_milli, zcr_milli) with exact integer milli-units."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"audio_id": [], "frame_ord": [], "rms_milli": [],
+                   "zcr_milli": []}
+            for i in range(len(pdf)):
+                x = decode_audio(bytes(pdf["pcm"].iloc[i]), pdf["codec"].iloc[i])
+                nfr = max((x.shape[0] - frame) // hop + 1, 0)
+                if nfr == 0:
+                    continue
+                idx = np.arange(frame)[None, :] + hop * np.arange(nfr)[:, None]
+                wins = x[idx]                      # (nfr, frame)
+                rms = np.sqrt((wins * wins).mean(axis=1))
+                zc = (np.diff(np.signbit(wins), axis=1) != 0).mean(axis=1)
+                aid = int(pdf["audio_id"].iloc[i])
+                out["audio_id"] += [aid] * nfr
+                out["frame_ord"] += list(range(nfr))
+                out["rms_milli"] += np.floor(rms * 1000).astype(int).tolist()
+                out["zcr_milli"] += np.floor(zc * 1000).astype(int).tolist()
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(
+        gen, "audio_id long, frame_ord long, rms_milli long, zcr_milli long"
+    )
+
+
+# ------------------------------------------------------------- video
+
+def synth_video(
+    spark: SparkSession, n: int, n_frames: int = 24, w: int = 32,
+    h: int = 32, partitions: int = 8,
+) -> DataFrame:
+    """Deterministic raw-frame test video: frame f of video v is the
+    synth image pattern for ordinal v with a brightness ramp over f."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"video_id": [], "frames": [], "n_frames": [], "w": [],
+                   "h": [], "codec": []}
+            for vid in pdf["id"]:
+                vid = int(vid)
+                base = imagery.synth_pixels(vid, w, h).astype(np.float64)
+                stack = np.stack([
+                    np.clip(base * (0.5 + f / n_frames), 0, 65535)
+                    for f in range(n_frames)
+                ]).astype("<u2")
+                out["video_id"].append(vid)
+                out["frames"].append(stack.tobytes())
+                out["n_frames"].append(n_frames)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["codec"].append("rawstack")
+            yield pd.DataFrame(out)
+
+    return spark.range(n, numPartitions=partitions).mapInPandas(
+        gen,
+        "video_id long, frames binary, n_frames int, w int, h int, "
+        "codec string",
+    )
+
+
+def frame_sample(
+    video: DataFrame, every_k: int = 4, with_phash: bool = True,
+) -> DataFrame:
+    """Sample every k-th frame from each video payload by BYTE OFFSET —
+    only the sampled frames are materialized (the contract that matters
+    when a frame stack is GBs: decode cost proportional to frames KEPT,
+    not frames stored). Compressed codecs would seek on keyframe index
+    here; rawstack slices directly. Output: (video_id, frame_ord,
+    frame binary, phash)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"video_id": [], "frame_ord": [], "frame": [], "phash": []}
+            for i in range(len(pdf)):
+                codec = pdf["codec"].iloc[i]
+                if codec != "rawstack":
+                    raise NotImplementedError(
+                        f"STUB: {codec} frame seek needs an external "
+                        "video library"
+                    )
+                w = int(pdf["w"].iloc[i])
+                h = int(pdf["h"].iloc[i])
+                nf = int(pdf["n_frames"].iloc[i])
+                blob = pdf["frames"].iloc[i]
+                fbytes = w * h * 2
+                vid = int(pdf["video_id"].iloc[i])
+                for f in range(0, nf, every_k):
+                    chunk = bytes(blob[f * fbytes : (f + 1) * fbytes])
+                    out["video_id"].append(vid)
+                    out["frame_ord"].append(f)
+                    out["frame"].append(chunk)
+                    if with_phash:
+                        px = np.frombuffer(chunk, dtype="<u2").reshape(h, w)
+                        out["phash"].append(int(imagery.phash64(
+                            px.astype(np.float64)
+                        )))
+                    else:
+                        out["phash"].append(None)
+            yield pd.DataFrame(out)
+
+    return video.mapInPandas(
+        gen, "video_id long, frame_ord long, frame binary, phash long"
+    )
