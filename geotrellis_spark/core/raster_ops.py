@@ -373,7 +373,7 @@ def universal_kriging(
     px: np.ndarray, py: np.ndarray, pv: np.ndarray,
     xs: np.ndarray, ys: np.ndarray,
     rng: float = 100.0, sill: float = 1.0, nugget: float = 0.0,
-    drift: str = "linear",
+    drift: str = "linear", basis_fn=None,
 ) -> np.ndarray:
     """Universal kriging (RV8, ``vector/.../interpolation/
     UniversalKriging.scala`` role): ordinary kriging augmented with a
@@ -384,9 +384,17 @@ def universal_kriging(
     the drift space (a linear trend is predicted exactly everywhere,
     which ordinary kriging reverts to the mean instead).
     drift: 'constant' (== ordinary), 'linear' [1,x,y], 'quadratic'
-    adds x^2, xy, y^2."""
+    adds x^2, xy, y^2.
+
+    ``basis_fn`` (GeoKriging, ``vector/.../interpolation/
+    GeoKriging.scala`` role): a caller-supplied ``f(x, y) -> (..., m)``
+    drift basis replaces the polynomial — arbitrary geographic
+    covariates (distance-to-coast, elevation model, ...) become drift
+    terms in the same extended system."""
 
     def basis(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        if basis_fn is not None:
+            return np.asarray(basis_fn(x, y), dtype=np.float64)
         cols = [np.ones_like(x)]
         if drift in ("linear", "quadratic"):
             cols += [x, y]

@@ -433,13 +433,14 @@ def region_group_layer(
     fewer distinct label pairs) and broadcasts the root map; (4) one
     narrow relabel map rewrites each tile. Region ids are the packed
     (cell_id << 20 | local_label) of the component's minimum node —
-    deterministic, not dense. 4-connectivity (the reference default);
-    8 would add pos+-1 and corner joins.
+    deterministic, not dense. connectivity=8 additionally matches
+    edge positions +-1 and joins the two diagonal pixel pairs at every
+    4-tile corner junction.
 
     Returns (cell_id, key_col, key_row, labels) with ``labels`` an
     int64 (T,T) plane, 0 = NoData."""
-    if connectivity != 4:
-        raise ValueError("region_group_layer supports connectivity=4")
+    if connectivity not in (4, 8):  # pragma: no cover
+        raise ValueError(connectivity)
     T = tile_size
     spark = tiles.sparkSession
 
@@ -450,7 +451,7 @@ def region_group_layer(
                 t = codecs.decode_tile(
                     bytes(pdf["tile"].iloc[i]), T, T, pdf["fmt"].iloc[i]
                 )
-                lab = raster_ops.region_group(t, 4, nodata)
+                lab = raster_ops.region_group(t, connectivity, nodata)
                 out["cell_id"].append(int(pdf["cell_id"].iloc[i]))
                 out["key_col"].append(int(pdf["key_col"].iloc[i]))
                 out["key_row"].append(int(pdf["key_row"].iloc[i]))
@@ -475,28 +476,51 @@ def region_group_layer(
                     bytes(pdf["tile"].iloc[i]), T, T, pdf["fmt"].iloc[i]
                 ).astype(np.int64)
 
-                def emit(edge_cell, orient, side, labs, vals):
+                def emit(edge_cell, orient, side, labs, vals, dpos=0,
+                         at=None):
+                    labs = np.atleast_1d(np.asarray(labs))
+                    vals = np.atleast_1d(np.asarray(vals))
                     keep = labs > 0
                     if not keep.any():
                         return
-                    ek = (int(edge_cell) << 1) | orient
-                    ps = np.nonzero(keep)[0]
+                    ek = (int(edge_cell) << 2) | orient
+                    ps = (np.nonzero(keep)[0] if at is None
+                          else np.atleast_1d(np.asarray(at))[keep])
                     out["ekey"] += [ek] * len(ps)
                     out["side"] += [side] * len(ps)
-                    out["pos"] += [int(p) for p in ps]
+                    out["pos"] += [int(p) + dpos for p in ps]
                     out["label"] += [
                         _pack_node(cid, v) for v in labs[keep]
                     ]
                     out["value"] += [int(v) for v in vals[keep]]
 
                 # vertical edge between (kc,kr) and (kc+1,kr): key by the
-                # LEFT tile; horizontal edge keyed by the TOP tile.
-                emit(sfc.zorder(kc, kr), 0, 0, lab[:, -1], t[:, -1])
+                # LEFT tile; horizontal edge keyed by the TOP tile. For
+                # 8-connectivity, side 0 also emits at pos +-1 (diagonal
+                # neighbors along the shared edge) and orient=2 carries
+                # the two diagonal pairs of each 4-tile corner junction.
+                offs = (0,) if connectivity == 4 else (-1, 0, 1)
+                for d in offs:
+                    emit(sfc.zorder(kc, kr), 0, 0, lab[:, -1], t[:, -1], d)
+                    emit(sfc.zorder(kc, kr), 1, 0, lab[-1, :], t[-1, :], d)
                 if kc > 0:
                     emit(sfc.zorder(kc - 1, kr), 0, 1, lab[:, 0], t[:, 0])
-                emit(sfc.zorder(kc, kr), 1, 0, lab[-1, :], t[-1, :])
                 if kr > 0:
                     emit(sfc.zorder(kc, kr - 1), 1, 1, lab[0, :], t[0, :])
+                if connectivity == 8:
+                    # corner junction keyed by its top-left tile: pos 0
+                    # pairs TL<->BR, pos 1 pairs TR<->BL
+                    emit(sfc.zorder(kc, kr), 2, 0,
+                         lab[-1, -1], t[-1, -1], at=[0])
+                    if kc > 0:
+                        emit(sfc.zorder(kc - 1, kr), 2, 0,
+                             lab[-1, 0], t[-1, 0], at=[1])
+                    if kr > 0:
+                        emit(sfc.zorder(kc, kr - 1), 2, 1,
+                             lab[0, -1], t[0, -1], at=[1])
+                    if kc > 0 and kr > 0:
+                        emit(sfc.zorder(kc - 1, kr - 1), 2, 1,
+                             lab[0, 0], t[0, 0], at=[0])
             yield pd.DataFrame(out)
 
     bdf = with_tiles.mapInPandas(borders, _RG_BORDER)

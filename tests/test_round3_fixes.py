@@ -450,3 +450,54 @@ def test_multiprobe_recall_not_below_bucketed(spark):
     rec_single = len(single & exact) / len(exact)
     rec_multi = len(multi & exact) / len(exact)
     assert rec_multi >= rec_single
+
+
+def test_geo_kriging_custom_basis():
+    """GeoKriging role: a caller-supplied drift basis reproduces a
+    surface built from those covariates exactly, everywhere."""
+    px = np.array([1.0, 6.0, 3.0, 8.0])
+    py = np.array([2.0, 1.0, 7.0, 8.0])
+    surf = lambda x, y: 5.0 + 2.0 * np.sin(0.3 * x) - 0.7 * y  # noqa: E731
+    basis = lambda x, y: np.stack(  # noqa: E731
+        [np.ones_like(x), np.sin(0.3 * x), y], axis=-1
+    )
+    xs = np.arange(10) + 0.5
+    ys = (9 - np.arange(10)) + 0.5
+    z = raster_ops.universal_kriging(
+        px, py, surf(px, py), xs, ys, rng=4.0, sill=1.5, basis_fn=basis
+    )
+    gx, gy = np.meshgrid(xs, ys)
+    np.testing.assert_allclose(z, surf(gx, gy), atol=1e-8)
+
+
+def test_region_group_layer_8conn(spark):
+    """8-connectivity dissolve: diagonal-only connections across both
+    a shared edge and the exact 4-tile corner junction merge regions."""
+    from geotrellis_spark.operators import iterative
+
+    T = 16
+    world = np.zeros((2 * T, 2 * T), dtype=np.uint16)
+    # region touching the 4-tile corner diagonally: (15,15) and (16,16)
+    world[T - 1, T - 1] = 7
+    world[T, T] = 7
+    # diagonal step across the vertical edge: (3,15) and (4,16)
+    world[3, T - 1] = 9
+    world[4, T] = 9
+    # plus a background region of value 1 everywhere else
+    world[world == 0] = 1
+    df = _tile_layer_df(spark, world, T, zoom=1)
+    for conn in (4, 8):
+        out = iterative.region_group_layer(df, tile_size=T, connectivity=conn)
+        got = np.zeros((2 * T, 2 * T), dtype=np.int64)
+        for r in out.collect():
+            lab = np.frombuffer(bytes(r["labels"]), dtype=np.int64).reshape(T, T)
+            got[r["key_row"] * T : (r["key_row"] + 1) * T,
+                r["key_col"] * T : (r["key_col"] + 1) * T] = lab
+        want = raster_ops.region_group(world, conn)
+        fwd, bwd = {}, {}
+        for g, w in zip(got.ravel(), want.ravel()):
+            assert fwd.setdefault(w, g) == g, (conn, w, g)
+            assert bwd.setdefault(g, w) == w, (conn, g, w)
+    # and the 8-conn merge genuinely happened
+    assert got[T - 1, T - 1] == got[T, T]
+    assert got[3, T - 1] == got[4, T]
