@@ -42,7 +42,10 @@ HEADLINE = [
     "ann_topk",
     "ann_bucketed",
     "ann_multiprobe",
+    "ann_ivf",
     "spacetime_join",
+    "asof_join",
+    "interval_join",
 ]
 
 

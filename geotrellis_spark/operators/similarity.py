@@ -380,3 +380,115 @@ def lsh_buckets_sql(source_sql: str = "embeddings", n_planes: int = N_PLANES) ->
     SELECT vec_id, CAST({' + '.join(bits)} AS BIGINT) AS bucket
     FROM {source_sql}
     """
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_pred: str = "vec_id % 100 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stride: int = 61,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
+    alongside LSH: every vector is assigned to its nearest centroid
+    (one inverted list per centroid), a query probes only its
+    ``nprobe`` nearest centroids' lists, and exact cosine top-k runs
+    inside the probed lists.
+
+    Centroids here are the deterministic ``id % stride = 0`` sample so
+    the DuckDB twin is exact; at 100 TB the drop-in upgrade is
+    sampled-kmeans centroids (a few passes over a 1% sample — the
+    assignment/probe plan below is unchanged, it only reads a better
+    centroid table). The plan: centroid table is tiny -> BROADCAST to
+    both the assignment join and the probe join; the candidate
+    generator is an equi-join on ``cent_id`` (never a full cross
+    join); recall is the ``nprobe`` query-time knob. A vector lives in
+    exactly ONE list, so (query, candidate) pairs are unique by
+    construction — no dedup shuffle. Output: (q_id, vec_id, rank)."""
+    cents = F.broadcast(
+        emb.where(f"{id_col} % {stride} = 0").select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
+        )
+    )
+    base = emb.select(id_col, vec_col)
+    scored_c = base.crossJoin(cents).withColumn(
+        "ccos",
+        _dot(vec_col, "c_vec")
+        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("c_vec", "c_vec"))),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("ccos").desc(), F.col("cent_id").asc()
+    )
+    ranked = scored_c.withColumn("crank", F.row_number().over(w))
+    assign = ranked.where("crank = 1").select(id_col, vec_col, "cent_id")
+    probes = F.broadcast(
+        ranked.where(query_pred)
+        .where(f"crank <= {nprobe}")
+        .select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "cent_id"
+        )
+    )
+    pairs = assign.join(probes, "cent_id").where(F.col(id_col) != F.col("q_id"))
+    scored = pairs.withColumn(
+        "cos",
+        _dot(vec_col, "q_vec")
+        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("q_vec", "q_vec"))),
+    )
+    win = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("q_id", id_col, "rank")
+    )
+
+
+def ivf_topk_sql(
+    k: int = 5,
+    query_pred: str = "vec_id % 100 = 0",
+    source_sql: str = "embeddings",
+    stride: int = 61,
+    nprobe: int = 2,
+) -> str:
+    cos = (
+        "list_dot_product({a}.embedding::DOUBLE[], {b}::DOUBLE[]) / "
+        "(sqrt(list_dot_product({a}.embedding::DOUBLE[], {a}.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+    )
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS c_vec FROM {source_sql}
+      WHERE vec_id % {stride} = 0
+    ),
+    scored_c AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             {cos.format(a='e', b='c.c_vec')} AS ccos
+      FROM {source_sql} e, cents c
+    ),
+    ranked AS (
+      SELECT vec_id, embedding, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id ASC) AS crank
+      FROM scored_c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cent_id FROM ranked WHERE crank = 1
+    ),
+    probes AS (
+      SELECT vec_id AS q_id, embedding AS q_vec, cent_id FROM ranked
+      WHERE {query_pred} AND crank <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id,
+             {cos.format(a='a', b='p.q_vec')} AS cos
+      FROM assign a JOIN probes p
+        ON a.cent_id = p.cent_id AND a.vec_id <> p.q_id
+    )
+    SELECT q_id, vec_id, rank FROM (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC)
+               AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 from ..core import geom as G
 from ..core import sfc
 from ..functions import exprs
-from ..operators import dedup, similarity, spatial, text, tiling
+from ..operators import dedup, similarity, spatial, temporal, text, tiling
 from .. import synth
 
 CENTS = "cast(floor(value * 100 + 0.5) as bigint)"
@@ -1034,7 +1034,95 @@ def sql_image_phash_check() -> str:
 
 # --------------------------------------------------------------- registry
 
+# ------------------------------------------- temporal joins (parity-plus)
+
+def q_asof_join(spark, sf_dir) -> DataFrame:
+    """As-of join: every click event picks up the user's latest
+    purchase state at-or-before its timestamp (operators/temporal.py —
+    single-shuffle union+window plan; DuckDB twin is the native
+    ASOF LEFT JOIN, a genuinely independent algorithm)."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    right = (
+        ev.where("event_type = 'purchase'")
+        .selectExpr("user_id", "ts", "event_id", f"{CENTS} as cents")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("snap_id"),
+            F.expr("max_by(cents, event_id)").alias("snap_cents"),
+        )
+    )
+    out = temporal.asof_join(
+        left, right, on="user_id", ts="ts", right_cols=("snap_id", "snap_cents")
+    )
+    return out.select("event_id", "user_id", "snap_id", "snap_cents")
+
+
+def sql_asof_join() -> str:
+    return f"""
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+      SELECT user_id, ts, max(event_id) AS snap_id,
+             max_by({CENTS}, event_id) AS snap_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT l.event_id, l.user_id, r.snap_id, r.snap_cents
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+
+def q_interval_join(spark, sf_dir) -> DataFrame:
+    """Interval (range) join: events inside per-user 45-minute windows
+    anchored at every 20th event. Spark side is the bucketed equi-join
+    candidate generator + JVM refine (operators/temporal.py); the
+    DuckDB twin is a plain inequality join (IEJoin)."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select("event_id", "user_id", "ts")
+    iv = ev.where("event_id % 20 = 0").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("t_start"),
+        F.expr("ts + INTERVAL 45 MINUTES").alias("t_end"),
+    )
+    out = temporal.interval_join(
+        pts, iv, on="user_id", ts="ts", start="t_start", end="t_end"
+    )
+    return out.select("interval_id", "event_id")
+
+
+def sql_interval_join() -> str:
+    return """
+    WITH iv AS (
+      SELECT event_id AS interval_id, user_id, ts AS t_start,
+             ts + INTERVAL 45 MINUTE AS t_end
+      FROM events WHERE event_id % 20 = 0
+    )
+    SELECT iv.interval_id, e.event_id
+    FROM iv JOIN events e
+      ON iv.user_id = e.user_id
+     AND e.ts >= iv.t_start AND e.ts < iv.t_end
+    """
+
+
+def q_ann_ivf(spark, sf_dir) -> DataFrame:
+    """IVF coarse-quantizer ANN top-k (similarity.ivf_topk): probe the
+    nprobe nearest inverted lists only — the second ANN scale path
+    alongside LSH bucketing."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb)
+
+
+def sql_ann_ivf() -> str:
+    return similarity.ivf_topk_sql()
+
+
 QUERIES = {
+    "asof_join": (q_asof_join, sql_asof_join),
+    "interval_join": (q_interval_join, sql_interval_join),
+    "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "tile_assign": (q_tile_assign, sql_tile_assign),
     "cell_agg": (q_cell_agg, sql_cell_agg),
     "cell_extent": (q_cell_extent, sql_cell_extent),

@@ -1,0 +1,161 @@
+"""Operator tests for the temporal joins (as-of, interval) and IVF ANN.
+
+Semantics pinned here (the sf0.01 driver oracles cover the bulk
+statistics; these pin the edge rules):
+- as-of: equal timestamps match; left rows before any right row keep
+  NULLs; the latest right row wins, per key.
+- interval: [start, end) half-open; bucket boundaries do not lose or
+  duplicate matches (each point lives in exactly one bucket).
+- IVF: probing every list (nprobe = #centroids) reproduces exact
+  brute-force top-k.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from geotrellis_spark.operators import similarity, temporal
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+# ------------------------------------------------------------- as-of
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            Row(ev=1, k=1, ts=_ts(0)),    # before any right row -> NULL
+            Row(ev=2, k=1, ts=_ts(5)),    # equal ts -> matches snap 10
+            Row(ev=3, k=1, ts=_ts(7)),    # between -> still snap 10
+            Row(ev=4, k=1, ts=_ts(12)),   # after second -> snap 20
+            Row(ev=5, k=2, ts=_ts(30)),   # other key, no right rows -> NULL
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts(5), snap_id=10, snap_value=100),
+            Row(k=1, ts=_ts(10), snap_id=20, snap_value=200),
+        ]
+    )
+    out = temporal.asof_join(
+        left, right, on="k", ts="ts", right_cols=("snap_id", "snap_value")
+    )
+    got = {r["ev"]: (r["snap_id"], r["snap_value"]) for r in out.collect()}
+    assert got == {
+        1: (None, None),
+        2: (10, 100),
+        3: (10, 100),
+        4: (20, 200),
+        5: (None, None),
+    }
+
+
+def test_asof_join_plan_single_shuffle(spark):
+    left = spark.range(10).selectExpr(
+        "id as ev", "id % 2 as k",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,cast(id as int),0) as ts",
+    )
+    right = spark.range(3).selectExpr(
+        "id % 2 as k",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,cast(id*2 as int),0) as ts",
+        "id as snap_id", "id * 10 as snap_value",
+    )
+    plan = temporal.asof_join(
+        left, right, on="k", ts="ts", right_cols=("snap_id", "snap_value")
+    )._jdf.queryExecution().executedPlan().toString()
+    # one Exchange for the window partitioning (plus AQE reads), and
+    # never a nested-loop/cartesian join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------- interval
+
+def test_interval_join_half_open_and_buckets(spark):
+    bucket_s = 60
+    pts = spark.createDataFrame(
+        [
+            Row(ev=1, k=1, ts=_ts(0)),     # == start -> in
+            Row(ev=2, k=1, ts=_ts(1.5)),   # inside, next bucket
+            Row(ev=3, k=1, ts=_ts(3)),     # == end -> OUT (half-open)
+            Row(ev=4, k=2, ts=_ts(1)),     # wrong key
+            Row(ev=5, k=1, ts=_ts(2.99)),  # just inside
+        ]
+    )
+    iv = spark.createDataFrame(
+        [Row(iid=100, k=1, t_start=_ts(0), t_end=_ts(3))]
+    )
+    out = temporal.interval_join(
+        pts, iv, on="k", ts="ts", start="t_start", end="t_end",
+        bucket_s=bucket_s,
+    )
+    assert sorted(r["ev"] for r in out.collect()) == [1, 2, 5]
+    # each match appears exactly once even though the interval explodes
+    # into 4 buckets
+    assert out.count() == 3
+
+
+def test_interval_join_no_nested_loop(spark):
+    pts = spark.range(100).selectExpr(
+        "id as ev", "id % 5 as k",
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,cast(id as int),0) as ts",
+    )
+    iv = spark.range(10).selectExpr(
+        "id as iid", "id % 5 as k",
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,cast(id*9 as int),0) as t_start",
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,cast(id*9+30 as int),0) as t_end",
+    )
+    j = temporal.interval_join(pts, iv, on="k", ts="ts",
+                               start="t_start", end="t_end", bucket_s=1800)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # oracle by brute force
+    expect = pts.crossJoin(iv.withColumnRenamed("k", "k2")).where(
+        "k = k2 and ts >= t_start and ts < t_end"
+    ).count()
+    assert j.count() == expect
+
+
+# --------------------------------------------------------------- IVF
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # deterministic 8-dim embeddings, 60 vectors
+    return spark.range(60).selectExpr(
+        "id as vec_id",
+        "transform(sequence(0, 7), j -> cast(((id * 37 + j * 11) % 97) - 48 "
+        "as float)) as embedding",
+    )
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, emb):
+    # probing every list == exact brute-force top-k
+    full = similarity.ivf_topk(
+        emb, k=3, query_pred="vec_id % 20 = 0", stride=7, nprobe=1000
+    )
+    brute = similarity.cosine_topk(emb, k=3, query_pred="vec_id % 20 = 0")
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, brute.collect())
+    )
+
+
+def test_ivf_partial_probe_subset(spark, emb):
+    # nprobe=1 results are a subset of the full ranking's candidates
+    # and never include the query itself
+    part = similarity.ivf_topk(
+        emb, k=3, query_pred="vec_id % 20 = 0", stride=7, nprobe=1
+    ).collect()
+    assert all(r["q_id"] != r["vec_id"] for r in part)
+    assert all(1 <= r["rank"] <= 3 for r in part)
+    # per-query ranks are dense from 1
+    by_q = {}
+    for r in part:
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

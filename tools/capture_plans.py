@@ -71,6 +71,24 @@ def main() -> None:
         dq.q_vector_join(spark, "/root/testdata/sf0.01"),
     )
 
+    cap(
+        "asof_join: ONE shuffle (union + marker + window) — no range "
+        "explosion, no nested-loop join",
+        dq.q_asof_join(spark, "/root/testdata/sf0.01"),
+    )
+
+    cap(
+        "interval_join: epoch-bucket equi-join candidate generator + "
+        "JVM BETWEEN refine — no BroadcastNestedLoopJoin",
+        dq.q_interval_join(spark, "/root/testdata/sf0.01"),
+    )
+
+    cap(
+        "ann_ivf: broadcast centroid table for assignment + probe, "
+        "inverted-list equi-join on cent_id — no cross join",
+        dq.q_ann_ivf(spark, "/root/testdata/sf0.01"),
+    )
+
     hdr = """# PLANS — physical-plan evidence
 
 `.explain("formatted")` captures showing the engine gets the plans a
