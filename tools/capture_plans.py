@@ -84,8 +84,11 @@ def main() -> None:
     )
 
     cap(
-        "ann_ivf: broadcast centroid table for assignment + probe, "
-        "inverted-list equi-join on cent_id — no cross join",
+        "ann_ivf: the assignment stage is an INTENTIONAL broadcast "
+        "cross product vs the tiny centroid table (n x k, k rows "
+        "broadcast — the standard IVF coarse-quantizer pass); the "
+        "expensive candidate stage is an equi-join on cent_id, never "
+        "a corpus x corpus cross join",
         dq.q_ann_ivf(spark, "/root/testdata/sf0.01"),
     )
 
