@@ -56,9 +56,32 @@ def assign_cells(
     zoom: int,
     index: str = "zorder",
     out_prefix: str = "",
+    impl: str = "udf",
 ) -> DataFrame:
     """Add key_col/key_row/cell_id for the LatLng ZoomedLayoutScheme at
-    ``zoom``. Vectorized pandas UDF (Arrow batches -> numpy)."""
+    ``zoom``. Two implementations with identical output:
+
+    - ``impl="udf"`` (default): vectorized pandas UDF (Arrow batches ->
+      numpy) — the kernel path the driver oracle proves equal to SQL.
+    - ``impl="expr"``: pure JVM expressions (the same SQL the oracles
+      use) — whole-stage-codegen'd, no python workers; the production
+      hot path when key assignment is plumbing rather than the op
+      under test (zorder only).
+    """
+    if impl == "expr" and index == "zorder":
+        kc = exprs.key_col_sql(lon_col, zoom)
+        kr = exprs.key_row_sql(lat_col, zoom)
+        out = df.withColumn(
+            f"{out_prefix}key_col", F.expr(kc)
+        ).withColumn(f"{out_prefix}key_row", F.expr(kr))
+        return out.withColumn(
+            f"{out_prefix}cell_id",
+            F.expr(
+                exprs.zorder_sql(
+                    f"{out_prefix}key_col", f"{out_prefix}key_row", zoom
+                )
+            ),
+        )
 
     @F.pandas_udf(_KEY_STRUCT)
     def keys_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
@@ -340,7 +363,7 @@ def pip_join(
     distributed path (broadcast_polys=False) keeps WKB columns
     end-to-end."""
     if not points_have_cells:
-        points = assign_cells(points, lon_col, lat_col, zoom)
+        points = assign_cells(points, lon_col, lat_col, zoom, impl="expr")
     if broadcast_polys and polys.limit(max_broadcast_polys + 1).count() > max_broadcast_polys:
         broadcast_polys = False  # too many polygons to hold on the driver
     if broadcast_polys:
@@ -489,10 +512,10 @@ def spacetime_join(
         ) / 3600
     else:  # pragma: no cover
         raise ValueError(t_unit)
-    ka = assign_cells(a, lon_a, lat_a, zoom).withColumn(
+    ka = assign_cells(a, lon_a, lat_a, zoom, impl="expr").withColumn(
         "t_ord", bucket(t_a).cast("long")
     ).drop("key_col", "key_row")
-    kb = assign_cells(b, lon_b, lat_b, zoom).withColumn(
+    kb = assign_cells(b, lon_b, lat_b, zoom, impl="expr").withColumn(
         "t_ord", bucket(t_b).cast("long")
     ).drop("key_col", "key_row")
     if broadcast_b:
@@ -543,7 +566,7 @@ def knn_join(
     n = 1 << zoom
     th = 180.0 / n  # tile height in degrees == min cell dimension
 
-    points = assign_cells(points, lon_col, lat_col, zoom).cache()
+    points = assign_cells(points, lon_col, lat_col, zoom, impl="expr").cache()
     if point_cols is None:
         point_cols = tuple(
             c for c in points.columns if c not in ("key_col", "key_row", "cell_id")
@@ -556,7 +579,7 @@ def knn_join(
             F.col(q_lon_col).alias("q_lon"),
             F.col(q_lat_col).alias("q_lat"),
         ),
-        "q_lon", "q_lat", zoom,
+        "q_lon", "q_lat", zoom, impl="expr",
     ).select(
         "q_id", "q_lon", "q_lat",
         F.col("key_col").alias("qc"), F.col("key_row").alias("qr"),

@@ -141,6 +141,12 @@ _RANGE_RECT = (-60.0, -30.0, 70.0, 55.0)  # lon_min, lat_min, lon_max, lat_max
 
 
 def q_range_query(spark, sf_dir) -> DataFrame:
+    # NOTE: deliberately the UDF path, not impl="expr" — the 64 BETWEEN
+    # predicates each inline a projected cell_id expression (Catalyst
+    # predicate pushdown substitutes aliases), exploding codegen ~10x.
+    # The UDF output is opaque to Catalyst, so predicates reference the
+    # column. On a STORED layer (the production case) cell_id is a
+    # parquet column and the BETWEENs prune row groups either way.
     pts = _events_pts(spark, sf_dir)
     keyed = spatial.assign_cells(pts, "lon", "lat", 6)
     lon_min, lat_min, lon_max, lat_max = _RANGE_RECT
@@ -408,13 +414,17 @@ def sql_zonal_stats() -> str:
 
 
 def q_layer_join(spark, sf_dir) -> DataFrame:
-    ev = spatial.assign_cells(_events_pts(spark, sf_dir), "lon", "lat", 6)
+    # keying is plumbing here (the op under test is the layer join):
+    # codegen expr path, measured 2-3x over the pandas-UDF path
+    ev = spatial.assign_cells(
+        _events_pts(spark, sf_dir), "lon", "lat", 6, impl="expr"
+    )
     orders = _t(spark, sf_dir, "orders").selectExpr(
         "o_orderkey",
         f"{exprs.lon_sql('o_orderkey * 17')} as lon",
         f"{exprs.lat_sql('o_orderkey * 23')} as lat",
     )
-    od = spatial.assign_cells(orders, "lon", "lat", 6)
+    od = spatial.assign_cells(orders, "lon", "lat", 6, impl="expr")
     return (
         ev.select("event_id", "cell_id")
         .join(od.select("o_orderkey", "cell_id"), "cell_id")

@@ -144,3 +144,21 @@ def test_cover_cells_clipped(spark):
             G.points_in_polygon(px, py, wkb),
         )
     assert area == pytest.approx(abs(G.shoelace_area(ring)), rel=1e-9)
+
+
+def test_assign_cells_expr_equals_udf(spark):
+    # the codegen expr path must be bit-identical to the pandas-UDF
+    # kernel path (both are oracle-proven against the same SQL)
+    pts = spark.range(2000).selectExpr(
+        "id",
+        "cast(((id * 2654435761) % 4294967296) / 4294967296.0 * 360.0 - 180.0"
+        " as double) as lon",
+        "cast(((id * 40503) % 65536) / 65536.0 * 180.0 - 90.0 as double) as lat",
+    )
+    a = spatial.assign_cells(pts, "lon", "lat", 7).select(
+        "id", "key_col", "key_row", "cell_id"
+    )
+    b = spatial.assign_cells(pts, "lon", "lat", 7, impl="expr").select(
+        "id", "key_col", "key_row", "cell_id"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
