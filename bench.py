@@ -43,6 +43,7 @@ HEADLINE = [
     "ann_bucketed",
     "ann_multiprobe",
     "ann_ivf",
+    "ann_ivf_kmeans",
     "spacetime_join",
     "asof_join",
     "interval_join",

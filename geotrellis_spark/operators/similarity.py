@@ -492,3 +492,223 @@ def ivf_topk_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def _d2_sql(a: str, b: str) -> str:
+    """Squared L2 distance via the dot-product expansion — the only
+    form both engines compute with IDENTICAL float op sequences:
+    d2 = <a,a> - 2<a,b> + <b,b> (each dot a sequential left fold)."""
+    return (
+        f"({_dot_sql(a, a)} - 2.0 * {_dot_sql(a, b)} + {_dot_sql(b, b)})"
+    )
+
+
+_MILLI = "transform({v}, x -> cast(floor(cast(x as double) * 1000.0 + 0.5) as double))"
+
+
+def kmeans_milli(
+    emb: DataFrame,
+    stride: int = 61,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over milli-quantized embeddings —
+    the 'sampled kmeans centroids' upgrade the IVF docstring promises,
+    with bit-exact cross-engine semantics:
+
+    - vectors quantize to exact integers (floor(x*1000 + 0.5), held in
+      doubles), so per-cluster SUMS are order-independent exact (every
+      partial is an integer < 2^53) — a distributed float mean is
+      normally not reproducible; an integer mean is.
+    - round-1+ centroids are rational doubles sum/count; distances use
+      the dot-expansion d2 = <a,a> - 2<a,b> + <b,b>, sequential folds
+      in both engines, ties broken by cent_id.
+    - empty clusters keep their previous centroid (LEFT JOIN +
+      coalesce), so k never shrinks mid-run.
+
+    Init = the deterministic ``id % stride = 0`` sample. Each
+    iteration: ONE broadcast cross of corpus x centroids (k tiny), one
+    window argmin, one (cent, dim) two-phase aggregation. Returns
+    (cent_id, cv: array<double> in milli space).
+    """
+    # norms precomputed ONCE per vector/centroid as columns: the pair
+    # loop then folds one dot product instead of three. d2 VALUES are
+    # identical (same per-vector fold), so oracle ordering is unchanged.
+    q = emb.select(
+        id_col, F.expr(_MILLI.format(v=vec_col)).alias("qv")
+    ).withColumn("qq", F.expr(_dot_sql("qv", "qv")))
+    cents = q.where(f"{id_col} % {stride} = 0").select(
+        F.col(id_col).alias("cent_id"),
+        F.col("qv").alias("cv"),
+        F.col("qq").alias("cc"),
+    )
+    d2 = F.col("qq") - 2.0 * F.expr(_dot_sql("qv", "cv")) + F.col("cc")
+    w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cent_id").asc())
+    for _ in range(iters):
+        scored = q.crossJoin(F.broadcast(cents)).withColumn("d2", d2)
+        assign = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where("rk = 1")
+            .select(id_col, "qv", "cent_id")
+        )
+        means = (
+            assign.select("cent_id", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cent_id", "pos")
+            .agg((F.sum("val") / F.count("*")).alias("m"))
+        )
+        newc = means.groupBy("cent_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+            ).alias("cv2")
+        )
+        cents = (
+            cents.join(newc, "cent_id", "left")
+            .select("cent_id", F.coalesce("cv2", "cv").alias("cv"))
+            .withColumn("cc", F.expr(_dot_sql("cv", "cv")))
+            # k rows: pin each round so iteration i+1's cross join does
+            # not re-run rounds 1..i through the lineage
+            .localCheckpoint()
+        )
+    return cents.select("cent_id", "cv", "cc")
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_pred: str = "vec_id % 100 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stride: int = 61,
+    iters: int = 2,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN top-k over Lloyd-refined centroids (L2 in milli space):
+    the production-shape IVF — kmeans_milli learns the coarse
+    quantizer, then the same broadcast-assign / probe / inverted-list
+    equi-join plan as ``ivf_topk``. Output (q_id, vec_id, rank)."""
+    cents = F.broadcast(kmeans_milli(emb, stride, iters, id_col, vec_col))
+    q = emb.select(
+        id_col, F.expr(_MILLI.format(v=vec_col)).alias("qv")
+    ).withColumn("qq", F.expr(_dot_sql("qv", "qv")))
+    scored = q.crossJoin(cents).withColumn(
+        "d2",
+        F.col("qq") - 2.0 * F.expr(_dot_sql("qv", "cv")) + F.col("cc"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cent_id").asc())
+    # lazy-pin: assign and probes both read the ranked assignment —
+    # without this the corpus x centroid pass runs twice
+    ranked = scored.withColumn("rk", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
+    assign = ranked.where("rk = 1").select(id_col, "qv", "qq", "cent_id")
+    probes = F.broadcast(
+        ranked.where(query_pred)
+        .where(f"rk <= {nprobe}")
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col("qv").alias("pv"),
+            F.col("qq").alias("pp"),
+            "cent_id",
+        )
+    )
+    pairs = assign.join(probes, "cent_id").where(F.col(id_col) != F.col("q_id"))
+    fin = pairs.withColumn(
+        "fd2",
+        F.col("qq") - 2.0 * F.expr(_dot_sql("qv", "pv")) + F.col("pp"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("fd2").asc(), F.col(id_col).asc())
+    return (
+        fin.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= k)
+        .select("q_id", id_col, "rank")
+    )
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return f"list_dot_product({a}, {b})"
+
+
+def _duck_d2(a: str, b: str) -> str:
+    return (
+        f"({_duck_dot(a, a)} - 2.0 * {_duck_dot(a, b)} + {_duck_dot(b, b)})"
+    )
+
+
+def ivf_kmeans_topk_sql(
+    k: int = 5,
+    query_pred: str = "vec_id % 100 = 0",
+    source_sql: str = "embeddings",
+    stride: int = 61,
+    iters: int = 2,
+    nprobe: int = 2,
+    dim: int = DIM,
+) -> str:
+    """DuckDB twin of kmeans_milli + ivf_kmeans_topk with the Lloyd
+    iterations unrolled as CTE pairs."""
+    ctes = [
+        f"""q AS (
+      SELECT vec_id,
+             list_transform({source_sql}.embedding,
+                            x -> floor(x::DOUBLE * 1000.0 + 0.5)) AS qv
+      FROM {source_sql}
+    )""",
+        f"""c0 AS (
+      SELECT vec_id AS cent_id, qv AS cv FROM q WHERE vec_id % {stride} = 0
+    )""",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""s{i} AS (
+      SELECT q.vec_id, q.qv, c.cent_id, {_duck_d2('q.qv', 'c.cv')} AS d2
+      FROM q, {prev} c
+    )""")
+        ctes.append(f"""a{i} AS (
+      SELECT vec_id, qv, cent_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cent_id) AS rk
+        FROM s{i}
+      ) WHERE rk = 1
+    )""")
+        ctes.append(f"""m{i} AS (
+      SELECT cent_id, i, sum(qv[i + 1]) / count(*) AS m
+      FROM a{i}, range({dim}) t(i) GROUP BY cent_id, i
+    )""")
+        ctes.append(f"""n{i} AS (
+      SELECT cent_id, list(m ORDER BY i) AS cv2 FROM m{i} GROUP BY cent_id
+    )""")
+        ctes.append(f"""c{i} AS (
+      SELECT {prev}.cent_id, coalesce(n{i}.cv2, {prev}.cv) AS cv
+      FROM {prev} LEFT JOIN n{i} USING (cent_id)
+    )""")
+        prev = f"c{i}"
+    ctes.append(f"""fs AS (
+      SELECT q.vec_id, q.qv, c.cent_id, {_duck_d2('q.qv', 'c.cv')} AS d2
+      FROM q, {prev} c
+    )""")
+    ctes.append("""fr AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cent_id) AS rk
+      FROM fs
+    )""")
+    ctes.append("""asg AS (
+      SELECT vec_id, qv, cent_id FROM fr WHERE rk = 1
+    )""")
+    ctes.append(f"""probes AS (
+      SELECT vec_id AS q_id, qv AS pv, cent_id FROM fr
+      WHERE {query_pred} AND rk <= {nprobe}
+    )""")
+    ctes.append(f"""cand AS (
+      SELECT p.q_id, a.vec_id, {_duck_d2('a.qv', 'p.pv')} AS fd2
+      FROM asg a JOIN probes p
+        ON a.cent_id = p.cent_id AND a.vec_id <> p.q_id
+    )""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT q_id, vec_id, rank FROM (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY fd2, vec_id) AS rank
+      FROM cand
+    ) WHERE rank <= {k}
+    """
+    )

@@ -1117,6 +1117,20 @@ def sql_interval_join() -> str:
     """
 
 
+def q_ann_ivf_kmeans(spark, sf_dir) -> DataFrame:
+    """IVF ANN over Lloyd-refined centroids (similarity.kmeans_milli +
+    ivf_kmeans_topk): a distributed iterative ML algorithm under an
+    EXACT oracle — milli-integer quantization makes the per-cluster
+    means order-independent, so DuckDB (Lloyd unrolled as CTEs)
+    reproduces the centroids bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_kmeans_topk(emb)
+
+
+def sql_ann_ivf_kmeans() -> str:
+    return similarity.ivf_kmeans_topk_sql()
+
+
 def q_ann_ivf(spark, sf_dir) -> DataFrame:
     """IVF coarse-quantizer ANN top-k (similarity.ivf_topk): probe the
     nprobe nearest inverted lists only — the second ANN scale path
@@ -1133,6 +1147,7 @@ QUERIES = {
     "asof_join": (q_asof_join, sql_asof_join),
     "interval_join": (q_interval_join, sql_interval_join),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
+    "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),
     "tile_assign": (q_tile_assign, sql_tile_assign),
     "cell_agg": (q_cell_agg, sql_cell_agg),
     "cell_extent": (q_cell_extent, sql_cell_extent),

@@ -159,3 +159,78 @@ def test_ivf_partial_probe_subset(spark, emb):
         by_q.setdefault(r["q_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# ------------------------------------------------------ kmeans IVF
+
+def test_kmeans_milli_partition_invariant(spark, emb):
+    # the milli-integer quantization makes per-cluster means
+    # order-independent: centroids must be bit-identical no matter how
+    # the corpus is partitioned
+    a = similarity.kmeans_milli(emb.repartition(1), stride=13, iters=2)
+    b = similarity.kmeans_milli(emb.repartition(7), stride=13, iters=2)
+    ra = sorted((r["cent_id"], tuple(r["cv"])) for r in a.collect())
+    rb = sorted((r["cent_id"], tuple(r["cv"])) for r in b.collect())
+    assert ra == rb
+
+
+def test_kmeans_lowers_inertia(spark, emb):
+    # Lloyd iterations never increase total within-cluster d2
+    from pyspark.sql import functions as F
+
+    def inertia(iters):
+        cents = similarity.kmeans_milli(emb, stride=13, iters=iters)
+        q = emb.selectExpr(
+            "vec_id",
+            "transform(embedding, x -> cast(floor(cast(x as double) * 1000.0"
+            " + 0.5) as double)) as qv",
+        )
+        d2 = (
+            "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+            "cast(0.0 as double), (a, v) -> a + v)"
+        )
+        scored = q.crossJoin(F.broadcast(cents)).withColumn("d2", F.expr(d2))
+        return (
+            scored.groupBy("vec_id").agg(F.min("d2").alias("m"))
+            .agg(F.sum("m")).collect()[0][0]
+        )
+
+    i0, i1, i2 = inertia(0), inertia(1), inertia(2)
+    assert i1 <= i0 and i2 <= i1
+    assert i1 < i0  # the fixture is not already converged at init
+
+
+def test_ivf_kmeans_full_probe_is_exact_l2(spark, emb):
+    # probing every list reproduces exact brute-force L2 top-k
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    got = similarity.ivf_kmeans_topk(
+        emb, k=3, query_pred="vec_id % 20 = 0", stride=13, iters=2,
+        nprobe=1000,
+    )
+    q = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000.0"
+        " + 0.5) as double)) as qv",
+    )
+    qq = q.where("vec_id % 20 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("pv")
+    )
+    d2 = (
+        "aggregate(zip_with(qv, pv, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (a, v) -> a + v)"
+    )
+    pairs = q.crossJoin(F.broadcast(qq)).where("vec_id <> q_id").withColumn(
+        "d2", F.expr(d2)
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    brute = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where("rank <= 3").select("q_id", "vec_id", "rank")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, brute.collect())
+    )
