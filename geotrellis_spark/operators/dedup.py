@@ -284,3 +284,92 @@ def ngram_jaccard_sql(source_sql: str = "documents") -> str:
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_a + 1
     """
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph — the step a
+    real dedup pipeline runs AFTER candidate generation: every doc maps
+    to its component's minimum doc id (the canonical representative to
+    keep). Returns (doc_id, cluster) for every doc that appears in a
+    pair.
+
+    Distributed min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels (one equi-join + one
+    groupBy over the symmetrized edge list, localCheckpoint-pinned).
+    Rounds needed = graph diameter; LSH pair graphs are unions of
+    bucket cliques, so diameters are tiny (2-4 rounds observed). All
+    labels are exact integers — bit-identical to the DuckDB
+    recursive-CTE transitive-closure oracle. Raises if ``max_iters``
+    rounds don't converge rather than return a wrong partition."""
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), F.col("lab").alias("blab")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("blab").alias("nlab"))
+            .select(F.col("a").alias("id"), "nlab")
+        )
+        new = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where("n.lab <> o.lab")
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(
+                F.col("id").alias("doc_id"), F.col("lab").alias("cluster")
+            )
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iters} rounds"
+    )
+
+
+def dedup_clusters_sql(source_sql: str = "documents") -> str:
+    """DuckDB twin: transitive closure by recursive CTE, cluster = min
+    reachable id. (Closure is quadratic in component size — fine at
+    oracle scale; the Spark side is the scale path.)"""
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {minhash_candidates_sql(source_sql)}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster
+    FROM reach GROUP BY a
+    """

@@ -1044,6 +1044,21 @@ def sql_image_phash_check() -> str:
 
 # --------------------------------------------------------------- registry
 
+def q_dedup_cluster(spark, sf_dir) -> DataFrame:
+    """Connected-components dedup clustering: MinHash-LSH candidate
+    pairs -> per-doc canonical cluster representative (min id in the
+    component), via distributed min-label propagation. Oracle = DuckDB
+    recursive-CTE transitive closure — a genuinely different
+    algorithm."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidates(docs)
+    return dedup.dedup_clusters(pairs)
+
+
+def sql_dedup_cluster() -> str:
+    return dedup.dedup_clusters_sql()
+
+
 # ------------------------------------------- temporal joins (parity-plus)
 
 def q_asof_join(spark, sf_dir) -> DataFrame:
@@ -1163,6 +1178,7 @@ QUERIES = {
     "rolling_window": (q_rolling_window, sql_rolling_window),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
+    "dedup_cluster": (q_dedup_cluster, sql_dedup_cluster),
     "simhash": (q_simhash, sql_simhash),
     "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
     "lang_id": (q_lang_id, sql_lang_id),

@@ -234,3 +234,33 @@ def test_ivf_kmeans_full_probe_is_exact_l2(spark, emb):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, brute.collect())
     )
+
+
+# ------------------------------------------- dedup connected components
+
+def test_dedup_clusters_components(spark):
+    from geotrellis_spark.operators import dedup
+
+    # component 1: path 1-2-3-4 (diameter 3 -> needs >1 round);
+    # component 2: clique-ish 10-11, 11-12, 10-12; singleton pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster"]
+           for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_raises_without_convergence(spark):
+    import pytest as _pt
+
+    from geotrellis_spark.operators import dedup
+
+    # a 6-path needs ~5 rounds; max_iters=1 must raise, not mislabel
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    with _pt.raises(RuntimeError):
+        dedup.dedup_clusters(pairs, max_iters=1)
