@@ -1,0 +1,89 @@
+"""Deterministic sampling for training-data pipelines: stratified
+top-N per stratum and fractional hash sampling.
+
+Spark's ``df.sample`` is seed-dependent on partitioning (a repartition
+changes the sample) — useless for reproducible dataset curation. Both
+operators here key the decision on a salted multiplicative integer
+hash of the ROW ID, so the sample is a pure function of the data:
+re-runs, repartitions, and other engines (the DuckDB oracles) produce
+the identical sample.
+
+Scale notes: stratified_sample is one window per stratum (hash order)
+— a single shuffle on the strata columns; skewed strata are one
+partition each, acceptable because only the top-N survive (use
+hash_sample first to pre-thin monster strata). hash_sample is a pure
+codegen filter — zero shuffles, pushed to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+MULT = 2654435761  # 2^32 * golden-ratio conjugate (Fibonacci hashing)
+M32 = 4294967296
+
+
+def _hash_sql(id_expr: str, salt: int) -> str:
+    """Salted multiplicative hash -> [0, 2^32); identical arithmetic in
+    Spark SQL and DuckDB (pure bigint ops)."""
+    return f"((({id_expr} + {salt}) * {MULT}) % {M32})"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: tuple[str, ...],
+    n_per: int,
+    id_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Keep the ``n_per`` rows with smallest salted hash per stratum.
+    Adds ``smp_rank`` (1..n_per within the stratum, hash order)."""
+    h = F.expr(_hash_sql(id_col, salt))
+    w = Window.partitionBy(*strata_cols).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("smp_rank", F.row_number().over(w))
+        .where(F.col("smp_rank") <= n_per)
+    )
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str, salt: int = 0
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose salted hash
+    falls below fraction * 2^32. Pure filter — no shuffle, no state."""
+    cut = int(fraction * M32)
+    return df.where(F.expr(_hash_sql(id_col, salt)) < cut)
+
+
+def stratified_sample_sql(
+    strata_cols: tuple[str, ...],
+    n_per: int,
+    id_col: str,
+    salt: int = 0,
+    source_sql: str = "documents",
+    select_cols: str = "*",
+) -> str:
+    strata = ", ".join(strata_cols)
+    h = _hash_sql(id_col, salt)
+    return f"""
+    SELECT {select_cols}, smp_rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY {strata} ORDER BY {h} ASC, {id_col} ASC
+      ) AS smp_rank
+      FROM {source_sql}
+    ) WHERE smp_rank <= {n_per}
+    """
+
+
+def hash_sample_sql(
+    fraction: float, id_col: str, salt: int = 0,
+    source_sql: str = "documents", select_cols: str = "*",
+) -> str:
+    cut = int(fraction * M32)
+    return (
+        f"SELECT {select_cols} FROM {source_sql} "
+        f"WHERE {_hash_sql(id_col, salt)} < {cut}"
+    )

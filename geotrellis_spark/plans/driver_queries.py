@@ -1044,6 +1044,33 @@ def sql_image_phash_check() -> str:
 
 # --------------------------------------------------------------- registry
 
+def q_stratified_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic stratified sample: 20 docs per (lang, source)
+    stratum by salted multiplicative hash — reproducible across
+    re-runs, repartitions, and engines (operators/sampling.py), plus a
+    ~30% hash-sample pre-thin to prove the two compose."""
+    from ..operators import sampling
+
+    docs = sampling.hash_sample(
+        _t(spark, sf_dir, "documents"), 0.3, "doc_id", salt=7
+    )
+    out = sampling.stratified_sample(
+        docs, ("lang", "source"), 20, "doc_id", salt=42
+    )
+    return out.select("lang", "source", "doc_id", "smp_rank")
+
+
+def sql_stratified_sample() -> str:
+    from ..operators import sampling
+
+    inner = sampling.hash_sample_sql(0.3, "doc_id", salt=7)
+    return sampling.stratified_sample_sql(
+        ("lang", "source"), 20, "doc_id", salt=42,
+        source_sql=f"({inner})",
+        select_cols="lang, source, doc_id",
+    )
+
+
 def q_dedup_cluster(spark, sf_dir) -> DataFrame:
     """Connected-components dedup clustering: MinHash-LSH candidate
     pairs -> per-doc canonical cluster representative (min id in the
@@ -1179,6 +1206,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
     "dedup_cluster": (q_dedup_cluster, sql_dedup_cluster),
+    "stratified_sample": (q_stratified_sample, sql_stratified_sample),
     "simhash": (q_simhash, sql_simhash),
     "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
     "lang_id": (q_lang_id, sql_lang_id),

@@ -264,3 +264,34 @@ def test_dedup_clusters_raises_without_convergence(spark):
     )
     with _pt.raises(RuntimeError):
         dedup.dedup_clusters(pairs, max_iters=1)
+
+
+# ---------------------------------------------- deterministic sampling
+
+def test_stratified_sample_partition_invariant(spark):
+    from geotrellis_spark.operators import sampling
+
+    df = spark.range(1000).selectExpr(
+        "id", "cast(id % 7 as string) as grp"
+    )
+    a = sampling.stratified_sample(
+        df.repartition(1), ("grp",), 5, "id", salt=3
+    ).select("grp", "id", "smp_rank")
+    b = sampling.stratified_sample(
+        df.repartition(13), ("grp",), 5, "id", salt=3
+    ).select("grp", "id", "smp_rank")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.count() == 35  # 7 strata x 5
+
+
+def test_hash_sample_is_filter_and_deterministic(spark):
+    from geotrellis_spark.operators import sampling
+
+    df = spark.range(10000).selectExpr("id")
+    s1 = sampling.hash_sample(df, 0.25, "id", salt=1)
+    s2 = sampling.hash_sample(df.repartition(9), 0.25, "id", salt=1)
+    n1 = s1.count()
+    assert n1 == s2.count()
+    assert abs(n1 - 2500) < 250  # roughly the asked fraction
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure filter: no shuffle
