@@ -112,3 +112,49 @@ def interval_join(
         F.col(f"_iv.{c}") for c in intervals.columns if c != on
     ]
     return joined.select(*keep)
+
+
+def resample_ffill(
+    df: DataFrame,
+    on: str,
+    ts: str = "ts",
+    val_col: str = "val",
+    ord_col: str = "ord",
+    step_s: int = 86400,
+) -> DataFrame:
+    """Resample an irregular per-key series onto a fixed ``step_s``
+    grid with forward fill: one output row per (key, bucket) from the
+    key's first to last observation; ``val`` = the last observation
+    at-or-before the bucket's end (ties within a bucket resolved by
+    max ``ord_col``). Buckets before the first observation cannot
+    occur (grid starts at it); gaps carry the previous value forward.
+
+    Plan: per-key min/max -> ``sequence``-EXPLODE the bucket grid
+    (bounded by span/step, not by data volume), left-join the
+    per-bucket last observation (one aggregation), window forward-fill
+    per key. Two shuffles total (agg + window share the key
+    partitioning), no python.
+    """
+    ep = F.col(ts).cast("timestamp").cast("long")
+    bkt = (ep / step_s).cast("long")
+    obs = (
+        df.select(on, bkt.alias("bucket"), F.col(val_col), F.col(ord_col))
+        .groupBy(on, "bucket")
+        .agg(F.expr(f"max_by({val_col}, {ord_col})").alias("_v"))
+    )
+    grid = (
+        df.select(on, bkt.alias("b"))
+        .groupBy(on)
+        .agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+        .select(on, F.explode(F.sequence("b0", "b1")).alias("bucket"))
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [on, "bucket"], "left")
+        .withColumn(val_col, F.last("_v", ignorenulls=True).over(w))
+        .drop("_v")
+    )

@@ -1159,6 +1159,50 @@ def sql_interval_join() -> str:
     """
 
 
+def q_resample_ffill(spark, sf_dir) -> DataFrame:
+    """Time-series regularization: per-user purchase cents forward-
+    filled onto a daily grid (temporal.resample_ffill — grid explode +
+    per-bucket last-observation + window ffill, two shuffles)."""
+    ev = _t(spark, sf_dir, "events").where("event_type = 'purchase'")
+    src = ev.selectExpr("user_id", "ts", f"{CENTS} as cents", "event_id")
+    out = temporal.resample_ffill(
+        src, on="user_id", ts="ts", val_col="cents", ord_col="event_id",
+        step_s=86400,
+    )
+    return out.select("user_id", "bucket", "cents")
+
+
+def sql_resample_ffill() -> str:
+    return f"""
+    WITH src AS (
+      SELECT user_id,
+             CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0) AS BIGINT)
+               AS bucket,
+             {CENTS} AS cents, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    obs AS (
+      SELECT user_id, bucket, max_by(cents, event_id) AS v
+      FROM src GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM src GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket, o.v
+      FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+    )
+    SELECT user_id, bucket,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket ROWS UNBOUNDED PRECEDING
+           ) AS cents
+    FROM j
+    """
+
+
 def q_ann_ivf_kmeans(spark, sf_dir) -> DataFrame:
     """IVF ANN over Lloyd-refined centroids (similarity.kmeans_milli +
     ivf_kmeans_topk): a distributed iterative ML algorithm under an
@@ -1207,6 +1251,7 @@ QUERIES = {
     "minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
     "dedup_cluster": (q_dedup_cluster, sql_dedup_cluster),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
+    "resample_ffill": (q_resample_ffill, sql_resample_ffill),
     "simhash": (q_simhash, sql_simhash),
     "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
     "lang_id": (q_lang_id, sql_lang_id),

@@ -295,3 +295,24 @@ def test_hash_sample_is_filter_and_deterministic(spark):
     assert abs(n1 - 2500) < 250  # roughly the asked fraction
     plan = s1._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure filter: no shuffle
+
+
+# ------------------------------------------------------ resample_ffill
+
+def test_resample_ffill_gaps_and_ties(spark):
+    # key 1: obs at minute buckets 0 and 3 (gap at 1-2 carries value);
+    # two obs in bucket 0 -> max ord wins; key 2: single obs
+    rows = [
+        Row(k=1, ts=_ts(0.1), v=10, o=1),
+        Row(k=1, ts=_ts(0.5), v=11, o=2),   # same bucket, higher ord
+        Row(k=1, ts=_ts(3.2), v=30, o=3),
+        Row(k=2, ts=_ts(7.0), v=70, o=4),
+    ]
+    df = spark.createDataFrame(rows)
+    out = temporal.resample_ffill(
+        df, on="k", ts="ts", val_col="v", ord_col="o", step_s=60
+    )
+    got = {(r["k"], r["bucket"] % 100000): r["v"] for r in out.collect()}
+    b0 = next(b for (k, b) in got if k == 1)  # first bucket of key 1
+    assert [got[(1, b0 + i)] for i in range(4)] == [11, 11, 11, 30]
+    assert sum(1 for (k, _b) in got if k == 2) == 1
