@@ -173,3 +173,77 @@ def fingerprint_sql(source_sql: str = "documents") -> str:
     SELECT doc_id, CAST({_fp_terms('ascii', 'text')} AS BIGINT) AS fp
     FROM {source_sql}
     """
+
+
+def tfidf_topk(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document with EXACT integer scoring:
+    score_micro = (tf * 1_000_000 * N) div df — all bigint arithmetic,
+    so ranking is reproducible in any engine (float idf = log(N/df)
+    would differ in the last bit across libm implementations; the
+    monotone rational surrogate ranks identically for fixed tf).
+
+    ASCII-fold first (non-letters -> space) so tokenization never
+    depends on engine-specific unicode case rules. Plan: explode ->
+    (doc, term) count -> term doc-frequency join (term dimension is
+    small -> broadcast) -> window top-k per doc. Two aggregations +
+    one window, no python."""
+    toks = docs.select(
+        id_col,
+        F.explode(
+            F.split(
+                F.lower(F.regexp_replace(F.col(text_col), "[^A-Za-z]+", " ")),
+                " ",
+            )
+        ).alias("term"),
+    ).where("term <> ''")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n")).alias("_n")
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_micro",
+            F.expr("(tf * 1000000 * n) div df").cast("long"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("trank", F.row_number().over(w))
+        .where(F.col("trank") <= k)
+        .select(id_col, "term", "score_micro", "trank")
+    )
+
+
+def tfidf_topk_sql(k: int = 3, source_sql: str = "documents") -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(
+               lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), ' ')) AS term
+      FROM {source_sql}
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term <> '' GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM {source_sql}),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             (tf.tf * 1000000 * n.n) // dfreq.df AS score_micro
+      FROM tf JOIN dfreq USING (term), n
+    )
+    SELECT doc_id, term, score_micro, trank FROM (
+      SELECT doc_id, term, score_micro,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_micro DESC, term ASC) AS trank
+      FROM scored
+    ) WHERE trank <= {k}
+    """

@@ -1044,6 +1044,16 @@ def sql_image_phash_check() -> str:
 
 # --------------------------------------------------------------- registry
 
+def q_tfidf(spark, sf_dir) -> DataFrame:
+    """Top-3 TF-IDF terms per document, exact integer scoring
+    (text.tfidf_topk)."""
+    return text.tfidf_topk(_t(spark, sf_dir, "documents"))
+
+
+def sql_tfidf() -> str:
+    return text.tfidf_topk_sql()
+
+
 def q_stratified_sample(spark, sf_dir) -> DataFrame:
     """Deterministic stratified sample: 20 docs per (lang, source)
     stratum by salted multiplicative hash — reproducible across
@@ -1252,6 +1262,7 @@ QUERIES = {
     "dedup_cluster": (q_dedup_cluster, sql_dedup_cluster),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
     "resample_ffill": (q_resample_ffill, sql_resample_ffill),
+    "tfidf": (q_tfidf, sql_tfidf),
     "simhash": (q_simhash, sql_simhash),
     "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
     "lang_id": (q_lang_id, sql_lang_id),
