@@ -96,3 +96,46 @@ def test_stateful_cell_tracker(spark):
     finally:
         q.stop()
     assert ok, "no cell accumulated state across micro-batches within 90s"
+
+
+def test_streaming_watermarked_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a keyed stream: duplicate
+    image ids arriving within the watermark window are emitted once
+    (the streaming twin of exact dedup — state is bounded by the
+    watermark, which is what makes it viable on an unbounded stream)."""
+    import pyspark.sql.functions as F
+
+    for old in spark.streams.active:
+        old.stop()
+    stream = ingest_stream.rate_images_stream(spark, rows_per_sec=50)
+    # duplicate every row under the same dedup key (img_id // 2)
+    dup = stream.withColumn(
+        "dedup_key", F.expr("cast(substring(image_id, 4, 15) as bigint) div 2")
+    )
+    deduped = (
+        dup.withWatermark("ts", "10 seconds")
+        .dropDuplicatesWithinWatermark(["dedup_key"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        n = dups = 0
+        while time.time() < deadline:
+            time.sleep(4)
+            rows = spark.sql(
+                "select dedup_key, count(*) c from dedup_stream group by 1"
+            ).collect()
+            n = len(rows)
+            dups = sum(1 for r in rows if r["c"] > 1)
+            if n >= 5:
+                break
+    finally:
+        q.stop()
+    assert n >= 5, f"only {n} deduped keys arrived"
+    assert dups == 0, "watermarked dedup emitted a key twice"
