@@ -763,3 +763,69 @@ def point_segment_distance(px, py, ax, ay, bx, by) -> np.ndarray:
         return np.hypot(px - ax, py - ay)
     t = np.clip(((px - ax) * dx + (py - ay) * dy) / L2, 0.0, 1.0)
     return np.hypot(px - (ax + t * dx), py - (ay + t * dy))
+
+
+def simplify_line(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker polyline simplification (reference role:
+    geotrellis.vector Simplify via JTS DouglasPeuckerSimplifier —
+    upstream layout; reimplemented from the published algorithm).
+    Keeps endpoints; drops interior vertices whose max deviation from
+    the current chord is <= ``tol``. Iterative stack, numpy distance
+    batch per segment — no recursion-depth limit."""
+    pts = np.asarray(pts, dtype=np.float64)
+    n = len(pts)
+    if n <= 2:
+        return pts.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        seg = pts[i + 1 : j]
+        d = point_segment_distance(
+            seg[:, 0], seg[:, 1], pts[i, 0], pts[i, 1], pts[j, 0], pts[j, 1]
+        )
+        kmax = int(np.argmax(d))
+        if d[kmax] > tol:
+            split = i + 1 + kmax
+            keep[split] = True
+            stack.append((i, split))
+            stack.append((split, j))
+    return pts[keep]
+
+
+def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker for a polygon ring (open vertex list): anchor
+    the chord at vertex 0 and the farthest vertex from it (a stable
+    diameter-ish split), simplify both halves, re-join. Degenerate
+    results (< 3 vertices) return the original ring unchanged."""
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) <= 3:
+        return ring.copy()
+    far = int(
+        np.argmax((ring[:, 0] - ring[0, 0]) ** 2 + (ring[:, 1] - ring[0, 1]) ** 2)
+    )
+    if far == 0:  # all points coincident
+        return ring.copy()
+    a = simplify_line(ring[: far + 1], tol)
+    b = simplify_line(np.vstack([ring[far:], ring[:1]]), tol)
+    out = np.vstack([a[:-1], b[:-1]])
+    return out if len(out) >= 3 else ring.copy()
+
+
+def simplify_wkb(wkb: bytes, tol: float) -> bytes:
+    """Simplify every ring of a WKB polygon/multipolygon with
+    Douglas–Peucker."""
+    import struct as _st
+
+    geoms = _poly_list(wkb)
+    if len(geoms) == 1:
+        return wkb_write_polygon([simplify_ring(r, tol) for r in geoms[0]])
+    out = [_st.pack("<BII", 1, _GEOM_MULTIPOLYGON, len(geoms))]
+    for rings in geoms:
+        out.append(
+            wkb_write_polygon([simplify_ring(r, tol) for r in rings])
+        )
+    return b"".join(out)

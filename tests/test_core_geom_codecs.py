@@ -145,3 +145,42 @@ def test_synth_holes_have_nodata():
     assert (img == 0).sum() > 0
     img = imagery.synth_pixels(3, 64, 64)  # 'noise' avoids sentinel
     assert (img == 0).sum() == 0
+
+
+# ------------------------------------------------- Douglas-Peucker
+
+def test_simplify_line_collinear_and_tol():
+    import numpy as np
+
+    from geotrellis_spark.core import geom
+
+    # collinear interior points vanish at any tolerance
+    line = np.array([[0, 0], [1, 0], [2, 0], [3, 0]], dtype=float)
+    out = geom.simplify_line(line, 0.0)
+    assert out.tolist() == [[0, 0], [3, 0]]
+    # a real corner survives a small tol, dies under a big one
+    bend = np.array([[0, 0], [5, 1], [10, 0]], dtype=float)
+    assert len(geom.simplify_line(bend, 0.5)) == 3
+    assert len(geom.simplify_line(bend, 2.0)) == 2
+    # endpoints always kept
+    assert geom.simplify_line(bend, 100.0).tolist() == [[0, 0], [10, 0]]
+
+
+def test_simplify_ring_preserves_shape():
+    import numpy as np
+
+    from geotrellis_spark.core import geom
+
+    # a square with redundant mid-edge vertices simplifies back to 4
+    sq = np.array(
+        [[0, 0], [1, 0], [2, 0], [2, 1], [2, 2], [1, 2], [0, 2], [0, 1]],
+        dtype=float,
+    )
+    out = geom.simplify_ring(sq, 0.01)
+    assert len(out) == 4
+    assert abs(abs(geom.shoelace_area(out)) - 4.0) < 1e-12
+    # roundtrip through WKB keeps polygon type + area
+    wkb = geom.wkb_write_polygon([sq])
+    simp = geom.simplify_wkb(wkb, 0.01)
+    rings = geom._poly_list(simp)[0]  # reader returns CLOSED rings
+    assert len(rings[0]) == 5 and (rings[0][0] == rings[0][-1]).all()
