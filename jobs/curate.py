@@ -1,0 +1,107 @@
+"""Training-data curation job (spark-submit entrypoint): documents ->
+quality gate -> exact dedup -> near-dup cluster collapse -> stratified
+sample -> curated parquet, with per-stage metrics.
+
+The end-to-end composition of the pipeline operators (the order
+matters and IS the product):
+1. quality gate   — cheap codegen filter first, cuts everything after
+2. exact dedup    — md5 groups, keep min doc id (one hash shuffle)
+3. near-dup LSH   — MinHash candidates (hot-bucket-capped production
+                    entry) -> connected components -> keep each
+                    cluster's canonical representative
+4. stratified sample — deterministic top-N per (lang, source): the
+                    reproducible training-mix step
+Every stage appends a metrics row (kept/dropped counts), so a curation
+run is auditable after the fact.
+
+Cluster usage:
+  spark-submit --py-files geotrellis_spark.zip jobs/curate.py \
+      --docs-path <parquet> --out s3://bucket/curated --per-stratum 1000
+Sandbox usage:
+  python jobs/curate.py --docs-path /root/testdata/sf0.01/documents.parquet \
+      --out /tmp/curated --per-stratum 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from geotrellis_spark.checkpoint import write_metric  # noqa: E402
+from geotrellis_spark.operators import dedup, sampling, text  # noqa: E402
+from geotrellis_spark.session import get_spark  # noqa: E402
+
+
+def curate(spark, docs, per_stratum: int, salt: int = 42,
+           metrics=None) -> "tuple":
+    """Run the 4-stage curation over a documents DataFrame. Returns
+    (curated_df, stats dict). ``metrics``: optional (base, job_id)
+    tuple to persist per-stage counts."""
+    stats = {"input": docs.count()}
+
+    def metric(stage, name, value):
+        stats[f"{stage}.{name}"] = value
+        if metrics:
+            write_metric(spark, metrics[0], metrics[1], stage, name, value)
+
+    # 1. quality gate (pure codegen filter)
+    q = text.quality_score(docs).where("is_quality").select("doc_id")
+    gated = docs.join(q, "doc_id")
+    gated = gated.localCheckpoint()  # reused by three stages below
+    metric("quality", "kept", gated.count())
+
+    # 2. exact dedup: keep each md5 group's min doc id
+    keep_exact = (
+        dedup.exact_dedup(gated).select(F.col("min_doc").alias("doc_id"))
+    )
+    exact = gated.join(keep_exact, "doc_id").localCheckpoint()
+    metric("exact_dedup", "kept", exact.count())
+
+    # 3. near-dup collapse: production (capped) candidate pairs ->
+    # connected components -> drop everything but cluster minima
+    pairs = dedup.minhash_dedup(exact)
+    clusters = dedup.dedup_clusters(pairs)
+    drop = clusters.where("doc_id <> cluster").select("doc_id")
+    neardup = exact.join(drop, "doc_id", "left_anti").localCheckpoint()
+    metric("neardup", "kept", neardup.count())
+
+    # 4. deterministic stratified sample per (lang, source)
+    curated = sampling.stratified_sample(
+        neardup, ("lang", "source"), per_stratum, "doc_id", salt=salt
+    )
+    metric("sample", "kept", curated.count())
+    return curated, stats
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs-path", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--per-stratum", type=int, default=100)
+    ap.add_argument("--salt", type=int, default=42)
+    ap.add_argument("--job-id", default=None)
+    args = ap.parse_args()
+    job_id = args.job_id or f"curate-{os.path.basename(args.out)}"
+
+    spark = get_spark("curate")
+    t0 = time.time()
+    docs = spark.read.parquet(args.docs_path)
+    curated, stats = curate(
+        spark, docs, args.per_stratum, args.salt,
+        metrics=(os.path.join(args.out, "_jobs"), job_id),
+    )
+    curated.write.mode("overwrite").parquet(os.path.join(args.out, "docs"))
+    stats["wall_s"] = round(time.time() - t0, 2)
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -100,3 +100,27 @@ def test_iceberg_shape_roundtrip(spark, tmp_path):
     )
     lmd = ice.read_layer_metadata(spark, base).collect()[0]
     assert lmd["layer"] == "images" and lmd["cell_type"] == "uint16ud0"
+
+
+def test_curate_pipeline_e2e(spark, tmp_path):
+    """4-stage curation composition: counts only shrink, stratum caps
+    hold, and the whole pipeline is deterministic (rerun-identical)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.curate import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out1, stats = curate(spark, docs, per_stratum=3, salt=9)
+    rows1 = sorted(r["doc_id"] for r in out1.select("doc_id").collect())
+    assert stats["input"] >= stats["quality.kept"] >= stats["exact_dedup.kept"]
+    assert stats["exact_dedup.kept"] >= stats["neardup.kept"] >= stats["sample.kept"]
+    assert stats["sample.kept"] == len(rows1)
+    caps = (
+        out1.groupBy("lang", "source").count()
+        .agg({"count": "max"}).collect()[0][0]
+    )
+    assert caps <= 3
+    out2, _ = curate(spark, docs, per_stratum=3, salt=9)
+    rows2 = sorted(r["doc_id"] for r in out2.select("doc_id").collect())
+    assert rows1 == rows2
