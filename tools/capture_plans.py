@@ -92,6 +92,19 @@ def main() -> None:
         dq.q_ann_ivf(spark, "/root/testdata/sf0.01"),
     )
 
+    cap(
+        "stratified_sample: hash-sample filter PUSHED TO THE SCAN + "
+        "one window per stratum — no extra shuffles",
+        dq.q_stratified_sample(spark, "/root/testdata/sf0.01"),
+    )
+
+    cap(
+        "tfidf: two-phase HashAggregates + BROADCAST doc-frequency "
+        "join + window top-k — term dimension never shuffles the "
+        "corpus",
+        dq.q_tfidf(spark, "/root/testdata/sf0.01"),
+    )
+
     hdr = """# PLANS — physical-plan evidence
 
 `.explain("formatted")` captures showing the engine gets the plans a
