@@ -247,3 +247,93 @@ def tfidf_topk_sql(k: int = 3, source_sql: str = "documents") -> str:
       FROM scored
     ) WHERE trank <= {k}
     """
+
+
+def chunk_docs(
+    docs: DataFrame, size: int = 200, overlap: int = 50,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping character chunks (the
+    RAG/pretraining chunking primitive): chunk i covers
+    [i*(size-overlap), i*(size-overlap)+size). Narrow explode — chunk
+    count per doc is ceil((len-overlap)/(size-overlap)) — no shuffle
+    at all. Output: (id, chunk_id, chunk_start, chunk_text)."""
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    step = size - overlap
+    return docs.selectExpr(
+        id_col,
+        f"""explode(sequence(0,
+            cast((greatest(length({text_col}) - {overlap}, 1) + {step} - 1)
+                 / {step} as int) - 1)) as chunk_id""",
+        text_col,
+    ).selectExpr(
+        id_col,
+        "chunk_id",
+        f"cast(chunk_id * {step} as bigint) as chunk_start",
+        f"substring({text_col}, chunk_id * {step} + 1, {size}) as chunk_text",
+    )
+
+
+def chunk_docs_sql(
+    size: int = 200, overlap: int = 50, source_sql: str = "documents"
+) -> str:
+    step = size - overlap
+    return f"""
+    SELECT doc_id, chunk_id,
+           CAST(chunk_id * {step} AS BIGINT) AS chunk_start,
+           substr(text, chunk_id * {step} + 1, {size}) AS chunk_text
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(0,
+               CAST((greatest(length(text) - {overlap}, 1) + {step} - 1)
+                    // {step} AS INT) - 1)) AS chunk_id
+      FROM {source_sql}
+    )
+    """
+
+
+def pack_concat(
+    docs: DataFrame, budget: int = 2048, strata_col: str = "lang",
+    id_col: str = "doc_id", len_col: str = "n_chars",
+) -> DataFrame:
+    """Concatenate-and-chop sequence packing (the standard LLM
+    training-data packing): within each stratum, documents concatenate
+    in ``id`` order and the stream is chopped every ``budget`` units;
+    each doc reports the bin its first unit lands in and its offset
+    there. Pure window prefix-sum per stratum — one shuffle on the
+    stratum key; the stratum (not the corpus) bounds the sequential
+    region, which is what keeps a global concat order scalable.
+    Output: (strata, id, bin, bin_offset)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = F.coalesce(F.sum(len_col).over(w), F.lit(0)).cast("long")
+    return docs.select(
+        strata_col, id_col,
+        (pre / budget).cast("long").alias("bin"),
+        (pre % budget).alias("bin_offset"),
+    )
+
+
+def pack_concat_sql(
+    budget: int = 2048, strata_col: str = "lang",
+    source_sql: str = "documents",
+) -> str:
+    return f"""
+    SELECT {strata_col}, doc_id,
+           CAST(floor(pre / {budget}.0) AS BIGINT) AS bin,
+           CAST(pre % {budget} AS BIGINT) AS bin_offset
+    FROM (
+      SELECT {strata_col}, doc_id,
+             coalesce(sum(n_chars) OVER (
+               PARTITION BY {strata_col} ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS pre
+      FROM {source_sql}
+    )
+    """

@@ -1054,6 +1054,27 @@ def sql_tfidf() -> str:
     return text.tfidf_topk_sql()
 
 
+def q_doc_chunks(spark, sf_dir) -> DataFrame:
+    """Overlapping character chunking (text.chunk_docs): narrow
+    explode, no shuffle."""
+    return text.chunk_docs(_t(spark, sf_dir, "documents"))
+
+
+def sql_doc_chunks() -> str:
+    return text.chunk_docs_sql()
+
+
+def q_pack_concat(spark, sf_dir) -> DataFrame:
+    """Concatenate-and-chop sequence packing per lang stratum
+    (text.pack_concat): window prefix sums assign each doc its bin and
+    offset in the chopped stream."""
+    return text.pack_concat(_t(spark, sf_dir, "documents"))
+
+
+def sql_pack_concat() -> str:
+    return text.pack_concat_sql()
+
+
 def q_stratified_sample(spark, sf_dir) -> DataFrame:
     """Deterministic stratified sample: 20 docs per (lang, source)
     stratum by salted multiplicative hash — reproducible across
@@ -1263,6 +1284,8 @@ QUERIES = {
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
     "resample_ffill": (q_resample_ffill, sql_resample_ffill),
     "tfidf": (q_tfidf, sql_tfidf),
+    "doc_chunks": (q_doc_chunks, sql_doc_chunks),
+    "pack_concat": (q_pack_concat, sql_pack_concat),
     "simhash": (q_simhash, sql_simhash),
     "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
     "lang_id": (q_lang_id, sql_lang_id),
