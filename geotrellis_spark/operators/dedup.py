@@ -318,6 +318,11 @@ def dedup_clusters(
         .withColumn("lab", F.col("id"))
         .localCheckpoint()
     )
+    # convergence via checksum: labels only ever DECREASE, so the
+    # label sum is strictly monotone until fixpoint — comparing two
+    # scalars replaces a full new-vs-old join every round. decimal(38)
+    # so the sum cannot overflow at any plausible id x row scale.
+    prev_sum = None
     for _ in range(max_iters):
         nbr = (
             edges.join(
@@ -336,17 +341,15 @@ def dedup_clusters(
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where("n.lab <> o.lab")
-            .count()
-        )
+        cur_sum = new.agg(
+            F.sum(F.col("lab").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             return labels.select(
                 F.col("id").alias("doc_id"), F.col("lab").alias("cluster")
             )
+        prev_sum = cur_sum
     raise RuntimeError(
         f"dedup_clusters did not converge in {max_iters} rounds"
     )
