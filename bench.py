@@ -47,6 +47,11 @@ HEADLINE = [
     "spacetime_join",
     "asof_join",
     "interval_join",
+    "resample_ffill",
+    "stratified_sample",
+    "tfidf",
+    "doc_chunks",
+    "pack_concat",
 ]
 
 

@@ -316,3 +316,57 @@ def test_resample_ffill_gaps_and_ties(spark):
     b0 = next(b for (k, b) in got if k == 1)  # first bucket of key 1
     assert [got[(1, b0 + i)] for i in range(4)] == [11, 11, 11, 30]
     assert sum(1 for (k, _b) in got if k == 2) == 1
+
+
+# ----------------------------------------------------- edge hardening
+
+def test_asof_join_empty_right(spark):
+    left = spark.createDataFrame([Row(ev=1, k=1, ts=_ts(0))])
+    right = spark.createDataFrame(
+        [], "k long, ts timestamp, snap_id long, snap_value long"
+    )
+    out = temporal.asof_join(
+        left, right, on="k", ts="ts", right_cols=("snap_id", "snap_value")
+    ).collect()
+    assert len(out) == 1 and out[0]["snap_id"] is None
+
+
+def test_interval_join_empty_intervals(spark):
+    pts = spark.createDataFrame([Row(ev=1, k=1, ts=_ts(0))])
+    iv = spark.createDataFrame(
+        [], "iid long, k long, t_start timestamp, t_end timestamp"
+    )
+    out = temporal.interval_join(
+        pts, iv, on="k", ts="ts", start="t_start", end="t_end"
+    )
+    assert out.count() == 0
+
+
+def test_stratified_sample_small_strata(spark):
+    from geotrellis_spark.operators import sampling
+
+    # n_per larger than the stratum: every row kept, ranks dense
+    df = spark.range(4).selectExpr("id", "'g' as grp")
+    out = sampling.stratified_sample(df, ("grp",), 100, "id")
+    assert out.count() == 4
+    assert sorted(r["smp_rank"] for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_chunk_docs_short_and_exact_cover(spark):
+    from geotrellis_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="abcdef"), Row(doc_id=2, text="x" * 350)]
+    )
+    rows = t.chunk_docs(docs, size=200, overlap=50).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # short doc: one chunk, full text
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "abcdef"
+    # 350 chars, step 150: ceil((350-50)/150) = 2 chunks at 0 and 150;
+    # the second covers chars 150..349 — full coverage with 50 overlap
+    chunks = sorted(by_doc[2], key=lambda r: r["chunk_start"])
+    assert [r["chunk_start"] for r in chunks] == [0, 150]
+    assert len(chunks[0]["chunk_text"]) == 200
+    assert len(chunks[1]["chunk_text"]) == 200  # reaches char 350 exactly
