@@ -20,11 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from geotrellis_spark.session import get_spark  # noqa: E402
 from geotrellis_spark.plans import driver_queries as dq  # noqa: E402
-from geotrellis_spark.operators import spatial, tiling  # noqa: E402
-from geotrellis_spark import synth  # noqa: E402
 
 BENCH_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "8000"))
-IMG_ZOOM = 8
 
 HEADLINE = [
     "tile_assign",
@@ -79,62 +76,39 @@ def main() -> None:
     # warm-up: JVM + python workers + parquet footers
     _run(dq.q_cell_agg(spark, sf_dir))
 
-    # The north-rule throughput legs run FIRST, on clean JVM state —
-    # measured: running the query suite beforehand leaves heap garbage
-    # that degrades the byte-heavy Arrow path up to 3x (and a real
-    # deployment runs ingest as a dedicated job anyway). The box is
-    # also a shared VM with 1.7-4x run-to-run noise (BENCH/BASELINE.md),
-    # so each leg runs twice and reports best-of-2 — interference only
-    # ever subtracts throughput.
-    # north-rule metric 1: tiling throughput (tiles/sec); PNG payloads
-    # = the production configuration (compressed through the sink)
-    images = synth.synth_images(spark, BENCH_IMAGES, partitions=max(cpus, 8))
-    best_dt, n_tiles = None, 0
-    for _rep in range(2):
-        t0 = time.time()
-        n_tiles = _run(tiling.tile_images(images, IMG_ZOOM, 256, fmt="png"))
-        dt = time.time() - t0
-        best_dt = dt if best_dt is None else min(best_dt, dt)
-    timings["image_tiling"] = round(best_dt, 3)
-    extras["tiles_per_sec"] = round(n_tiles / best_dt, 1)
-    extras["bench_images"] = BENCH_IMAGES
-    print(f"# image_tiling: {n_tiles} tiles in {best_dt:.1f}s", file=sys.stderr)
+    # The two north-rule throughput legs run in a DEDICATED SUBPROCESS
+    # JVM (bench/scaling_job.py — the same harness the scaling evidence
+    # uses): measured repeatedly, the byte-heavy legs poison each other
+    # and the suite in EITHER order (tiling->pip: 2.0s -> 6-14s;
+    # pip->tiling: 4.2s -> 8.8-11.9s; System.gc barriers only partially
+    # restore). A real deployment runs ingest as a dedicated job, which
+    # is exactly what a fresh JVM models. PIP leg = 4M dense synthetic
+    # points (the 100k-row events table is fixed-cost-dominated and
+    # under-reports the rate ~60x). Each leg is best-of-2 in its JVM.
+    import subprocess
 
-    # north-rule metric 2: PIP-join throughput (joined rows/sec) over
-    # 4M dense synthetic points — the sf0.1 events table (100k rows)
-    # is fixed-cost-dominated and under-reports the rate ~60x vs the
-    # 16M-point scaling leg; this leg now measures the same job shape
-    # at a size where throughput, not setup, is the signal.
-    # Arrow batch sizing is payload-aware: 128-row batches are right
-    # for ~100KB image rows (bounded per-task memory) but throttle
-    # small-row UDF queries 4x — measured 3.7k -> 14.7k rows/s moving
-    # the refine to 4096-row batches.
-    _gc_barrier(spark)
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-    from geotrellis_spark.functions import exprs
-
-    pts = spark.range(0, 4_000_000, numPartitions=max(64, cpus)).selectExpr(
-        "id as event_id",
-        f"{exprs.lon_sql('id')} as lon",
-        f"{exprs.lat_sql('id * 7 + 1')} as lat",
+    _here = os.path.dirname(os.path.abspath(__file__))
+    leg_out = subprocess.run(
+        [sys.executable, os.path.join(_here, "bench", "scaling_job.py"),
+         str(cpus), str(BENCH_IMAGES), sf_dir, "4000000"],
+        capture_output=True, text=True, check=True,
     )
-    polys = dq._grid_polys(spark)
-    best_dt, n_joined = None, 0
-    for _rep in range(2):
-        t0 = time.time()
-        n_joined = _run(spatial.pip_join(pts, polys, zoom=5))
-        dt = time.time() - t0
-        best_dt = dt if best_dt is None else min(best_dt, dt)
-    timings["pip_join"] = round(best_dt, 3)
-    extras["pip_rows_per_sec"] = round(n_joined / best_dt, 1)
-    print(f"# pip_join: {n_joined} rows in {best_dt:.1f}s", file=sys.stderr)
+    leg = json.loads(
+        [l for l in leg_out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    timings["image_tiling"] = leg["tile_sec"]
+    timings["pip_join"] = leg["pip_sec"]
+    extras["tiles_per_sec"] = leg["tiles_per_sec"]
+    extras["pip_rows_per_sec"] = leg["pip_rows_per_sec"]
+    extras["bench_images"] = BENCH_IMAGES
+    print(f"# image_tiling: {leg['n_tiles']} tiles in {leg['tile_sec']:.1f}s",
+          file=sys.stderr)
+    print(f"# pip_join: {leg['n_joined']} rows in {leg['pip_sec']:.1f}s",
+          file=sys.stderr)
 
-    # minhash_lsh immediately after the throughput legs, best-of-2 with
+    # minhash_lsh first in the main JVM (clean heap), best-of-2 with
     # a GC barrier per rep: it is the most GC-debt-sensitive query in
     # the suite (2.2M-pair output; measured 6-24s swings in round 2).
-    # It must NOT run before the tiling leg — its own JVM churn degrades
-    # the byte-heavy Arrow path ~2.5x even through a System.gc() barrier
-    # (measured this round: 1400 -> 570 tiles/s when ordered first).
     best_dt, n_mh = None, 0
     for _rep in range(2):
         _gc_barrier(spark)

@@ -21,6 +21,7 @@ def main() -> None:
     cpus = int(sys.argv[1])
     n_images = int(sys.argv[2])
     sf_dir = sys.argv[3]
+    n_points_arg = int(sys.argv[4]) if len(sys.argv) > 4 else 16_000_000
     spark = get_spark(f"scaling-{cpus}", cores=cpus, shuffle_partitions=cpus)
 
     # warm-up (discarded): prime ALL python workers (numpy/pandas import
@@ -71,7 +72,7 @@ def main() -> None:
     spark.sparkContext._jvm.System.gc()
     time.sleep(1.0)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-    n_points = 16_000_000
+    n_points = n_points_arg
     pts = spark.range(0, n_points, numPartitions=max(64, cpus)).selectExpr(
         "id as event_id",
         f"{exprs.lon_sql('id')} as lon",
