@@ -904,3 +904,81 @@ def zonal_partials(
         int(uz[i]): (int(cnt[i]), float(s[i]), float(mins[i]), float(maxs[i]))
         for i in range(uz.shape[0])
     }
+
+
+# ----------------------------------------------------------- hydrology
+# Reference role: raster/src/main/scala/geotrellis/raster/hydrology/
+# {Fill,FlowDirection,Accumulation}.scala (upstream layout; mount
+# empty) — reimplemented from the published D8 algorithms.
+
+_D8_OFF = (  # (dr, dc, esri_code, distance)
+    (0, 1, 1, 1.0), (1, 1, 2, 2 ** 0.5), (1, 0, 4, 1.0),
+    (1, -1, 8, 2 ** 0.5), (0, -1, 16, 1.0), (-1, -1, 32, 2 ** 0.5),
+    (-1, 0, 64, 1.0), (-1, 1, 128, 2 ** 0.5),
+)
+
+
+def hydro_fill(dem: np.ndarray, threshold: float = 0.0) -> np.ndarray:
+    """Fill single-cell pits: a cell strictly lower than ALL 8
+    neighbors by more than ``threshold`` is raised to its lowest
+    neighbor. One vectorized pass (the reference Fill's semantics —
+    repeated application converges for multi-pass filling)."""
+    z = dem.astype(np.float64)
+    p = np.pad(z, 1, mode="edge")
+    nmin = np.full_like(z, np.inf)
+    for dr, dc, _code, _d in _D8_OFF:
+        nmin = np.minimum(nmin, p[1 + dr : 1 + dr + z.shape[0],
+                                  1 + dc : 1 + dc + z.shape[1]])
+    pit = z < nmin - threshold
+    return np.where(pit, nmin, z)
+
+
+def flow_direction(dem: np.ndarray, cw: float = 1.0, ch: float = 1.0) -> np.ndarray:
+    """D8 flow direction (ESRI encoding E=1 SE=2 S=4 SW=8 W=16 NW=32
+    N=64 NE=128): the neighbor with the steepest positive drop
+    (drop / distance); ties and flats resolve to the LOWEST code
+    (deterministic). Cells with no downslope neighbor (pits) get 0."""
+    z = dem.astype(np.float64)
+    p = np.pad(z, 1, mode="edge")
+    best = np.zeros_like(z)
+    code = np.zeros(z.shape, dtype=np.int32)
+    for dr, dc, c, dist in _D8_OFF:
+        d = dist * ((cw + ch) / 2.0)
+        drop = (z - p[1 + dr : 1 + dr + z.shape[0],
+                      1 + dc : 1 + dc + z.shape[1]]) / d
+        better = drop > best
+        best = np.where(better, drop, best)
+        code = np.where(better, c, code)
+    return code
+
+
+def flow_accumulation(fdir: np.ndarray, max_iters: int | None = None) -> np.ndarray:
+    """Upstream-cell count per cell from a D8 direction grid
+    (Accumulation's semantics: a cell's value = number of cells whose
+    flow path passes through it, NOT counting itself). Vectorized
+    fixed-point: each round pushes every cell's (1 + acc) to its
+    receiver; converges in longest-flow-path rounds. Cycles (possible
+    only on synthetic dir grids) are cut by the iteration cap."""
+    h, w = fdir.shape
+    if max_iters is None:
+        max_iters = h * w  # longest possible path
+    acc = np.zeros((h, w), dtype=np.int64)
+    rows, cols = np.indices((h, w))
+    rcv_r = np.full((h, w), -1)
+    rcv_c = np.full((h, w), -1)
+    for dr, dc, c, _d in _D8_OFF:
+        m = fdir == c
+        rcv_r = np.where(m, rows + dr, rcv_r)
+        rcv_c = np.where(m, cols + dc, rcv_c)
+    inside = (
+        (rcv_r >= 0) & (rcv_r < h) & (rcv_c >= 0) & (rcv_c < w)
+    )
+    src = inside.nonzero()
+    tgt = (rcv_r[src], rcv_c[src])
+    for _ in range(max_iters):
+        new = np.zeros_like(acc)
+        np.add.at(new, tgt, 1 + acc[src])
+        if np.array_equal(new, acc):
+            break
+        acc = new
+    return acc

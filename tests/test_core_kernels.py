@@ -184,3 +184,62 @@ def test_zonal_partials():
     p = kernels.zonal_partials(vals, zones)
     assert p[10] == (2, 3.0, 1.0, 2.0)
     assert p[20] == (1, 3.0, 3.0, 3.0)
+
+
+# ------------------------------------------------------------ hydrology
+
+def test_flow_direction_inclined_plane():
+    import numpy as np
+
+    from geotrellis_spark.core import kernels as K
+
+    # plane dipping east: every interior cell flows E (code 1)
+    dem = np.tile(np.arange(8, 0, -1, dtype=float), (5, 1))
+    fd = K.flow_direction(dem)
+    assert (fd[:, :-1] == 1).all()
+    # east edge has no downslope neighbor (edge-padded): pit code 0
+    assert (fd[:, -1] == 0).all()
+
+
+def test_flow_accumulation_line():
+    import numpy as np
+
+    from geotrellis_spark.core import kernels as K
+
+    # single row flowing east: acc = 0,1,2,...  (upstream cell count)
+    dem = np.arange(6, 0, -1, dtype=float)[None, :]
+    fd = K.flow_direction(dem)
+    acc = K.flow_accumulation(fd)
+    assert acc[0].tolist() == [0, 1, 2, 3, 4, 5]
+
+
+def test_flow_accumulation_valley():
+    import numpy as np
+
+    from geotrellis_spark.core import kernels as K
+
+    # V-valley draining south along the center column
+    x = np.abs(np.arange(5) - 2).astype(float)   # 2 1 0 1 2
+    dem = x[None, :] + np.arange(5, 0, -1, dtype=float)[:, None]
+    fd = K.flow_direction(dem)
+    acc = K.flow_accumulation(fd)
+    # center column accumulates everything above it; the outlet
+    # (last row, center) drains the rest of the grid
+    assert acc[-1, 2] == dem.size - 1
+    col = acc[:, 2]
+    assert all(col[i] < col[i + 1] for i in range(4))
+
+
+def test_hydro_fill_pit():
+    import numpy as np
+
+    from geotrellis_spark.core import kernels as K
+
+    dem = np.full((3, 3), 5.0)
+    dem[1, 1] = 1.0          # single-cell pit
+    out = K.hydro_fill(dem)
+    assert out[1, 1] == 5.0  # raised to lowest neighbor
+    assert (out == 5.0).all()
+    # non-pit cells untouched
+    dem2 = np.arange(9, dtype=float).reshape(3, 3)
+    assert np.array_equal(K.hydro_fill(dem2), dem2)
