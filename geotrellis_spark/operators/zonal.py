@@ -236,3 +236,60 @@ def layer_histogram(
 def class_breaks(tiles: DataFrame, n_breaks: int, size: int = 80) -> list[float]:
     """Z4 classBreaks: n-quantile boundaries of the layer's pixels."""
     return layer_histogram(tiles, size).quantile_breaks(n_breaks)
+
+
+def kernel_density(
+    pts,
+    zoom: int,
+    radius: int = 2,
+    weight_expr: str = "1",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+):
+    """Kernel density surface (reference role spark/.../density/
+    RDDKernelDensityMethods + raster/.../density — upstream layout):
+    every point stamps an integer PYRAMID kernel onto the cells within
+    Chebyshev ``radius`` of its cell — contribution =
+    weight * (radius + 1 - max(|di|,|dj|)) — and stamps sum per cell.
+
+    Integer kernel => exact cross-engine arithmetic (the reference's
+    double Gaussian kernel is a drop-in change; exactness is why the
+    default differs). Plan: codegen key assignment -> ONE
+    sequence-explode of the (2r+1)^2 stamp offsets (narrow; bounded by
+    the kernel, not the data) -> hash-aggregate on the target cell.
+    One shuffle; at 100 TB this is the same shape as the tiling
+    shuffle and AQE-skew-splittable. Output: (key_col, key_row,
+    cell_id, density).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions import exprs
+    from ..operators import spatial
+
+    n = 1 << zoom
+    keyed = spatial.assign_cells(pts, lon_col, lat_col, zoom, impl="expr")
+    r = radius
+    stamped = keyed.selectExpr(
+        f"cast({weight_expr} as bigint) as _w", "key_col", "key_row"
+    ).selectExpr(
+        "_w",
+        f"explode(sequence(-{r}, {r})) as di",
+        "key_col", "key_row",
+    ).selectExpr(
+        "_w", "di",
+        f"explode(sequence(-{r}, {r})) as dj",
+        "key_col", "key_row",
+    ).selectExpr(
+        "key_col + di as kc",
+        "key_row + dj as kr",
+        f"_w * ({r} + 1 - greatest(abs(di), abs(dj))) as contrib",
+    ).where(
+        f"kc >= 0 and kc < {n} and kr >= 0 and kr < {n}"
+    )
+    out = stamped.groupBy("kc", "kr").agg(F.sum("contrib").alias("density"))
+    return out.select(
+        F.col("kc").alias("key_col"),
+        F.col("kr").alias("key_row"),
+        F.expr(exprs.zorder_sql("kc", "kr", zoom)).alias("cell_id"),
+        "density",
+    )

@@ -1102,6 +1102,39 @@ def sql_stratified_sample() -> str:
     )
 
 
+def q_kernel_density(spark, sf_dir) -> DataFrame:
+    """Kernel density surface over event points (zonal.kernel_density):
+    integer pyramid kernel stamped via one bounded explode + one
+    hash-aggregate."""
+    from ..operators import zonal as Z
+
+    pts = _events_pts(spark, sf_dir)
+    return Z.kernel_density(pts, zoom=6, radius=2, weight_expr="1")
+
+
+def sql_kernel_density() -> str:
+    kc = exprs.key_col_sql("lon", 6)
+    kr = exprs.key_row_sql("lat", 6)
+    n = 1 << 6
+    return f"""
+    WITH pts AS ({_EV_LONLAT_SQL}),
+    keyed AS (SELECT {kc} AS key_col, {kr} AS key_row FROM pts),
+    stamped AS (
+      SELECT key_col + di.i AS kc, key_row + dj.j AS kr,
+             (2 + 1 - greatest(abs(di.i), abs(dj.j))) AS contrib
+      FROM keyed,
+           (SELECT unnest(generate_series(-2, 2)) AS i) di,
+           (SELECT unnest(generate_series(-2, 2)) AS j) dj
+      WHERE key_col + di.i >= 0 AND key_col + di.i < {n}
+        AND key_row + dj.j >= 0 AND key_row + dj.j < {n}
+    )
+    SELECT kc AS key_col, kr AS key_row,
+           {exprs.zorder_sql('kc', 'kr', 6)} AS cell_id,
+           sum(contrib) AS density
+    FROM stamped GROUP BY kc, kr
+    """
+
+
 def q_dedup_cluster(spark, sf_dir) -> DataFrame:
     """Connected-components dedup clustering: MinHash-LSH candidate
     pairs -> per-doc canonical cluster representative (min id in the
@@ -1286,6 +1319,7 @@ QUERIES = {
     "tfidf": (q_tfidf, sql_tfidf),
     "doc_chunks": (q_doc_chunks, sql_doc_chunks),
     "pack_concat": (q_pack_concat, sql_pack_concat),
+    "kernel_density": (q_kernel_density, sql_kernel_density),
     "simhash": (q_simhash, sql_simhash),
     "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
     "lang_id": (q_lang_id, sql_lang_id),
