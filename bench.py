@@ -49,6 +49,7 @@ HEADLINE = [
     "tfidf",
     "doc_chunks",
     "pack_concat",
+    "kernel_density",
 ]
 
 

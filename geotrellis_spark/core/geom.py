@@ -829,3 +829,30 @@ def simplify_wkb(wkb: bytes, tol: float) -> bytes:
             wkb_write_polygon([simplify_ring(r, tol) for r in rings])
         )
     return b"".join(out)
+
+
+def affine_wkb(
+    wkb: bytes, a: float = 1.0, b: float = 0.0, d: float = 0.0,
+    e: float = 1.0, xoff: float = 0.0, yoff: float = 0.0,
+) -> bytes:
+    """Affine transformation of a WKB polygon/multipolygon (reference
+    role: geotrellis.vector affine methods over JTS
+    AffineTransformation): x' = a*x + b*y + xoff; y' = d*x + e*y +
+    yoff. Compose translate/scale/rotate/shear by choosing the
+    coefficients."""
+    import struct as _st
+
+    geoms = _poly_list(wkb)
+
+    def tx(r: np.ndarray) -> np.ndarray:
+        out = np.empty_like(r)
+        out[:, 0] = a * r[:, 0] + b * r[:, 1] + xoff
+        out[:, 1] = d * r[:, 0] + e * r[:, 1] + yoff
+        return out
+
+    if len(geoms) == 1:
+        return wkb_write_polygon([tx(r) for r in geoms[0]])
+    out = [_st.pack("<BII", 1, _GEOM_MULTIPOLYGON, len(geoms))]
+    for rings in geoms:
+        out.append(wkb_write_polygon([tx(r) for r in rings]))
+    return b"".join(out)

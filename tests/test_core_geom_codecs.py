@@ -184,3 +184,22 @@ def test_simplify_ring_preserves_shape():
     simp = geom.simplify_wkb(wkb, 0.01)
     rings = geom._poly_list(simp)[0]  # reader returns CLOSED rings
     assert len(rings[0]) == 5 and (rings[0][0] == rings[0][-1]).all()
+
+
+def test_affine_wkb_rotate_translate():
+    import numpy as np
+
+    from geotrellis_spark.core import geom
+
+    sq = np.array([[0, 0], [2, 0], [2, 2], [0, 2]], dtype=float)
+    wkb = geom.wkb_write_polygon([sq])
+    # translate
+    t = geom._poly_list(geom.affine_wkb(wkb, xoff=10, yoff=-5))[0][0]
+    assert t[:, 0].min() == 10 and t[:, 1].max() == -3
+    # rotate 90 deg CCW about origin: (x,y) -> (-y, x); area preserved
+    r = geom._poly_list(geom.affine_wkb(wkb, a=0, b=-1, d=1, e=0))[0][0]
+    assert abs(abs(geom.shoelace_area(r[:-1])) - 4.0) < 1e-12
+    assert r[:, 0].min() == -2.0 and r[:, 0].max() == 0.0
+    # scale changes area by |det|
+    s = geom._poly_list(geom.affine_wkb(wkb, a=3, e=2))[0][0]
+    assert abs(abs(geom.shoelace_area(s[:-1])) - 24.0) < 1e-12
