@@ -952,16 +952,28 @@ def flow_direction(dem: np.ndarray, cw: float = 1.0, ch: float = 1.0) -> np.ndar
     return code
 
 
-def flow_accumulation(fdir: np.ndarray, max_iters: int | None = None) -> np.ndarray:
-    """Upstream-cell count per cell from a D8 direction grid
-    (Accumulation's semantics: a cell's value = number of cells whose
-    flow path passes through it, NOT counting itself). Vectorized
-    fixed-point: each round pushes every cell's (1 + acc) to its
-    receiver; converges in longest-flow-path rounds. Cycles (possible
-    only on synthetic dir grids) are cut by the iteration cap."""
+def flow_accumulation(
+    fdir: np.ndarray,
+    weights: np.ndarray | None = None,
+    max_iters: int | None = None,
+) -> np.ndarray:
+    """Upstream-unit count per cell from a D8 direction grid
+    (Accumulation's semantics: a cell's value = units generated by
+    cells whose flow path passes through it, NOT counting its own).
+    ``weights``: units each cell generates (default 1 — plain upstream
+    cell count; the layer op injects cross-tile inflow here).
+    Vectorized fixed-point: each round pushes every cell's
+    (weight + acc) to its receiver; converges in longest-flow-path
+    rounds. Cycles (possible only on synthetic dir grids) are cut by
+    the iteration cap."""
     h, w = fdir.shape
     if max_iters is None:
         max_iters = h * w  # longest possible path
+    wt = (
+        np.ones((h, w), dtype=np.int64)
+        if weights is None
+        else weights.astype(np.int64)
+    )
     acc = np.zeros((h, w), dtype=np.int64)
     rows, cols = np.indices((h, w))
     rcv_r = np.full((h, w), -1)
@@ -977,7 +989,7 @@ def flow_accumulation(fdir: np.ndarray, max_iters: int | None = None) -> np.ndar
     tgt = (rcv_r[src], rcv_c[src])
     for _ in range(max_iters):
         new = np.zeros_like(acc)
-        np.add.at(new, tgt, 1 + acc[src])
+        np.add.at(new, tgt, wt[src] + acc[src])
         if np.array_equal(new, acc):
             break
         acc = new

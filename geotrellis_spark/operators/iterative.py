@@ -673,3 +673,180 @@ def vectorize_layer_dissolved(
         }
 
     return grouped.grouped_rows(pc, "region", assemble, OUT)
+
+
+# ------------------------------------------- layer flow accumulation
+
+_FLOW_STATE = StructType(
+    [
+        StructField("cell_id", LongType()),
+        StructField("key_col", LongType()),
+        StructField("key_row", LongType()),
+        StructField("zoom", IntegerType()),
+        StructField("fdir", BinaryType()),  # int32 (T,T) D8 codes
+        StructField("inj", BinaryType()),   # int64 (T,T) cross-tile inflow
+        StructField("acc", BinaryType()),   # int64 (T,T)
+        StructField("changed", IntegerType()),
+    ]
+)
+
+_FLOW_STRIP = StructType(
+    [
+        StructField("cell_id", LongType()),
+        StructField("key_col", LongType()),
+        StructField("key_row", LongType()),
+        StructField("zoom", IntegerType()),
+        StructField("dx", IntegerType()),
+        StructField("dy", IntegerType()),
+        StructField("fdir", BinaryType()),
+        StructField("units", BinaryType()),  # int64: weight + acc on the strip
+        StructField("changed", IntegerType()),
+    ]
+)
+
+
+def iterative_flow_accumulation(
+    fdir_tiles: DataFrame, tile_size: int = 256, max_iters: int = 64
+) -> DataFrame:
+    """Layer-level D8 flow accumulation over a tiled direction grid
+    (reference role: raster hydrology Accumulation lifted to layers —
+    same border-exchange shape as IterativeCostDistance above).
+
+    Jacobi iteration on the tile graph: every round each tile (a)
+    re-solves LOCAL accumulation with per-cell weights
+    1 + inj (inj = units arriving from other tiles), (b) ships its
+    1-pixel border strips of (fdir, 1 + inj + acc) to the 8 neighbors,
+    (c) neighbors recompute inj from the strips' cells whose direction
+    points into them. inj grows monotonically to the global fixed
+    point; after k rounds every flow path crossing <= k tile borders
+    is exact. Driver reads ONE number per round (changed-tile count).
+
+    ``fdir_tiles``: (cell_id, key_col, key_row, zoom, fdir) with fdir
+    raw int32 (T,T) bytes. Returns the same keys + acc (int64 bytes).
+    """
+    T = tile_size
+
+    def init(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in _FLOW_STATE.fields}
+            for i in range(len(pdf)):
+                fd = np.frombuffer(
+                    bytes(pdf["fdir"].iloc[i]), dtype=np.int32
+                ).reshape(T, T)
+                from ..core.kernels import flow_accumulation
+
+                acc = flow_accumulation(fd)
+                out["cell_id"].append(int(pdf["cell_id"].iloc[i]))
+                out["key_col"].append(int(pdf["key_col"].iloc[i]))
+                out["key_row"].append(int(pdf["key_row"].iloc[i]))
+                out["zoom"].append(int(pdf["zoom"].iloc[i]))
+                out["fdir"].append(fd.tobytes())
+                out["inj"].append(np.zeros((T, T), dtype=np.int64).tobytes())
+                out["acc"].append(acc.tobytes())
+                out["changed"].append(1)
+            yield pd.DataFrame(out)
+
+    state = fdir_tiles.mapInPandas(init, _FLOW_STATE).localCheckpoint()
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in _FLOW_STRIP.fields}
+            for i in range(len(pdf)):
+                kc, kr = int(pdf["key_col"].iloc[i]), int(pdf["key_row"].iloc[i])
+                zoom = int(pdf["zoom"].iloc[i])
+                n = 1 << zoom
+                fd = np.frombuffer(bytes(pdf["fdir"].iloc[i]), np.int32).reshape(T, T)
+                acc = np.frombuffer(bytes(pdf["acc"].iloc[i]), np.int64).reshape(T, T)
+                units = 1 + acc  # acc already includes pass-through inj
+                chg = int(pdf["changed"].iloc[i])
+
+                def emit(tc, tr, dx, dy, f_, u_):
+                    out["cell_id"].append(int(sfc.zorder(tc, tr)))
+                    out["key_col"].append(tc)
+                    out["key_row"].append(tr)
+                    out["zoom"].append(zoom)
+                    out["dx"].append(dx)
+                    out["dy"].append(dy)
+                    out["fdir"].append(np.ascontiguousarray(f_).tobytes())
+                    out["units"].append(np.ascontiguousarray(u_).tobytes())
+                    out["changed"].append(chg)
+
+                emit(kc, kr, 0, 0, fd, units)
+                for dx, dy in _DIRS:
+                    tc, tr = kc + dx, kr + dy
+                    if not (0 <= tc < n and 0 <= tr < n):
+                        continue
+                    rows = slice(T - 1, T) if dy == 1 else (
+                        slice(0, 1) if dy == -1 else slice(0, T))
+                    cols = slice(T - 1, T) if dx == 1 else (
+                        slice(0, 1) if dx == -1 else slice(0, T))
+                    emit(tc, tr, -dx, -dy, fd[rows, cols], units[rows, cols])
+            yield pd.DataFrame(out)
+
+    # (dr, dc) per ESRI code, matching core/kernels._D8_OFF
+    _code_delta = {1: (0, 1), 2: (1, 1), 4: (1, 0), 8: (1, -1),
+                   16: (0, -1), 32: (-1, -1), 64: (-1, 0), 128: (-1, 1)}
+
+    def resolve(cell: int, pdf: pd.DataFrame) -> dict | None:
+        from ..core.kernels import flow_accumulation
+
+        ci = pdf.index[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+        if len(ci) == 0:
+            return None
+        crow = pdf.loc[ci[0]]
+        fd = np.frombuffer(bytes(crow["fdir"]), np.int32).reshape(T, T)
+        pad_f = np.zeros((T + 2, T + 2), dtype=np.int32)
+        pad_u = np.zeros((T + 2, T + 2), dtype=np.int64)
+        for i in range(len(pdf)):
+            dx, dy = int(pdf["dx"].iloc[i]), int(pdf["dy"].iloc[i])
+            h_ = T if dy == 0 else 1
+            w_ = T if dx == 0 else 1
+            f_ = np.frombuffer(bytes(pdf["fdir"].iloc[i]), np.int32).reshape(h_, w_)
+            u_ = np.frombuffer(bytes(pdf["units"].iloc[i]), np.int64).reshape(h_, w_)
+            rs = 0 if dy == -1 else (T + 1 if dy == 1 else 1)
+            cs = 0 if dx == -1 else (T + 1 if dx == 1 else 1)
+            pad_f[rs : rs + h_, cs : cs + w_] = f_
+            pad_u[rs : rs + h_, cs : cs + w_] = u_
+        # injections: ring cells whose D8 receiver lies inside center
+        inj = np.zeros((T, T), dtype=np.int64)
+        ring = np.zeros((T + 2, T + 2), dtype=bool)
+        ring[0, :] = ring[-1, :] = ring[:, 0] = ring[:, -1] = True
+        for code, (dr, dc) in _code_delta.items():
+            m = ring & (pad_f == code) & (pad_u > 0)
+            if not m.any():
+                continue
+            rr, cc = m.nonzero()
+            tr = rr + dr - 1  # center coords
+            tc = cc + dc - 1
+            ok = (tr >= 0) & (tr < T) & (tc >= 0) & (tc < T)
+            np.add.at(inj, (tr[ok], tc[ok]), pad_u[rr[ok], cc[ok]])
+        # acc = strictly-upstream units (local solve, inflow as extra
+        # per-cell generation) PLUS inj itself: injected units already
+        # passed THROUGH the receiving cell on their way in.
+        # change detection compares resulting UNITS (1 + acc) to the
+        # center strip's previous units — equivalent to comparing
+        # (inj, acc) state, and available without carrying old state.
+        acc = flow_accumulation(fd, weights=1 + inj) + inj
+        units_new = 1 + acc
+        units_old = pad_u[1 : T + 1, 1 : T + 1]
+        changed = int(not np.array_equal(units_new, units_old))
+        return {
+            "cell_id": cell,
+            "key_col": int(crow["key_col"]),
+            "key_row": int(crow["key_row"]),
+            "zoom": int(crow["zoom"]),
+            "fdir": fd.tobytes(),
+            "inj": inj.tobytes(),
+            "acc": acc.tobytes(),
+            "changed": changed,
+        }
+
+    for _ in range(max_iters):
+        strips = state.mapInPandas(explode, _FLOW_STRIP)
+        state = grouped.grouped_rows(
+            strips, "cell_id", resolve, _FLOW_STATE
+        ).localCheckpoint()
+        n_changed = state.agg(F.sum("changed")).collect()[0][0]
+        if not n_changed:
+            break
+    return state.select("cell_id", "key_col", "key_row", "zoom", "acc")

@@ -622,3 +622,42 @@ def test_minhash_bucket_cap(spark):
     pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
     reachable = {a for a, b in pairs if b <= 4} | {b for a, b in pairs if a <= 4}
     assert len(reachable) >= 4
+
+
+def test_iterative_flow_accumulation_matches_global(spark):
+    import pandas as pd
+
+    from geotrellis_spark.core import kernels as K
+    from geotrellis_spark.core import sfc
+    from geotrellis_spark.operators import iterative
+
+    T = 8
+    # DEM: tilted plane + V-valley draining south-east across all 4
+    # tiles -> long flow paths that cross tile borders repeatedly
+    rng = np.random.default_rng(5)
+    y, x = np.indices((2 * T, 2 * T))
+    world = (
+        (2 * T - y) * 2.0                    # south-dipping plane
+        + np.abs(x - T) * 0.7                # valley along x = T
+        + rng.random((2 * T, 2 * T)) * 0.01  # tie-breaking noise
+    )
+    fdir_global = K.flow_direction(world)
+    want = K.flow_accumulation(fdir_global)
+
+    rows = []
+    for kr in range(2):
+        for kc in range(2):
+            fd = fdir_global[kr * T : (kr + 1) * T, kc * T : (kc + 1) * T]
+            rows.append({
+                "cell_id": int(sfc.zorder(kc, kr)), "key_col": kc,
+                "key_row": kr, "zoom": 1,
+                "fdir": np.ascontiguousarray(fd).astype(np.int32).tobytes(),
+            })
+    fdf = spark.createDataFrame(pd.DataFrame(rows))
+    out = iterative.iterative_flow_accumulation(fdf, tile_size=T)
+    got = np.full((2 * T, 2 * T), -1, dtype=np.int64)
+    for r in out.collect():
+        a = np.frombuffer(bytes(r["acc"]), np.int64).reshape(T, T)
+        got[r["key_row"] * T : (r["key_row"] + 1) * T,
+            r["key_col"] * T : (r["key_col"] + 1) * T] = a
+    np.testing.assert_array_equal(got, want)
