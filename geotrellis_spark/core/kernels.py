@@ -936,14 +936,17 @@ def hydro_fill(dem: np.ndarray, threshold: float = 0.0) -> np.ndarray:
 def flow_direction(dem: np.ndarray, cw: float = 1.0, ch: float = 1.0) -> np.ndarray:
     """D8 flow direction (ESRI encoding E=1 SE=2 S=4 SW=8 W=16 NW=32
     N=64 NE=128): the neighbor with the steepest positive drop
-    (drop / distance); ties and flats resolve to the LOWEST code
-    (deterministic). Cells with no downslope neighbor (pits) get 0."""
+    (drop / distance; distance is the true per-direction step —
+    cw east-west, ch north-south, hypot(cw, ch) diagonal — so
+    anisotropic cells rank directions correctly); ties and flats
+    resolve to the LOWEST code (deterministic). Cells with no
+    downslope neighbor (pits) get 0."""
     z = dem.astype(np.float64)
     p = np.pad(z, 1, mode="edge")
     best = np.zeros_like(z)
     code = np.zeros(z.shape, dtype=np.int32)
-    for dr, dc, c, dist in _D8_OFF:
-        d = dist * ((cw + ch) / 2.0)
+    for dr, dc, c, _dist in _D8_OFF:
+        d = float(np.hypot(dc * cw, dr * ch))
         drop = (z - p[1 + dr : 1 + dr + z.shape[0],
                       1 + dc : 1 + dc + z.shape[1]]) / d
         better = drop > best

@@ -109,67 +109,66 @@ def trace_mask_rings(m: np.ndarray) -> list[np.ndarray]:
     """Boundary-trace one boolean region mask into rings (exterior
     first, then holes), pixel-corner coordinates — the core of
     vectorize_tile, reusable on cross-tile assembled masks."""
-    if True:
-        h, w = m.shape
-        pad = np.zeros((h + 2, w + 2), dtype=bool)
-        pad[1:-1, 1:-1] = m
-        # exposed edges, interior on the left (y-down coords):
-        edges: dict[tuple, list[tuple]] = {}
+    h, w = m.shape
+    pad = np.zeros((h + 2, w + 2), dtype=bool)
+    pad[1:-1, 1:-1] = m
+    # exposed edges, interior on the left (y-down coords):
+    edges: dict[tuple, list[tuple]] = {}
 
-        def add(p, q):
-            edges.setdefault(p, []).append(q)
+    def add(p, q):
+        edges.setdefault(p, []).append(q)
 
-        up_exposed = m & ~pad[:-2, 1:-1]
-        dn_exposed = m & ~pad[2:, 1:-1]
-        lf_exposed = m & ~pad[1:-1, :-2]
-        rt_exposed = m & ~pad[1:-1, 2:]
-        for r, c in zip(*np.nonzero(up_exposed)):
-            add((c, r), (c + 1, r))          # top edge, rightward
-        for r, c in zip(*np.nonzero(rt_exposed)):
-            add((c + 1, r), (c + 1, r + 1))  # right edge, downward
-        for r, c in zip(*np.nonzero(dn_exposed)):
-            add((c + 1, r + 1), (c, r + 1))  # bottom edge, leftward
-        for r, c in zip(*np.nonzero(lf_exposed)):
-            add((c, r + 1), (c, r))          # left edge, upward
-        rings: list[np.ndarray] = []
-        while edges:
-            start = next(iter(edges))
-            ring = [start]
-            cur = start
-            prev_dir = None
-            while True:
-                outs = edges[cur]
-                if len(outs) == 1 or prev_dir is None:
-                    nxt = outs.pop()
-                else:
-                    # ambiguous corner: prefer the LEFT turn relative to
-                    # the incoming direction (keeps loops face-consistent)
-                    def turn(q):
-                        dx, dy = q[0] - cur[0], q[1] - cur[1]
-                        # cross(prev_dir, new_dir); y-down => left turn < 0
-                        return prev_dir[0] * dy - prev_dir[1] * dx
-                    outs.sort(key=turn)
-                    nxt = outs.pop(0)
-                if not edges[cur]:
-                    del edges[cur]
-                prev_dir = (nxt[0] - cur[0], nxt[1] - cur[1])
-                if nxt == start:
-                    break
-                ring.append(nxt)
-                cur = nxt
-            # drop collinear midpoints (unit edges merge into runs)
-            arr = np.asarray(ring, dtype=np.float64)
-            keep = np.ones(len(arr), dtype=bool)
-            for i in range(len(arr)):
-                a = arr[i - 1]
-                b = arr[i]
-                cpt = arr[(i + 1) % len(arr)]
-                if (b[0] - a[0]) * (cpt[1] - a[1]) == (b[1] - a[1]) * (cpt[0] - a[0]):
-                    keep[i] = False
-            rings.append(arr[keep])
-        # exterior = largest |area|; holes follow
-        rings.sort(key=lambda r: -abs(G_shoelace(r)))
-        return rings
+    up_exposed = m & ~pad[:-2, 1:-1]
+    dn_exposed = m & ~pad[2:, 1:-1]
+    lf_exposed = m & ~pad[1:-1, :-2]
+    rt_exposed = m & ~pad[1:-1, 2:]
+    for r, c in zip(*np.nonzero(up_exposed)):
+        add((c, r), (c + 1, r))          # top edge, rightward
+    for r, c in zip(*np.nonzero(rt_exposed)):
+        add((c + 1, r), (c + 1, r + 1))  # right edge, downward
+    for r, c in zip(*np.nonzero(dn_exposed)):
+        add((c + 1, r + 1), (c, r + 1))  # bottom edge, leftward
+    for r, c in zip(*np.nonzero(lf_exposed)):
+        add((c, r + 1), (c, r))          # left edge, upward
+    rings: list[np.ndarray] = []
+    while edges:
+        start = next(iter(edges))
+        ring = [start]
+        cur = start
+        prev_dir = None
+        while True:
+            outs = edges[cur]
+            if len(outs) == 1 or prev_dir is None:
+                nxt = outs.pop()
+            else:
+                # ambiguous corner: prefer the LEFT turn relative to
+                # the incoming direction (keeps loops face-consistent)
+                def turn(q):
+                    dx, dy = q[0] - cur[0], q[1] - cur[1]
+                    # cross(prev_dir, new_dir); y-down => left turn < 0
+                    return prev_dir[0] * dy - prev_dir[1] * dx
+                outs.sort(key=turn)
+                nxt = outs.pop(0)
+            if not edges[cur]:
+                del edges[cur]
+            prev_dir = (nxt[0] - cur[0], nxt[1] - cur[1])
+            if nxt == start:
+                break
+            ring.append(nxt)
+            cur = nxt
+        # drop collinear midpoints (unit edges merge into runs)
+        arr = np.asarray(ring, dtype=np.float64)
+        keep = np.ones(len(arr), dtype=bool)
+        for i in range(len(arr)):
+            a = arr[i - 1]
+            b = arr[i]
+            cpt = arr[(i + 1) % len(arr)]
+            if (b[0] - a[0]) * (cpt[1] - a[1]) == (b[1] - a[1]) * (cpt[0] - a[0]):
+                keep[i] = False
+        rings.append(arr[keep])
+    # exterior = largest |area|; holes follow
+    rings.sort(key=lambda r: -abs(G_shoelace(r)))
+    return rings
 
 
 def G_shoelace(ring: np.ndarray) -> float:

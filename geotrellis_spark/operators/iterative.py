@@ -209,6 +209,14 @@ _NEEDS_SCHEMA = StructType(
         StructField("tgt_kc", LongType()),
         StructField("tgt_kr", LongType()),
         StructField("src_cell", LongType()),
+        # the REQUESTED hull bbox (tile units, layer-relative): canvas
+        # bounds must come from here, not from which source tiles
+        # happen to exist — a sparse layer otherwise shifts the canvas
+        # origin and corrupts every global index into it
+        StructField("hull_kc_lo", LongType()),
+        StructField("hull_kc_hi", LongType()),
+        StructField("hull_kr_lo", LongType()),
+        StructField("hull_kr_hi", LongType()),
     ]
 )
 
@@ -290,6 +298,10 @@ def layer_viewshed(
                         out["src_cell"].append(
                             int(sfc.zorder(sc + min_kc, sr + min_kr))
                         )
+                        out["hull_kc_lo"].append(kc_lo)
+                        out["hull_kc_hi"].append(kc_hi)
+                        out["hull_kr_lo"].append(kr_lo)
+                        out["hull_kr_hi"].append(kr_hi)
             yield pd.DataFrame(out)
 
     needs = dem_tiles.select("key_col", "key_row").mapInPandas(
@@ -310,10 +322,10 @@ def layer_viewshed(
         kr = int(pdf["tgt_kr"].iloc[0])
         src_kc = pdf["src_kc"].to_numpy(np.int64) - min_kc
         src_kr = pdf["src_kr"].to_numpy(np.int64) - min_kr
-        row_lo = int(src_kr.min()) * T
-        col_lo = int(src_kc.min()) * T
-        ch = (int(src_kr.max()) + 1) * T - row_lo
-        cw = (int(src_kc.max()) + 1) * T - col_lo
+        row_lo = int(pdf["hull_kr_lo"].iloc[0]) * T
+        col_lo = int(pdf["hull_kc_lo"].iloc[0]) * T
+        ch = (int(pdf["hull_kr_hi"].iloc[0]) + 1) * T - row_lo
+        cw = (int(pdf["hull_kc_hi"].iloc[0]) + 1) * T - col_lo
         canvas = np.full((ch, cw), np.nan)
         for i in range(len(pdf)):
             f = _to_float(
@@ -565,12 +577,14 @@ def region_group_layer(
                     bytes(pdf["labels"].iloc[i]), dtype=np.int64
                 ).reshape(T, T)
                 packed = np.where(lab > 0, (cid << _LABEL_BITS) | lab, 0)
-                uniq = np.unique(packed[packed > 0])
-                lut = {int(u): roots.get(int(u), int(u)) for u in uniq}
-                glob = packed.copy()
-                for u, r in lut.items():
-                    if r != u:
-                        glob[packed == u] = r
+                # one vectorized LUT pass (unique+inverse), not a
+                # full-tile mask scan per label
+                uniq, inv = np.unique(packed, return_inverse=True)
+                mapped = np.array(
+                    [roots.get(int(u), int(u)) if u > 0 else 0 for u in uniq],
+                    dtype=np.int64,
+                )
+                glob = mapped[inv].reshape(packed.shape)
                 out["cell_id"].append(cid)
                 out["key_col"].append(int(pdf["key_col"].iloc[i]))
                 out["key_row"].append(int(pdf["key_row"].iloc[i]))

@@ -22,12 +22,16 @@ from pyspark.sql.window import Window
 
 MULT = 2654435761  # 2^32 * golden-ratio conjugate (Fibonacci hashing)
 M32 = 4294967296
+M31 = 2147483647  # 2^31 - 1: pre-reduction keeps the product in int64
 
 
 def _hash_sql(id_expr: str, salt: int) -> str:
     """Salted multiplicative hash -> [0, 2^32); identical arithmetic in
-    Spark SQL and DuckDB (pure bigint ops)."""
-    return f"((({id_expr} + {salt}) * {MULT}) % {M32})"
+    Spark SQL and DuckDB (pure bigint ops). The id reduces mod 2^31-1
+    BEFORE the multiply: the product then tops out at ~5.7e18 < 2^63-1,
+    so no id value can overflow (Spark would wrap silently, DuckDB
+    would error — silently-divergent engines, the worst failure)."""
+    return f"((((({id_expr}) % {M31} + {salt}) % {M31}) * {MULT}) % {M32})"
 
 
 def stratified_sample(

@@ -393,7 +393,12 @@ def pip_join(
             j = np.arange(total) - np.repeat(offs, ncell)
             cols = c0[idx] + j // nrows[idx]
             rws = r0[idx] + j % nrows[idx]
-            base = pd.DataFrame({c: [r[c] for r in rows] for c in other_cols})
+            # explicit index: with zero other_cols a bare dict frame
+            # has 0 rows and .iloc[idx] would raise out-of-bounds
+            base = pd.DataFrame(
+                {c: [r[c] for r in rows] for c in other_cols},
+                index=range(len(rows)),
+            )
             cell_pdf = base.iloc[idx].reset_index(drop=True)
             cell_pdf["cell_id"] = sfc.zorder(cols, rws)
             cell_pdf["_poly_ord"] = idx.astype(np.int32)
@@ -402,13 +407,15 @@ def pip_join(
             cell_pdf["bbox_xmax"] = bb[idx, 2]
             cell_pdf["bbox_ymax"] = bb[idx, 3]
     if broadcast_polys:
-        cells_schema = (
-            ", ".join(
+        cells_schema = ", ".join(
+            [
                 f"{c} {polys.schema[c].dataType.simpleString()}"
                 for c in other_cols
-            )
-            + ", cell_id long, _poly_ord int, bbox_xmin double, "
-            "bbox_ymin double, bbox_xmax double, bbox_ymax double"
+            ]
+            + [
+                "cell_id long", "_poly_ord int", "bbox_xmin double",
+                "bbox_ymin double", "bbox_xmax double", "bbox_ymax double",
+            ]
         )
         cells = F.broadcast(spark.createDataFrame(cell_pdf, cells_schema))
         joined = points.join(cells, "cell_id", "inner").where(
@@ -507,9 +514,14 @@ def spacetime_join(
             F.col(c).cast("date"), F.lit(epoch).cast("date")
         )
     elif t_unit == "hour":
-        bucket = lambda c: (  # noqa: E731
-            F.col(c).cast("long") - F.lit(epoch).cast("timestamp").cast("long")
-        ) / 3600
+        # floor, not truncate-toward-zero: pre-epoch timestamps would
+        # otherwise share a double-width bucket 0 with the first hour
+        bucket = lambda c: F.floor(  # noqa: E731
+            (
+                F.col(c).cast("long")
+                - F.lit(epoch).cast("timestamp").cast("long")
+            ) / 3600
+        )
     else:  # pragma: no cover
         raise ValueError(t_unit)
     ka = assign_cells(a, lon_a, lat_a, zoom, impl="expr").withColumn(

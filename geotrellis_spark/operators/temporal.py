@@ -48,16 +48,24 @@ def asof_join(
     back to left rows.  One shuffle total; no per-row Python.
     """
     lmarked = left.withColumn("_side", F.lit(1))
-    rmarked = right.select(on, ts, *right_cols).withColumn("_side", F.lit(0))
+    # the right columns travel as ONE struct so the forward fill is
+    # row-atomic: filling each column independently would stitch
+    # values from DIFFERENT right rows whenever a right column holds a
+    # genuine NULL (the fill cannot tell it from a left-row placeholder)
+    rmarked = right.select(
+        on, ts, F.struct(*right_cols).alias("_rrow")
+    ).withColumn("_side", F.lit(0))
     u = lmarked.unionByName(rmarked, allowMissingColumns=True)
     w = (
         Window.partitionBy(on)
         .orderBy(F.col(ts).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("_rrow", F.last("_rrow", ignorenulls=True).over(w))
+    out = u.where(F.col("_side") == 1)
     for c in right_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.where(F.col("_side") == 1).drop("_side")
+        out = out.withColumn(c, F.col(f"_rrow.{c}"))
+    return out.drop("_side", "_rrow")
 
 
 def interval_join(

@@ -180,10 +180,13 @@ def tfidf_topk(
     text_col: str = "text",
 ) -> DataFrame:
     """Top-k TF-IDF terms per document with EXACT integer scoring:
-    score_micro = (tf * 1_000_000 * N) div df — all bigint arithmetic,
-    so ranking is reproducible in any engine (float idf = log(N/df)
-    would differ in the last bit across libm implementations; the
-    monotone rational surrogate ranks identically for fixed tf).
+    score_milli = (tf * 1000 * N) div df — all bigint arithmetic, so
+    ranking is reproducible in any engine (float idf = log(N/df) would
+    differ in the last bit across libm implementations; the monotone
+    rational surrogate ranks identically for fixed tf). Overflow
+    envelope: tf * 1000 * N must stay below 2^63 — safe to N ~= 9e15 /
+    tf ~= 1e3, or N ~= 9e12 at tf ~= 1e6; Spark would wrap silently
+    while DuckDB errors, so the scale factor is deliberately milli.
 
     ASCII-fold first (non-letters -> space) so tokenization never
     depends on engine-specific unicode case rules. Plan: explode ->
@@ -206,19 +209,19 @@ def tfidf_topk(
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
-            "score_micro",
-            F.expr("(tf * 1000000 * n) div df").cast("long"),
+            "score_milli",
+            F.expr("(tf * 1000 * n) div df").cast("long"),
         )
     )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(id_col).orderBy(
-        F.col("score_micro").desc(), F.col("term").asc()
+        F.col("score_milli").desc(), F.col("term").asc()
     )
     return (
         scored.withColumn("trank", F.row_number().over(w))
         .where(F.col("trank") <= k)
-        .select(id_col, "term", "score_micro", "trank")
+        .select(id_col, "term", "score_milli", "trank")
     )
 
 
@@ -237,13 +240,13 @@ def tfidf_topk_sql(k: int = 3, source_sql: str = "documents") -> str:
     n AS (SELECT count(*) AS n FROM {source_sql}),
     scored AS (
       SELECT tf.doc_id, tf.term,
-             (tf.tf * 1000000 * n.n) // dfreq.df AS score_micro
+             (tf.tf * 1000 * n.n) // dfreq.df AS score_milli
       FROM tf JOIN dfreq USING (term), n
     )
-    SELECT doc_id, term, score_micro, trank FROM (
-      SELECT doc_id, term, score_micro,
+    SELECT doc_id, term, score_milli, trank FROM (
+      SELECT doc_id, term, score_milli,
              row_number() OVER (PARTITION BY doc_id
-                                ORDER BY score_micro DESC, term ASC) AS trank
+                                ORDER BY score_milli DESC, term ASC) AS trank
       FROM scored
     ) WHERE trank <= {k}
     """

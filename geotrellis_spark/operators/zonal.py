@@ -211,14 +211,24 @@ def layer_histogram(
         "_mk", F.pmod(F.spark_partition_id(), F.lit(merge_fanin)).cast("long")
     )
 
+    # StreamingHistogram.merge is order-dependent (bin collapse picks
+    # the argmin gap), so every fold below sorts its inputs by content
+    # first — the result is then a function of the SET of partials,
+    # not of shuffle arrival order (deterministic run-to-run).
+    def _content_key(centers, counts):
+        return (tuple(centers), tuple(counts))
+
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(
+            (
+                (list(r["centers"]), list(r["counts"]))
+                for _, r in pdf.iterrows()
+            ),
+            key=lambda cn: _content_key(*cn),
+        )
         h = StreamingHistogram(size)
-        for _, row in pdf.iterrows():
-            h = h.merge(
-                StreamingHistogram.from_arrays(
-                    row["centers"], row["counts"], size
-                )
-            )
+        for centers, counts in rows:
+            h = h.merge(StreamingHistogram.from_arrays(centers, counts, size))
         c, n = h.to_arrays()
         return pd.DataFrame({"centers": [c.tolist()], "counts": [n.tolist()]})
 
@@ -226,7 +236,9 @@ def layer_histogram(
         merge_group, "centers array<double>, counts array<double>"
     ).collect()  # <= merge_fanin rows
     merged = StreamingHistogram(size)
-    for row in pre:
+    for row in sorted(
+        pre, key=lambda r: _content_key(r["centers"], r["counts"])
+    ):
         merged = merged.merge(
             StreamingHistogram.from_arrays(row["centers"], row["counts"], size)
         )

@@ -501,3 +501,39 @@ def test_region_group_layer_8conn(spark):
     # and the 8-conn merge genuinely happened
     assert got[T - 1, T - 1] == got[T, T]
     assert got[3, T - 1] == got[4, T]
+
+
+def test_layer_viewshed_sparse_layer_no_crash(spark):
+    """A layer with an ABSENT tile must not shift the canvas origin
+    (global indices would silently wrap/crash): present tiles still
+    compute, absent terrain blocks sight per NoData semantics."""
+    import pandas as pd
+
+    from geotrellis_spark.core import codecs, sfc
+    from geotrellis_spark.operators import iterative
+
+    T = 16
+    world = np.full((3 * T, 3 * T), 10, dtype=np.uint16)
+    rows = []
+    for kr in range(3):
+        for kc in range(3):
+            if (kc, kr) == (1, 1):
+                continue  # hole in the middle of the layer
+            tile = world[kr * T : (kr + 1) * T, kc * T : (kc + 1) * T]
+            rows.append({
+                "layer": "dem", "zoom": 2, "key_col": kc, "key_row": kr,
+                "cell_id": int(sfc.zorder(kc, kr)),
+                "tile": codecs.encode_tile(tile, "raw16"),
+                "fmt": "raw16",
+            })
+    dem_df = spark.createDataFrame(pd.DataFrame(rows))
+    out = iterative.layer_viewshed(dem_df, 7, 5, observer_height=2.0,
+                                   tile_size=T).collect()
+    assert len(out) == 8  # every present tile produced a plane
+    planes = {(r["key_col"], r["key_row"]):
+              np.frombuffer(bytes(r["visible"]), dtype=bool).reshape(T, T)
+              for r in out}
+    # the eye's own tile sees itself (flat terrain)
+    assert planes[(0, 0)].all()
+    # the far corner's rays pass THROUGH the missing tile -> blocked
+    assert not planes[(2, 2)].any()

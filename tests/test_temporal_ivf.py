@@ -370,3 +370,20 @@ def test_chunk_docs_short_and_exact_cover(spark):
     assert [r["chunk_start"] for r in chunks] == [0, 150]
     assert len(chunks[0]["chunk_text"]) == 200
     assert len(chunks[1]["chunk_text"]) == 200  # reaches char 350 exactly
+
+
+def test_asof_join_null_right_value_not_stitched(spark):
+    # a right row with a NULL column must match as-is — never borrow
+    # the column from an OLDER right row (row-atomic semantics)
+    left = spark.createDataFrame([Row(ev=1, k=1, ts=_ts(12))])
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts(5), snap_id=3, snap_value=7),
+            Row(k=1, ts=_ts(10), snap_id=5, snap_value=None),
+        ],
+        "k long, ts timestamp, snap_id long, snap_value long",
+    )
+    out = temporal.asof_join(
+        left, right, on="k", ts="ts", right_cols=("snap_id", "snap_value")
+    ).collect()
+    assert out[0]["snap_id"] == 5 and out[0]["snap_value"] is None
