@@ -165,19 +165,11 @@ def points_in_own_polygon(px, py, rings_closed: np.ndarray) -> np.ndarray:
     same vertex count). Same (ymin, ymax] crossing rule as
     points_in_rings. Used by the pip_join refine fast path (no
     per-group python loop — the hot path at 100 TB)."""
+    # one-point-per-ring special case of the (k, p)-batch kernel — a
+    # single implementation of the crossing rule, no drifting copies
     px = np.asarray(px, dtype=np.float64)[:, None]
     py = np.asarray(py, dtype=np.float64)[:, None]
-    x0 = rings_closed[:, :-1, 0]
-    y0 = rings_closed[:, :-1, 1]
-    x1 = rings_closed[:, 1:, 0]
-    y1 = rings_closed[:, 1:, 1]
-    nonh = y0 != y1
-    cond = (py > np.minimum(y0, y1)) & (py <= np.maximum(y0, y1)) & nonh
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = (py - y0) / np.where(nonh, y1 - y0, 1.0)
-        xc = x0 + t * (x1 - x0)
-    cross = cond & (px < xc)
-    return (cross.sum(axis=1) % 2).astype(bool)
+    return _pts_in_own_rings_multi(px, py, rings_closed)[:, 0]
 
 
 def points_in_polygon(px, py, wkb: bytes) -> np.ndarray:

@@ -105,18 +105,30 @@ def minhash_candidates(
     banded = sig.selectExpr(
         id_col, f"explode(array({', '.join(band_exprs)})) as bk"
     ).select(id_col, "bk.band", "bk.bval")
+    tail_pairs = None
     if max_bucket is not None:
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("band", "bval").orderBy(F.col(id_col).asc())
-        banded = (
-            banded.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") <= max_bucket)
-            .drop("_rk")
+        ranked = banded.withColumn("_rk", F.row_number().over(w))
+        # overflow docs (rank > cap) still pair with the bucket's
+        # REPRESENTATIVE (its min id) — linear cost, and duplicate
+        # clusters stay connected instead of silently surviving dedup
+        rep = ranked.where("_rk = 1").select(
+            "band", "bval", F.col(id_col).alias("_rep")
         )
+        tail_pairs = (
+            ranked.where(F.col("_rk") > max_bucket)
+            .join(rep, ["band", "bval"])
+            .select(
+                F.col("_rep").alias("doc_a"),
+                F.col(id_col).alias("doc_b"),
+            )
+        )
+        banded = ranked.where(F.col("_rk") <= max_bucket).drop("_rk")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -126,8 +138,10 @@ def minhash_candidates(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .distinct()
     )
+    if tail_pairs is not None:
+        pairs = pairs.unionByName(tail_pairs)
+    return pairs.distinct()
 
 
 MAX_BUCKET_DEFAULT = 256

@@ -862,5 +862,11 @@ def iterative_flow_accumulation(
         ).localCheckpoint()
         n_changed = state.agg(F.sum("changed")).collect()[0][0]
         if not n_changed:
-            break
-    return state.select("cell_id", "key_col", "key_row", "zoom", "acc")
+            return state.select("cell_id", "key_col", "key_row", "zoom", "acc")
+    # rounds needed = tile-border crossings of the longest flow path;
+    # returning silently would hand back WRONG hydrology
+    raise RuntimeError(
+        f"iterative_flow_accumulation did not converge in {max_iters} "
+        "rounds — raise max_iters (one round per tile-border crossing "
+        "of the longest flow path)"
+    )

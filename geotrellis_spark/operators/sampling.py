@@ -30,8 +30,14 @@ def _hash_sql(id_expr: str, salt: int) -> str:
     Spark SQL and DuckDB (pure bigint ops). The id reduces mod 2^31-1
     BEFORE the multiply: the product then tops out at ~5.7e18 < 2^63-1,
     so no id value can overflow (Spark would wrap silently, DuckDB
-    would error — silently-divergent engines, the worst failure)."""
-    return f"((((({id_expr}) % {M31} + {salt}) % {M31}) * {MULT}) % {M32})"
+    would error — silently-divergent engines, the worst failure). The
+    +M31 before the second mod normalizes NEGATIVE ids (both engines'
+    % returns sign-of-dividend; a negative hash would make every
+    negative-id row pass any hash_sample cut)."""
+    return (
+        f"((((({id_expr}) % {M31} + {M31} + {salt}) % {M31}) * {MULT})"
+        f" % {M32})"
+    )
 
 
 def stratified_sample(

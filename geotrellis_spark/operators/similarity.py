@@ -94,6 +94,35 @@ def _plane(j: int) -> list[float]:
     ]
 
 
+def _bucket_sql_spark(vec_col: str, n_planes: int) -> str:
+    """Spark SQL expression for the hyperplane-LSH bucket id (bit j =
+    sign of dot with plane j) — the ONE definition every Spark-side
+    operator shares; drifting copies would silently break bucket
+    parity between operators and with the DuckDB twins."""
+    bits = []
+    for j in range(n_planes):
+        lit = ", ".join(f"cast({c!r} as double)" for c in _plane(j))
+        bits.append(
+            f"(CASE WHEN {_dot_sql(vec_col, f'array({lit})')} > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return f"cast({' + '.join(bits)} as bigint)"
+
+
+def _bucket_sql_duck(n_planes: int, vec_col: str = "embedding") -> str:
+    """DuckDB twin of _bucket_sql_spark (identical plane constants and
+    sign rule)."""
+    bits = []
+    for j in range(n_planes):
+        lit = "[" + ", ".join(repr(c) for c in _plane(j)) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({vec_col}::DOUBLE[], {lit}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return f"CAST({' + '.join(bits)} AS BIGINT)"
+
+
+
 def lsh_buckets(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = N_PLANES,
@@ -101,16 +130,9 @@ def lsh_buckets(
     """Hyperplane-LSH bucket id per vector: bit j = sign of dot with
     plane j. Output: (vec_id, bucket). At 100 TB this is the shuffle
     key that turns ANN into per-bucket local top-k."""
-    out = emb.select(id_col, vec_col)
-    bits = []
-    for j in range(n_planes):
-        lit = ", ".join(f"cast({c!r} as double)" for c in _plane(j))
-        out = out.withColumn(
-            f"b{j}",
-            (_dot(vec_col, f"array({lit})") > 0).cast("int"),
-        )
-        bits.append(f"b{j} * {1 << j}")
-    return out.selectExpr(id_col, f"cast({' + '.join(bits)} as bigint) as bucket")
+    return emb.select(id_col, vec_col).selectExpr(
+        id_col, f"{_bucket_sql_spark(vec_col, n_planes)} as bucket"
+    )
 
 
 def lsh_topk(
@@ -130,14 +152,7 @@ def lsh_topk(
     bucket count to trade candidates for recall. Output:
     (q_id, vec_id, rank) over the bucketed candidates — deterministic,
     so the DuckDB twin is exact."""
-    bits = []
-    for j in range(n_planes):
-        lit = ", ".join(f"cast({c!r} as double)" for c in _plane(j))
-        bits.append(
-            f"(CASE WHEN {_dot_sql(vec_col, f'array({lit})')} > 0 "
-            f"THEN {1 << j} ELSE 0 END)"
-        )
-    bucket = F.expr(f"cast({' + '.join(bits)} as bigint)")
+    bucket = F.expr(_bucket_sql_spark(vec_col, n_planes))
     withb = emb.select(id_col, vec_col).withColumn("bucket", bucket)
     q = withb.where(query_pred).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket"
@@ -164,14 +179,7 @@ def lsh_topk_sql(
     source_sql: str = "embeddings",
     n_planes: int = N_PLANES,
 ) -> str:
-    bits = []
-    for j in range(n_planes):
-        lit = "[" + ", ".join(repr(c) for c in _plane(j)) + "]::DOUBLE[]"
-        bits.append(
-            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
-            f"THEN {1 << j} ELSE 0 END)"
-        )
-    bucket = f"CAST({' + '.join(bits)} AS BIGINT)"
+    bucket = _bucket_sql_duck(n_planes)
     return f"""
     WITH withb AS (
       SELECT vec_id, embedding, {bucket} AS bucket FROM {source_sql}
@@ -217,14 +225,7 @@ def multiprobe_topk(
     Output: (q_id, vec_id, rank) — deterministic, exact DuckDB twin."""
     if probes not in (0, 1):
         raise ValueError("probes in {0, 1} supported (flip-1 multi-probe)")
-    bits = []
-    for j in range(n_planes):
-        lit = ", ".join(f"cast({c!r} as double)" for c in _plane(j))
-        bits.append(
-            f"(CASE WHEN {_dot_sql(vec_col, f'array({lit})')} > 0 "
-            f"THEN {1 << j} ELSE 0 END)"
-        )
-    bucket = F.expr(f"cast({' + '.join(bits)} as bigint)")
+    bucket = F.expr(_bucket_sql_spark(vec_col, n_planes))
     withb = emb.select(id_col, vec_col).withColumn("bucket", bucket)
     probe_terms = ["bucket"] + [
         f"bucket ^ {1 << j}" for j in range(n_planes if probes else 0)
@@ -257,14 +258,7 @@ def multiprobe_topk_sql(
     n_planes: int = N_PLANES,
     probes: int = 1,
 ) -> str:
-    bits = []
-    for j in range(n_planes):
-        lit = "[" + ", ".join(repr(c) for c in _plane(j)) + "]::DOUBLE[]"
-        bits.append(
-            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
-            f"THEN {1 << j} ELSE 0 END)"
-        )
-    bucket = f"CAST({' + '.join(bits)} AS BIGINT)"
+    bucket = _bucket_sql_duck(n_planes)
     probe_terms = ["bucket"] + [
         f"xor(bucket, {1 << j})" for j in range(n_planes if probes else 0)
     ]
@@ -308,14 +302,7 @@ def cosine_neardup_pairs(
     both engines (cos * 1000 floor > threshold would also work; direct
     double compare is fine because both engines compute the identical
     sequential fold). Returns (vec_a, vec_b, cos_milli), vec_a < vec_b."""
-    bits = []
-    for j in range(n_planes):
-        lit = ", ".join(f"cast({c!r} as double)" for c in _plane(j))
-        bits.append(
-            f"(CASE WHEN {_dot_sql(vec_col, f'array({lit})')} > 0 "
-            f"THEN {1 << j} ELSE 0 END)"
-        )
-    bucket = F.expr(f"cast({' + '.join(bits)} as bigint)")
+    bucket = F.expr(_bucket_sql_spark(vec_col, n_planes))
     withb = emb.select(id_col, vec_col).withColumn("bucket", bucket)
     a = withb.alias("a")
     b = withb.alias("b")
@@ -343,14 +330,7 @@ def cosine_neardup_sql(
     source_sql: str = "embeddings",
     n_planes: int = N_PLANES,
 ) -> str:
-    bits = []
-    for j in range(n_planes):
-        lit = "[" + ", ".join(repr(c) for c in _plane(j)) + "]::DOUBLE[]"
-        bits.append(
-            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
-            f"THEN {1 << j} ELSE 0 END)"
-        )
-    bucket = f"CAST({' + '.join(bits)} AS BIGINT)"
+    bucket = _bucket_sql_duck(n_planes)
     return f"""
     WITH withb AS (
       SELECT vec_id, embedding, {bucket} AS bucket FROM {source_sql}
@@ -369,15 +349,8 @@ def cosine_neardup_sql(
 
 
 def lsh_buckets_sql(source_sql: str = "embeddings", n_planes: int = N_PLANES) -> str:
-    bits = []
-    for j in range(n_planes):
-        lit = "[" + ", ".join(repr(c) for c in _plane(j)) + "]::DOUBLE[]"
-        bits.append(
-            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
-            f"THEN {1 << j} ELSE 0 END)"
-        )
     return f"""
-    SELECT vec_id, CAST({' + '.join(bits)} AS BIGINT) AS bucket
+    SELECT vec_id, {_bucket_sql_duck(n_planes)} AS bucket
     FROM {source_sql}
     """
 

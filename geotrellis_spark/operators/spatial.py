@@ -364,11 +364,16 @@ def pip_join(
     end-to-end."""
     if not points_have_cells:
         points = assign_cells(points, lon_col, lat_col, zoom, impl="expr")
-    if broadcast_polys and polys.limit(max_broadcast_polys + 1).count() > max_broadcast_polys:
-        broadcast_polys = False  # too many polygons to hold on the driver
+    rows = None
+    if broadcast_polys:
+        # one driver action guards AND fetches: collect limit+1 rows —
+        # a separate count() would evaluate the polys plan twice
+        rows = polys.limit(max_broadcast_polys + 1).collect()
+        if len(rows) > max_broadcast_polys:
+            broadcast_polys = False  # too many polygons for the driver
+            rows = None
     if broadcast_polys:
         spark = points.sparkSession
-        rows = polys.collect()  # small side (guarded above)
         other_cols = [c for c in polys.columns if c != wkb_col]
         wkbs = [bytes(r[wkb_col]) for r in rows]
         n = 1 << zoom

@@ -92,19 +92,16 @@ def interval_join(
     is needed — and the ``BETWEEN`` refine runs JVM-side.
     """
     ep = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    # floor, not truncate-toward-zero: pre-1970 epochs would otherwise
+    # collapse (-bucket_s, 0) and [0, bucket_s) into one double bucket
+    bkt = lambda c: F.floor(ep(c) / bucket_s)  # noqa: E731
     # string aliases (not DataFrame column refs): both sides often
     # derive from the same source table, which trips Spark's
     # ambiguous-self-join lineage check on df["col"] references
     iv = intervals.withColumn(
-        "_bkt",
-        F.explode(
-            F.sequence(
-                (ep(start) / bucket_s).cast("long"),
-                (ep(end) / bucket_s).cast("long"),
-            )
-        ),
+        "_bkt", F.explode(F.sequence(bkt(start), bkt(end)))
     ).alias("_iv")
-    pts = points.withColumn("_bkt", (ep(ts) / bucket_s).cast("long")).alias("_pt")
+    pts = points.withColumn("_bkt", bkt(ts)).alias("_pt")
     joined = pts.join(
         iv,
         on=[
@@ -144,7 +141,9 @@ def resample_ffill(
     partitioning), no python.
     """
     ep = F.col(ts).cast("timestamp").cast("long")
-    bkt = (ep / step_s).cast("long")
+    # floor (matches the DuckDB oracle's explicit floor) — cast-long
+    # truncation would shift every pre-1970 bucket one late
+    bkt = F.floor(ep / step_s)
     obs = (
         df.select(on, bkt.alias("bucket"), F.col(val_col), F.col(ord_col))
         .groupBy(on, "bucket")

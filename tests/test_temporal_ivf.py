@@ -387,3 +387,20 @@ def test_asof_join_null_right_value_not_stitched(spark):
         left, right, on="k", ts="ts", right_cols=("snap_id", "snap_value")
     ).collect()
     assert out[0]["snap_id"] == 5 and out[0]["snap_value"] is None
+
+
+def test_minhash_cap_preserves_clusters(spark):
+    # 20 identical docs, hot-bucket cap 4: overflow docs must still
+    # pair with the bucket representative so the CLUSTER survives
+    from geotrellis_spark.operators import dedup
+
+    docs = spark.range(20).selectExpr(
+        "id as doc_id",
+        "'the same exact boilerplate text repeated for every doc here'"
+        " as text",
+    )
+    pairs = dedup.minhash_candidates(docs, max_bucket=4)
+    clusters = dedup.dedup_clusters(pairs)
+    got = {r["doc_id"]: r["cluster"] for r in clusters.collect()}
+    assert len(got) == 20  # every doc appears in the pair graph
+    assert set(got.values()) == {0}  # one cluster, rep = min id
