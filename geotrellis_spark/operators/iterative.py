@@ -870,3 +870,40 @@ def iterative_flow_accumulation(
         "rounds — raise max_iters (one round per tile-border crossing "
         "of the longest flow path)"
     )
+
+
+def dem_flow_accumulation(
+    dem_tiles: DataFrame, tile_size: int = 256, max_iters: int = 64
+) -> DataFrame:
+    """Full layer-native hydrology chain: DEM tile layer -> D8 flow
+    direction (ONE focal shuffle — direction needs only a 1-px halo)
+    -> cross-tile accumulation (border-exchange rounds). Equals the
+    whole-array flow_direction + flow_accumulation composition exactly
+    (tested on a multi-tile fixture)."""
+    from . import tiling
+
+    fdir_tiles = tiling.focal_tiles(
+        dem_tiles, "flowdir", radius=1, tile_size=tile_size
+    )
+    T = tile_size
+
+    def to_state(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"cell_id": [], "key_col": [], "key_row": [],
+                   "zoom": [], "fdir": []}
+            for i in range(len(pdf)):
+                fd = codecs.decode_tile(
+                    bytes(pdf["tile"].iloc[i]), T, T, pdf["fmt"].iloc[i]
+                ).astype(np.int32)
+                out["cell_id"].append(int(pdf["cell_id"].iloc[i]))
+                out["key_col"].append(int(pdf["key_col"].iloc[i]))
+                out["key_row"].append(int(pdf["key_row"].iloc[i]))
+                out["zoom"].append(int(pdf["zoom"].iloc[i]))
+                out["fdir"].append(fd.tobytes())
+            yield pd.DataFrame(out)
+
+    fd = fdir_tiles.mapInPandas(
+        to_state,
+        "cell_id long, key_col long, key_row long, zoom int, fdir binary",
+    )
+    return iterative_flow_accumulation(fd, tile_size, max_iters)

@@ -751,6 +751,12 @@ def focal_tiles(
             pad[rs : rs + h_, cs : cs + w_] = part
         if kernel is not None:
             res = kernels.convolve(pad, kernel, target=target)
+        elif stat == "flowdir":
+            # D8 flow direction as a focal op (1-px halo is all it
+            # needs). NaN margins (layer edge / NoData) are never
+            # steepest (NaN comparisons are False), matching the
+            # whole-array op's edge-padding outcome exactly.
+            res = kernels.flow_direction(pad).astype(np.float64)
         else:
             res = kernels.focal_stat(
                 pad, stat, r, neighborhood=neighborhood, target=target

@@ -661,3 +661,41 @@ def test_iterative_flow_accumulation_matches_global(spark):
         got[r["key_row"] * T : (r["key_row"] + 1) * T,
             r["key_col"] * T : (r["key_col"] + 1) * T] = a
     np.testing.assert_array_equal(got, want)
+
+
+def test_dem_flow_accumulation_layer_chain(spark):
+    """Full hydrology chain on a layer: DEM tiles -> focal flowdir ->
+    cross-tile accumulation == whole-array composition, exactly."""
+    import pandas as pd
+
+    from geotrellis_spark.core import codecs, sfc
+    from geotrellis_spark.core import kernels as K
+    from geotrellis_spark.operators import iterative
+
+    T = 8
+    rng = np.random.default_rng(11)
+    y, x = np.indices((2 * T, 2 * T))
+    world = (
+        10.0 + (2 * T - y) * 2.0 + np.abs(x - T) * 0.7
+        + rng.integers(0, 2, (2 * T, 2 * T))  # integer-valued: survives
+    ).astype(np.uint16)                        # the uint16 tile codec
+    want = K.flow_accumulation(K.flow_direction(world.astype(float)))
+
+    rows = []
+    for kr in range(2):
+        for kc in range(2):
+            tile = world[kr * T : (kr + 1) * T, kc * T : (kc + 1) * T]
+            rows.append({
+                "layer": "dem", "zoom": 1, "key_col": kc, "key_row": kr,
+                "cell_id": int(sfc.zorder(kc, kr)),
+                "tile": codecs.encode_tile(tile, "raw16"),
+                "fmt": "raw16", "w": T, "h": T, "cell_type": "uint16ud0",
+            })
+    dem_df = spark.createDataFrame(pd.DataFrame(rows))
+    out = iterative.dem_flow_accumulation(dem_df, tile_size=T)
+    got = np.full((2 * T, 2 * T), -1, dtype=np.int64)
+    for r in out.collect():
+        a = np.frombuffer(bytes(r["acc"]), np.int64).reshape(T, T)
+        got[r["key_row"] * T : (r["key_row"] + 1) * T,
+            r["key_col"] * T : (r["key_col"] + 1) * T] = a
+    np.testing.assert_array_equal(got, want)
