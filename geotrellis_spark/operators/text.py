@@ -340,3 +340,123 @@ def pack_concat_sql(
       FROM {source_sql}
     )
     """
+
+
+BM25_K1_MILLI = 1200
+BM25_B_MILLI = 750
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = ("data", "join"),
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 document ranking for a fixed term query, EXACT integer
+    arithmetic end-to-end (k1=1.2, b=0.75 as milli constants; idf is
+    the monotone rational surrogate w = ((n-df+1)*100) div df instead
+    of the libm log). Per-doc length normalization uses
+    L_milli = (dl*1000*n) div dl_sum (= 1000*dl/avgdl, exact).
+
+    contribution per (doc, query term) =
+      (w * tf * (k1m+1000)) div (tf*1000 + (k1m*(1000-bm+
+                                  (bm*L_milli) div 1000)) div 1000)
+    Overflow envelope: w <= 100*n; w*tf*(k1m+1000) must stay < 2^63 —
+    safe to n ~= 1e9 at tf ~= 4e4. Plan: tokenize explode -> per-doc
+    tf for the |Q| query terms only (narrow filter BEFORE the agg) ->
+    broadcast joins of the tiny df/n/dl_sum aggregates -> window
+    top-k. Output: (doc_id, score_i, brank)."""
+    toks = docs.select(
+        id_col,
+        F.explode(
+            F.split(
+                F.lower(F.regexp_replace(F.col(text_col), "[^A-Za-z]+", " ")),
+                " ",
+            )
+        ).alias("term"),
+    ).where("term <> ''")
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    totals = F.broadcast(
+        dl.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("dl_sum")
+        )
+    )
+    q_list = ", ".join(f"'{t}'" for t in query_terms)
+    qtf = (
+        toks.where(f"term in ({q_list})")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = F.broadcast(
+        qtf.groupBy("term").agg(F.count("*").alias("df"))
+    )
+    k1m, bm = BM25_K1_MILLI, BM25_B_MILLI
+    scored = (
+        qtf.join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(totals)
+        .selectExpr(
+            id_col,
+            "term",
+            f"""(
+              (((n - df + 1) * 100) div df) * tf * {k1m + 1000}
+            ) div (
+              tf * 1000 + ({k1m} * (1000 - {bm} +
+                ({bm} * ((dl * 1000 * n) div dl_sum)) div 1000)) div 1000
+            ) as contrib""",
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(F.sum("contrib").alias("score_i"))
+    # global top-k via orderBy+limit (TakeOrderedAndProject: per-
+    # partition partial top-k, NO single-partition window over all
+    # matching docs); the rank window then runs on only k rows
+    from pyspark.sql.window import Window
+
+    order = [F.col("score_i").desc(), F.col(id_col).asc()]
+    topk = per_doc.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return topk.withColumn(
+        "brank", F.row_number().over(w).cast("long")
+    ).select(id_col, "score_i", "brank")
+
+
+def bm25_topk_sql(
+    query_terms: tuple[str, ...] = ("data", "join"),
+    k: int = 10,
+    source_sql: str = "documents",
+) -> str:
+    k1m, bm = BM25_K1_MILLI, BM25_B_MILLI
+    q_list = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(
+               lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), ' ')) AS term
+      FROM {source_sql}
+    ),
+    tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    totals AS (SELECT count(*) AS n, sum(dl) AS dl_sum FROM dl),
+    qtf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ({q_list}) GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM qtf GROUP BY 1),
+    scored AS (
+      SELECT qtf.doc_id,
+             ((((n - df + 1) * 100) // df) * tf * {k1m + 1000})
+             // (tf * 1000 + ({k1m} * (1000 - {bm} +
+                  ({bm} * ((dl.dl * 1000 * n) // dl_sum)) // 1000)) // 1000)
+               AS contrib
+      FROM qtf JOIN dfreq USING (term) JOIN dl USING (doc_id), totals
+    ),
+    per_doc AS (
+      SELECT doc_id, sum(contrib) AS score_i FROM scored GROUP BY 1
+    )
+    SELECT doc_id, score_i, brank FROM (
+      SELECT doc_id, score_i,
+             CAST(row_number() OVER (ORDER BY score_i DESC, doc_id ASC)
+                  AS BIGINT) AS brank
+      FROM per_doc
+    ) WHERE brank <= {k}
+    """

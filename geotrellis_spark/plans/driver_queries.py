@@ -1054,6 +1054,16 @@ def sql_tfidf() -> str:
     return text.tfidf_topk_sql()
 
 
+def q_bm25(spark, sf_dir) -> DataFrame:
+    """BM25 top-10 docs for the query {data, join} — exact integer
+    scoring (text.bm25_topk; idf is the monotone rational surrogate)."""
+    return text.bm25_topk(_t(spark, sf_dir, "documents"))
+
+
+def sql_bm25() -> str:
+    return text.bm25_topk_sql()
+
+
 def q_doc_chunks(spark, sf_dir) -> DataFrame:
     """Overlapping character chunking (text.chunk_docs): narrow
     explode, no shuffle."""
@@ -1320,6 +1330,7 @@ QUERIES = {
     "doc_chunks": (q_doc_chunks, sql_doc_chunks),
     "pack_concat": (q_pack_concat, sql_pack_concat),
     "kernel_density": (q_kernel_density, sql_kernel_density),
+    "bm25": (q_bm25, sql_bm25),
     "simhash": (q_simhash, sql_simhash),
     "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
     "lang_id": (q_lang_id, sql_lang_id),
