@@ -50,7 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """Exact DuckDB twins for EVERY query (43/43): the image-pipeline
+    """Exact DuckDB twins for EVERY query (47/47): the image-pipeline
     entries compare tile-cover/pyramid key math directly and verify
     binary payloads as match-vs-independent-golden booleans; Hilbert is
     the xy2d rotation unrolled to SQL CASE steps."""

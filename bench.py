@@ -50,6 +50,7 @@ HEADLINE = [
     "doc_chunks",
     "pack_concat",
     "kernel_density",
+    "bm25",
 ]
 
 

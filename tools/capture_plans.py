@@ -105,6 +105,19 @@ def main() -> None:
         dq.q_tfidf(spark, "/root/testdata/sf0.01"),
     )
 
+    cap(
+        "kernel_density: codegen key assignment + bounded offset "
+        "explode + single hash aggregate — one shuffle",
+        dq.q_kernel_density(spark, "/root/testdata/sf0.01"),
+    )
+
+    cap(
+        "bm25: narrow query-term filter BEFORE aggregation + broadcast "
+        "df/n joins + TakeOrderedAndProject global top-k (no "
+        "single-partition window)",
+        dq.q_bm25(spark, "/root/testdata/sf0.01"),
+    )
+
     hdr = """# PLANS — physical-plan evidence
 
 `.explain("formatted")` captures showing the engine gets the plans a
