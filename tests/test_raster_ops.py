@@ -138,3 +138,49 @@ def test_streaming_histogram_exact_small():
     assert h.total == 4
     assert h.mode() == 1.0
     assert h.mean() == pytest.approx(2.25)
+
+
+# ------------------------------------------------------- contours
+
+def test_contours_ramp_vertical_line():
+    import numpy as np
+
+    from geotrellis_spark.core import raster_ops as R
+
+    # z = x: the 2.5-contour is the vertical line x = 2.5
+    z = np.tile(np.arange(6, dtype=float), (5, 1))
+    lines = R.contours(z, 2.5)
+    pts = np.vstack(lines)
+    assert np.allclose(pts[:, 0], 2.5)
+    # spans the full height as one chained polyline
+    assert max(len(l) for l in lines) >= 5
+
+
+def test_contours_pyramid_closed_ring():
+    import numpy as np
+
+    from geotrellis_spark.core import raster_ops as R
+
+    # pyramid peak in the middle: the mid-level contour is ONE closed
+    # ring around the peak
+    y, x = np.indices((9, 9)).astype(float)
+    z = 8.0 - np.maximum(np.abs(x - 4), np.abs(y - 4)) * 2.0
+    lines = R.contours(z, 5.0)
+    closed = [l for l in lines
+              if np.allclose(l[0], l[-1]) and len(l) > 4]
+    assert len(closed) == 1
+    ring = closed[0]
+    # every vertex lies where the grid linearly crosses 5.0: at
+    # chebyshev distance 1.5 from the center
+    cheb = np.maximum(np.abs(ring[:, 0] - 4), np.abs(ring[:, 1] - 4))
+    assert np.allclose(cheb, 1.5)
+
+
+def test_contours_level_outside_range_empty():
+    import numpy as np
+
+    from geotrellis_spark.core import raster_ops as R
+
+    z = np.zeros((4, 4))
+    assert R.contours(z, 10.0) == []
+    assert R.contours(z, -10.0) == []
