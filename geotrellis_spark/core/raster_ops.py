@@ -548,15 +548,27 @@ def convert_cells(tile: np.ndarray, dtype: str, nodata_out=None,
     return np.clip(out, info.min, info.max).astype(target)
 
 
+_MS_TABLE = {
+    1: [("left", "top")], 2: [("top", "right")], 3: [("left", "right")],
+    4: [("right", "bottom")], 6: [("top", "bottom")],
+    7: [("left", "bottom")], 8: [("bottom", "left")],
+    9: [("bottom", "top")], 11: [("bottom", "right")],
+    12: [("right", "left")], 13: [("right", "top")],
+    14: [("top", "left")],
+}
+
+
 def contours(grid: np.ndarray, level: float) -> list[np.ndarray]:
     """Marching-squares iso-contour extraction at ``level``: returns
     polylines ((n,2) arrays of (x, y) in pixel coordinates, y down);
     closed loops repeat their first vertex. Linear interpolation along
     cell edges; saddle cells (cases 5/10) disambiguate by the cell's
-    center average (the standard rule). Segments are emitted per cell
-    (vectorized case classification) and chained endpoint-to-endpoint.
-    Not in the GeoTrellis reference — complements vectorize/hillshade
-    for raster cartography."""
+    center average (center high => the two high corners CONNECT, so
+    the segments isolate the low corners). Cells touching a NaN
+    (NoData) corner emit no segments. Chains extend forward AND
+    backward from each seed, so open lines assemble regardless of the
+    per-cell segment orientation. Not in the GeoTrellis reference —
+    complements vectorize/hillshade for raster cartography."""
     z = grid.astype(np.float64)
     h, w = z.shape
     if h < 2 or w < 2:
@@ -571,71 +583,76 @@ def contours(grid: np.ndarray, level: float) -> list[np.ndarray]:
         + 4 * (z11 >= level).astype(np.int8)
         + 8 * (z10 >= level).astype(np.int8)
     )
+    valid = ~(
+        np.isnan(z00) | np.isnan(z01) | np.isnan(z10) | np.isnan(z11)
+    )
 
     def frac(a, b):
         # fraction along the edge a -> b where the level crosses
         return (level - a) / (b - a) if b != a else 0.5
 
-    # crossing points (x, y) per cell edge: top (z00-z01),
-    # right (z01-z11), bottom (z10-z11), left (z00-z10)
-    rows, cols = np.nonzero((case > 0) & (case < 15))
+    rows, cols = np.nonzero((case > 0) & (case < 15) & valid)
     segs: list[tuple[tuple, tuple]] = []
     for r, c in zip(rows, cols):
         a, b = z[r, c], z[r, c + 1]
         d, e = z[r + 1, c], z[r + 1, c + 1]
-        top = (c + frac(a, b), float(r))
-        right = (float(c + 1), r + frac(b, e))
-        bottom = (c + frac(d, e), float(r + 1))
-        left = (float(c), r + frac(a, d))
+        pts = {
+            "top": (c + frac(a, b), float(r)),
+            "right": (float(c + 1), r + frac(b, e)),
+            "bottom": (c + frac(d, e), float(r + 1)),
+            "left": (float(c), r + frac(a, d)),
+        }
         cs = int(case[r, c])
         if cs in (5, 10):  # saddle: center average decides pairing
             center_hi = (a + b + d + e) / 4.0 >= level
-            if cs == 5:
-                pairs = ([(left, top), (bottom, right)] if center_hi
-                         else [(left, bottom), (top, right)])
-            else:
-                pairs = ([(top, right), (left, bottom)] if center_hi
-                         else [(left, top), (bottom, right)])
+            if cs == 5:  # TL + BR high
+                names = ([("top", "right"), ("left", "bottom")] if center_hi
+                         else [("left", "top"), ("bottom", "right")])
+            else:        # TR + BL high
+                names = ([("left", "top"), ("bottom", "right")] if center_hi
+                         else [("top", "right"), ("left", "bottom")])
         else:
-            table = {
-                1: [(left, top)], 2: [(top, right)], 3: [(left, right)],
-                4: [(right, bottom)], 6: [(top, bottom)],
-                7: [(left, bottom)], 8: [(bottom, left)],
-                9: [(bottom, top)], 11: [(bottom, right)],
-                12: [(right, left)], 13: [(right, top)],
-                14: [(top, left)],
-            }
-            pairs = table[cs]
-        segs.extend(pairs)
+            names = _MS_TABLE[cs]
+        segs.extend((pts[p], pts[q]) for p, q in names)
 
-    # chain segments endpoint-to-endpoint (quantized keys beat float
-    # equality jitter)
+    # chain endpoint-to-endpoint, forward from each seed's tail and
+    # backward from its head (quantized keys beat float jitter)
     def key(p):
         return (round(p[0] * 1048576), round(p[1] * 1048576))
 
-    nxt: dict[tuple, list[int]] = {}
-    for i, (p, _q) in enumerate(segs):
-        nxt.setdefault(key(p), []).append(i)
+    by_start: dict[tuple, list[int]] = {}
+    by_end: dict[tuple, list[int]] = {}
+    for i, (p, q) in enumerate(segs):
+        by_start.setdefault(key(p), []).append(i)
+        by_end.setdefault(key(q), []).append(i)
+
     out: list[np.ndarray] = []
     used = set()
+
+    def take(pool, kk):
+        for j in pool.get(kk, []):
+            if j not in used:
+                used.add(j)
+                return j
+        return None
+
     for i, (p0, q0) in enumerate(segs):
         if i in used:
             continue
         used.add(i)
         line = [p0, q0]
-        cur = q0
-        while True:
-            hop = None
-            for j in nxt.get(key(cur), []):
-                if j not in used:
-                    hop = j
-                    used.add(j)
+        while True:  # forward
+            j = take(by_start, key(line[-1]))
+            if j is None:
+                break
+            line.append(segs[j][1])
+            if key(line[-1]) == key(line[0]):
+                break
+        if key(line[-1]) != key(line[0]):
+            while True:  # backward from the head
+                j = take(by_end, key(line[0]))
+                if j is None:
                     break
-            if hop is None:
-                break
-            line.append(segs[hop][1])
-            cur = segs[hop][1]
-            if key(cur) == key(p0):
-                break
+                line.insert(0, segs[j][0])
         out.append(np.asarray(line, dtype=np.float64))
     return out

@@ -346,6 +346,15 @@ BM25_K1_MILLI = 1200
 BM25_B_MILLI = 750
 
 
+def _term_list_sql(terms: tuple[str, ...]) -> str:
+    """SQL IN-list for query terms: lowercased (tokens are lowercased,
+    so an uppercase query term would silently match nothing) and with
+    single quotes doubled (no injection/parse break)."""
+    return ", ".join(
+        "'" + t.lower().replace("'", "''") + "'" for t in terms
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: tuple[str, ...] = ("data", "join"),
@@ -382,7 +391,7 @@ def bm25_topk(
             F.count("*").alias("n"), F.sum("dl").alias("dl_sum")
         )
     )
-    q_list = ", ".join(f"'{t}'" for t in query_terms)
+    q_list = _term_list_sql(query_terms)
     qtf = (
         toks.where(f"term in ({q_list})")
         .groupBy(id_col, "term")
@@ -427,7 +436,7 @@ def bm25_topk_sql(
     source_sql: str = "documents",
 ) -> str:
     k1m, bm = BM25_K1_MILLI, BM25_B_MILLI
-    q_list = ", ".join(f"'{t}'" for t in query_terms)
+    q_list = _term_list_sql(query_terms)
     return f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(

@@ -184,3 +184,48 @@ def test_contours_level_outside_range_empty():
     z = np.zeros((4, 4))
     assert R.contours(z, 10.0) == []
     assert R.contours(z, -10.0) == []
+
+
+def test_contours_saddle_connects_high_center():
+    import numpy as np
+
+    from geotrellis_spark.core import raster_ops as R
+
+    # case 5 (TL+BR high) with high center: the high region is one
+    # diagonal band, so the two contour segments must isolate the LOW
+    # corners (TR and BL) — i.e. touch the right+top and left+bottom
+    # edges respectively, NOT hug the high corners
+    z = np.array([[1.0, 0.0], [0.0, 1.0]])
+    lines = R.contours(z, 0.5)  # center avg 0.5 >= level -> connected
+    assert len(lines) == 2
+    for l in lines:
+        xs, ys = set(l[:, 0]), set(l[:, 1])
+        # each segment joins two ADJACENT edges around a low corner
+        assert len(l) == 2
+    ends = sorted(tuple(sorted(map(tuple, l))) for l in lines)
+    # segment near TR: (x=0.5,y=0)-(x=1,y=0.5); near BL: (0,0.5)-(0.5,1)
+    assert ends == [(((0.0, 0.5)), ((0.5, 1.0))), (((0.5, 0.0)), ((1.0, 0.5)))]
+
+
+def test_contours_nan_cells_skipped():
+    import numpy as np
+
+    from geotrellis_spark.core import raster_ops as R
+
+    z = np.array([[1.0, np.nan, 1.0], [1.0, 1.0, 1.0], [0.0, 0.0, 0.0]])
+    lines = R.contours(z, 0.5)  # must not raise
+    for l in lines:
+        assert not np.isnan(l).any()
+
+
+def test_contours_horizontal_line_chains_fully():
+    import numpy as np
+
+    from geotrellis_spark.core import raster_ops as R
+
+    # z = y: segments run against the scan order; backward chaining
+    # must still assemble ONE polyline, not per-cell fragments
+    z = np.tile(np.arange(5, dtype=float)[:, None], (1, 6))
+    lines = R.contours(z, 2.5)
+    assert len(lines) == 1 and len(lines[0]) >= 6
+    assert np.allclose(lines[0][:, 1], 2.5)
