@@ -286,3 +286,116 @@ def rasterize_features(
         }
 
     return grouped.grouped_rows(cells, "cell_id", burn, TILE_SCHEMA)
+
+
+def contour_layer(
+    tiles: DataFrame,
+    layout: LayoutDefinition,
+    level: float,
+    tile_size: int = 256,
+) -> DataFrame:
+    """Iso-contours of a tile layer at ``level`` (marching squares,
+    raster_ops.contours) in WORLD coordinates (vertices at pixel
+    centers). Each tile owns the cells whose top-left pixel it holds,
+    so it gathers a 1-pixel halo — the E neighbor's first column, S
+    neighbor's first row, SE corner pixel — and every cell is computed
+    exactly ONCE: lines from adjacent tiles meet bit-exactly at
+    borders (polylines are per-tile; cross-tile chaining is the
+    caller's concatenation, the vectorize_layer convention). Missing
+    neighbors / NoData pixels become NaN cells (skipped). One strip
+    shuffle, no driver work. Output: (cell_id, key_col, key_row, wkb
+    linestring)."""
+    T = tile_size
+    from ..core import sfc
+
+    strip_schema = (
+        "cell_id long, key_col long, key_row long, zoom int, "
+        "pos string, part binary"
+    )
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "cell_id": [], "key_col": [], "key_row": [],
+                "zoom": [], "pos": [], "part": [],
+            }
+            for i in range(len(pdf)):
+                t = _decode(pdf, i, "tile", "fmt").astype(np.float64)
+                t[t == kernels.NODATA_U16] = np.nan
+                kc = int(pdf["key_col"].iloc[i])
+                kr = int(pdf["key_row"].iloc[i])
+                zoom = int(pdf["zoom"].iloc[i])
+
+                def emit(tc, tr, pos, arr):
+                    out["cell_id"].append(int(sfc.zorder(tc, tr)))
+                    out["key_col"].append(tc)
+                    out["key_row"].append(tr)
+                    out["zoom"].append(zoom)
+                    out["pos"].append(pos)
+                    out["part"].append(
+                        np.ascontiguousarray(arr).tobytes()
+                    )
+
+                emit(kc, kr, "c", t)
+                if kc > 0:
+                    emit(kc - 1, kr, "e", t[:, :1])      # my first col
+                if kr > 0:
+                    emit(kc, kr - 1, "s", t[:1, :])      # my first row
+                if kc > 0 and kr > 0:
+                    emit(kc - 1, kr - 1, "se", t[:1, :1])
+            yield pd.DataFrame(out)
+
+    def assemble(cell: int, pdf: pd.DataFrame) -> dict | None:
+        canvas = np.full((T + 1, T + 1), np.nan)
+        kc = kr = None
+        for i in range(len(pdf)):
+            pos = pdf["pos"].iloc[i]
+            buf = np.frombuffer(bytes(pdf["part"].iloc[i]))
+            if pos == "c":
+                canvas[:T, :T] = buf.reshape(T, T)
+                kc = int(pdf["key_col"].iloc[i])
+                kr = int(pdf["key_row"].iloc[i])
+            elif pos == "e":
+                canvas[:T, T] = buf.reshape(T)
+            elif pos == "s":
+                canvas[T, :T] = buf.reshape(T)
+            elif pos == "se":
+                canvas[T, T] = buf[0]
+        if kc is None:
+            return None
+        lines = raster_ops.contours(canvas, level)
+        if not lines:
+            return None
+        xmin, ymin, xmax, ymax = layout.key_to_extent(kc, kr)
+        cw = (xmax - xmin) / T
+        ch = (ymax - ymin) / T
+        wkbs = []
+        for line in lines:
+            world = np.column_stack([
+                xmin + (line[:, 0] + 0.5) * cw,
+                ymax - (line[:, 1] + 0.5) * ch,
+            ])
+            wkbs.append(G.wkb_write_linestring(world))
+        return {
+            "cell_id": cell, "key_col": kc, "key_row": kr,
+            "wkbs": wkbs,
+        }
+
+    from pyspark.sql.types import (
+        ArrayType, BinaryType, LongType, StructField, StructType,
+    )
+
+    strips = tiles.mapInPandas(explode, strip_schema)
+    per_tile = grouped.grouped_rows(
+        strips, "cell_id", assemble,
+        StructType([
+            StructField("cell_id", LongType()),
+            StructField("key_col", LongType()),
+            StructField("key_row", LongType()),
+            StructField("wkbs", ArrayType(BinaryType())),
+        ]),
+    )
+    return per_tile.select(
+        "cell_id", "key_col", "key_row",
+        F.explode("wkbs").alias("wkb"),
+    )

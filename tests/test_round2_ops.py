@@ -699,3 +699,65 @@ def test_dem_flow_accumulation_layer_chain(spark):
         got[r["key_row"] * T : (r["key_row"] + 1) * T,
             r["key_col"] * T : (r["key_col"] + 1) * T] = a
     np.testing.assert_array_equal(got, want)
+
+
+def test_contour_layer_segments_match_whole_array(spark):
+    """Layer contours over a 2x2-tile DEM: the SET of world-coordinate
+    segments equals the whole-array extraction (each marching-squares
+    cell is computed exactly once via the 1-px halo; per-tile
+    polylines just chain them differently)."""
+    import pandas as pd
+
+    from geotrellis_spark.core import codecs, geom as G, raster_ops, sfc
+    from geotrellis_spark.core.layout import (
+        Extent, LayoutDefinition, TileLayout,
+    )
+    from geotrellis_spark.operators import algebra
+
+    T = 8
+    y, x = np.indices((2 * T, 2 * T)).astype(float)
+    world = (20.0 + 10.0 * np.cos(x / 3.0) + 8.0 * np.sin(y / 2.5)).round()
+    world = world.astype(np.uint16)
+    level = 22.0
+
+    layout = LayoutDefinition(
+        Extent(-16.0, -16.0, 16.0, 16.0), TileLayout(2, 2, T, T)
+    )
+    rows = []
+    for kr in range(2):
+        for kc in range(2):
+            tile = world[kr * T : (kr + 1) * T, kc * T : (kc + 1) * T]
+            rows.append({
+                "layer": "dem", "zoom": 1, "key_col": kc, "key_row": kr,
+                "cell_id": int(sfc.zorder(kc, kr)),
+                "tile": codecs.encode_tile(tile, "raw16"),
+                "fmt": "raw16", "w": T, "h": T, "cell_type": "uint16ud0",
+            })
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = algebra.contour_layer(df, layout, level, tile_size=T).collect()
+
+    def segset(polylines):
+        segs = set()
+        for l in polylines:
+            for p, q in zip(l[:-1], l[1:]):
+                a = (round(p[0], 6), round(p[1], 6))
+                b = (round(q[0], 6), round(q[1], 6))
+                segs.add((a, b) if a <= b else (b, a))
+        return segs
+
+    got_lines = []
+    for r in out:
+        kind, pts = G.wkb_read(bytes(r["wkb"]))
+        assert kind == "linestring"
+        got_lines.append(pts)
+    got = segset(got_lines)
+
+    # whole-array golden in the same world frame: pixel (x, y) center
+    # maps to (-16 + (x+0.5)*2, 16 - (y+0.5)*2) with cw = ch = 2.0
+    want_lines = []
+    for l in raster_ops.contours(world.astype(float), level):
+        want_lines.append(np.column_stack([
+            -16.0 + (l[:, 0] + 0.5) * 2.0, 16.0 - (l[:, 1] + 0.5) * 2.0,
+        ]))
+    want = segset(want_lines)
+    assert got and got == want
