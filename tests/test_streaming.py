@@ -139,3 +139,43 @@ def test_streaming_watermarked_dedup(spark, tmp_path):
         q.stop()
     assert n >= 5, f"only {n} deduped keys arrived"
     assert dups == 0, "watermarked dedup emitted a key twice"
+
+
+def test_streaming_static_enrichment_join(spark):
+    """Stream-static broadcast enrichment: the streaming image rows
+    join a static dimension (per-id class lookup) inside the stream —
+    the lookup-table pattern a training-data stream uses for labels."""
+    import pyspark.sql.functions as F
+
+    for old in spark.streams.active:
+        old.stop()
+    dim = spark.range(10).selectExpr(
+        "id as clsk", "concat('class_', id) as label"
+    )
+    stream = ingest_stream.rate_images_stream(spark, rows_per_sec=50)
+    enriched = stream.withColumn(
+        "clsk", F.expr("cast(substring(image_id, 4, 15) as bigint) % 10")
+    ).join(F.broadcast(dim), "clsk")
+    q = (
+        enriched.select("image_id", "label")
+        .writeStream.format("memory")
+        .queryName("enriched_stream")
+        .outputMode("append")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        n = 0
+        while time.time() < deadline and n < 20:
+            time.sleep(4)
+            n = spark.sql("select count(*) c from enriched_stream").collect()[0]["c"]
+    finally:
+        q.stop()
+    assert n >= 20
+    rows = spark.sql(
+        "select image_id, label from enriched_stream limit 50"
+    ).collect()
+    for r in rows:
+        expect = int(r["image_id"][3:]) % 10
+        assert r["label"] == f"class_{expect}"
