@@ -416,7 +416,9 @@ def bm25_topk(
             ) as contrib""",
         )
     )
-    per_doc = scored.groupBy(id_col).agg(F.sum("contrib").alias("score_i"))
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("contrib").cast("long").alias("score_i")
+    )
     # global top-k via orderBy+limit (TakeOrderedAndProject: per-
     # partition partial top-k, NO single-partition window over all
     # matching docs); the rank window then runs on only k rows
@@ -460,7 +462,8 @@ def bm25_topk_sql(
       FROM qtf JOIN dfreq USING (term) JOIN dl USING (doc_id), totals
     ),
     per_doc AS (
-      SELECT doc_id, sum(contrib) AS score_i FROM scored GROUP BY 1
+      SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_i
+      FROM scored GROUP BY 1
     )
     SELECT doc_id, score_i, brank FROM (
       SELECT doc_id, score_i,

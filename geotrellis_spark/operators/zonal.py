@@ -257,16 +257,25 @@ def kernel_density(
     weight_expr: str = "1",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    kernel: str = "pyramid",
+    sigma: float | None = None,
 ):
     """Kernel density surface (reference role spark/.../density/
     RDDKernelDensityMethods + raster/.../density — upstream layout):
-    every point stamps an integer PYRAMID kernel onto the cells within
-    Chebyshev ``radius`` of its cell — contribution =
-    weight * (radius + 1 - max(|di|,|dj|)) — and stamps sum per cell.
+    every point stamps a kernel onto the cells within Chebyshev
+    ``radius`` of its cell and stamps sum per cell.
 
-    Integer kernel => exact cross-engine arithmetic (the reference's
-    double Gaussian kernel is a drop-in change; exactness is why the
-    default differs). Plan: codegen key assignment -> ONE
+    Kernels:
+    - ``"pyramid"`` (default): integer contribution =
+      weight * (radius + 1 - max(|di|,|dj|)) — integer arithmetic is
+      exact cross-engine, so this is the oracle-checked default;
+      output ``density`` is bigint.
+    - ``"gaussian"``: the reference ``Kernel``'s usual shape —
+      contribution = weight * exp(-(di^2+dj^2) / (2*sigma^2)) with
+      double weights (sigma defaults to radius/2); output ``density``
+      is double.
+
+    Plan (both kernels): codegen key assignment -> ONE
     sequence-explode of the (2r+1)^2 stamp offsets (narrow; bounded by
     the kernel, not the data) -> hash-aggregate on the target cell.
     One shuffle; at 100 TB this is the same shape as the tiling
@@ -278,11 +287,22 @@ def kernel_density(
     from ..functions import exprs
     from ..operators import spatial
 
+    if kernel not in ("pyramid", "gaussian"):
+        raise ValueError(f"unknown kernel {kernel!r}")
     n = 1 << zoom
     keyed = spatial.assign_cells(pts, lon_col, lat_col, zoom, impl="expr")
     r = radius
+    if kernel == "pyramid":
+        w_cast = f"cast({weight_expr} as bigint) as _w"
+        contrib = f"_w * ({r} + 1 - greatest(abs(di), abs(dj))) as contrib"
+    else:
+        s = float(sigma) if sigma is not None else radius / 2.0
+        w_cast = f"cast({weight_expr} as double) as _w"
+        contrib = (
+            f"_w * exp(-(di * di + dj * dj) / ({2.0 * s * s!r})) as contrib"
+        )
     stamped = keyed.selectExpr(
-        f"cast({weight_expr} as bigint) as _w", "key_col", "key_row"
+        w_cast, "key_col", "key_row"
     ).selectExpr(
         "_w",
         f"explode(sequence(-{r}, {r})) as di",
@@ -294,11 +314,14 @@ def kernel_density(
     ).selectExpr(
         "key_col + di as kc",
         "key_row + dj as kr",
-        f"_w * ({r} + 1 - greatest(abs(di), abs(dj))) as contrib",
+        contrib,
     ).where(
         f"kc >= 0 and kc < {n} and kr >= 0 and kr < {n}"
     )
-    out = stamped.groupBy("kc", "kr").agg(F.sum("contrib").alias("density"))
+    out_type = "long" if kernel == "pyramid" else "double"
+    out = stamped.groupBy("kc", "kr").agg(
+        F.sum("contrib").cast(out_type).alias("density")
+    )
     return out.select(
         F.col("kc").alias("key_col"),
         F.col("kr").alias("key_row"),

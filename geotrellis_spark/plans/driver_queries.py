@@ -1140,7 +1140,7 @@ def sql_kernel_density() -> str:
     )
     SELECT kc AS key_col, kr AS key_row,
            {exprs.zorder_sql('kc', 'kr', 6)} AS cell_id,
-           sum(contrib) AS density
+           CAST(sum(contrib) AS BIGINT) AS density
     FROM stamped GROUP BY kc, kr
     """
 
