@@ -305,6 +305,7 @@ def dedup_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 25,
+    shortcut: bool = True,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph — the step a
     real dedup pipeline runs AFTER candidate generation: every doc maps
@@ -315,11 +316,17 @@ def dedup_clusters(
     Distributed min-label propagation: each round every node takes the
     min of its own label and its neighbors' labels (one equi-join + one
     groupBy over the symmetrized edge list, localCheckpoint-pinned).
-    Rounds needed = graph diameter; LSH pair graphs are unions of
-    bucket cliques, so diameters are tiny (2-4 rounds observed). All
-    labels are exact integers — bit-identical to the DuckDB
-    recursive-CTE transitive-closure oracle. Raises if ``max_iters``
-    rounds don't converge rather than return a wrong partition."""
+    With ``shortcut`` (default) each round also pointer-jumps — every
+    node takes the label OF its current label node — so convergence is
+    O(log diameter) rounds, not O(diameter); the fixpoint (component
+    minimum id) is identical either way, and labels stay monotone
+    decreasing, so the checksum convergence test is unchanged. LSH
+    pair graphs are unions of bucket cliques (diameter 2-4); the
+    region-dissolve border graphs this is reused for can be long
+    chains, where the jump matters. All labels are exact integers —
+    bit-identical to the DuckDB recursive-CTE transitive-closure
+    oracle. Raises if ``max_iters`` rounds don't converge rather than
+    return a wrong partition."""
     edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     edges = (
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -347,14 +354,26 @@ def dedup_clusters(
             .agg(F.min("blab").alias("nlab"))
             .select(F.col("a").alias("id"), "nlab")
         )
-        new = (
-            labels.join(nbr, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
-            )
-            .localCheckpoint()
+        new = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
         )
+        if shortcut:
+            # pointer jump: lab <- min(lab, lab(lab)). Every label is
+            # some node's id (min over node ids), so the self-join hits.
+            hop = new.select(
+                F.col("id").alias("_hop_id"), F.col("lab").alias("_hop_lab")
+            )
+            new = (
+                new.join(hop, new["lab"] == hop["_hop_id"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("lab"), F.coalesce("_hop_lab", F.col("lab"))
+                    ).alias("lab"),
+                )
+            )
+        new = new.localCheckpoint()
         cur_sum = new.agg(
             F.sum(F.col("lab").cast("decimal(38,0)"))
         ).collect()[0][0]

@@ -433,6 +433,8 @@ def region_group_layer(
     tile_size: int = 256,
     connectivity: int = 4,
     nodata=NODATA_U16,
+    max_driver_edges: int = 200_000,
+    max_iters: int = 64,
 ) -> DataFrame:
     """RV4 at layer level: connected equal-value regions across tile
     borders (cross-tile dissolve of ``raster_ops.region_group``).
@@ -440,10 +442,18 @@ def region_group_layer(
     Shape: (1) one narrow map labels each tile locally and emits its
     4 border runs keyed by the shared edge; (2) a plain equi-join on
     (edge, pos) + value equality yields the cross-tile label adjacency
-    graph; (3) the driver union-finds the DISTINCT label pairs (the
-    graph is tiny relative to pixels: at most tiles x 4T edges, far
-    fewer distinct label pairs) and broadcasts the root map; (4) one
-    narrow relabel map rewrites each tile. Region ids are the packed
+    graph; (3) the DISTINCT label pairs are dissolved to their
+    component minimum node id — on the driver (union-find + broadcast
+    root map) only while the edge count stays under
+    ``max_driver_edges``; above the guard the dissolve runs fully
+    distributed via ``dedup.dedup_clusters`` min-label propagation
+    with pointer jumping (O(log diameter) rounds), and the root map is
+    shuffled to its owning tiles keyed by cell_id (packed label >>
+    label-bits) instead of ever being collected — a 100 TB layer with
+    fine-grained regions never puts O(tiles x tile_edge) pairs on the
+    driver; (4) one narrow relabel map rewrites each tile. Both paths
+    converge to the SAME fixpoint (minimum packed node id per
+    component), so region ids are path-independent: the packed
     (cell_id << 20 | local_label) of the component's minimum node —
     deterministic, not dense. connectivity=8 additionally matches
     edge positions +-1 and joins the two diagonal pixel pairs at every
@@ -542,56 +552,100 @@ def region_group_layer(
     b = bdf.where(F.col("side") == 1).select(
         "ekey", "pos", F.col("label").alias("lab_b"), F.col("value").alias("vb")
     )
-    adj = (
+    adj_df = (
         a.join(b, ["ekey", "pos"])
         .where(F.col("va") == F.col("vb"))
         .select("lab_a", "lab_b")
         .distinct()
-        .collect()
+        .localCheckpoint()
     )
-    parent: dict[int, int] = {}
 
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
-    for row in adj:
-        ra, rb = find(int(row["lab_a"])), find(int(row["lab_b"]))
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo  # min node id wins: deterministic roots
-    root_map = {x: find(x) for x in list(parent)}
-    bc = spark.sparkContext.broadcast(root_map)
-
-    def relabel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        roots = bc.value
-        for pdf in batches:
-            out = {f.name: [] for f in _RG_STATE.fields}
-            for i in range(len(pdf)):
-                cid = int(pdf["cell_id"].iloc[i])
-                lab = np.frombuffer(
-                    bytes(pdf["labels"].iloc[i]), dtype=np.int64
-                ).reshape(T, T)
-                packed = np.where(lab > 0, (cid << _LABEL_BITS) | lab, 0)
+    def relabel_rows(pdf: pd.DataFrame, roots_for) -> pd.DataFrame:
+        out = {f.name: [] for f in _RG_STATE.fields}
+        for i in range(len(pdf)):
+            cid = int(pdf["cell_id"].iloc[i])
+            lab = np.frombuffer(
+                bytes(pdf["labels"].iloc[i]), dtype=np.int64
+            ).reshape(T, T)
+            packed = np.where(lab > 0, (cid << _LABEL_BITS) | lab, 0)
+            roots = roots_for(pdf, i)
+            if roots:
                 # one vectorized LUT pass (unique+inverse), not a
                 # full-tile mask scan per label
                 uniq, inv = np.unique(packed, return_inverse=True)
                 mapped = np.array(
-                    [roots.get(int(u), int(u)) if u > 0 else 0 for u in uniq],
+                    [
+                        roots.get(int(u), int(u)) if u > 0 else 0
+                        for u in uniq
+                    ],
                     dtype=np.int64,
                 )
-                glob = mapped[inv].reshape(packed.shape)
-                out["cell_id"].append(cid)
-                out["key_col"].append(int(pdf["key_col"].iloc[i]))
-                out["key_row"].append(int(pdf["key_row"].iloc[i]))
-                out["labels"].append(glob.tobytes())
-            yield pd.DataFrame(out)
+                packed = mapped[inv].reshape(packed.shape)
+            out["cell_id"].append(cid)
+            out["key_col"].append(int(pdf["key_col"].iloc[i]))
+            out["key_row"].append(int(pdf["key_row"].iloc[i]))
+            out["labels"].append(packed.tobytes())
+        return pd.DataFrame(out)
 
-    return state.mapInPandas(relabel, _RG_STATE)
+    n_edges = adj_df.count()
+    if n_edges <= max_driver_edges:
+        # small-layer fast path: collect + union-find + broadcast.
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in adj_df.collect():
+            ra, rb = find(int(row["lab_a"])), find(int(row["lab_b"]))
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo  # min node id wins: deterministic roots
+        root_map = {x: find(x) for x in list(parent)}
+        bc = spark.sparkContext.broadcast(root_map)
+
+        def relabel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield relabel_rows(pdf, lambda _pdf, _i: bc.value)
+
+        return state.mapInPandas(relabel, _RG_STATE)
+
+    # distributed dissolve: min-label propagation over the label graph
+    # (same fixpoint as the union-find: component minimum node id).
+    # Each packed node belongs to exactly ONE tile (cell_id is its top
+    # bits), so the root map partitions cleanly by tile — one shuffle
+    # keyed by cell_id delivers each tile only its own remaps.
+    from .dedup import dedup_clusters
+
+    roots_df = dedup_clusters(adj_df, "lab_a", "lab_b", max_iters=max_iters)
+    remaps = (
+        roots_df.where(F.col("cluster") != F.col("doc_id"))
+        .select(
+            F.expr(f"doc_id >> {_LABEL_BITS}").alias("cell_id"),
+            F.struct(
+                F.col("doc_id").alias("node"), F.col("cluster").alias("root")
+            ).alias("m"),
+        )
+        .groupBy("cell_id")
+        .agg(F.collect_list("m").alias("remap"))
+    )
+    state2 = state.join(remaps, "cell_id", "left")
+
+    def relabel_dist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def roots_for(pdf, i):
+            rm = pdf["remap"].iloc[i]
+            if rm is None or not hasattr(rm, "__len__"):
+                return {}
+            return {int(x["node"]): int(x["root"]) for x in rm}
+
+        for pdf in batches:
+            yield relabel_rows(pdf, roots_for)
+
+    return state2.mapInPandas(relabel_dist, _RG_STATE)
 
 
 def vectorize_layer_dissolved(
