@@ -229,6 +229,7 @@ def layer_viewshed(
     tile_size: int = 256,
     samples_per_cell: float = 2.0,
     nodata=NODATA_U16,
+    max_gather_bytes: int | None = 8 << 30,
 ) -> DataFrame:
     """Cross-tile viewshed (RV6 layer level; reference role
     ``spark/.../viewshed/IterativeViewshed.scala``). ``(vr, vc)`` is the
@@ -248,7 +249,15 @@ def layer_viewshed(
     is the hull terrain duplication (~sqrt(n_tiles) x layer bytes for a
     central viewpoint), the price of replacing O(diagonal) iterative
     rounds with one shuffle; absent tiles inside a hull block sight
-    (NoData semantics)."""
+    (NoData semantics).
+
+    ``max_gather_bytes`` guards that cost cliff: before shuffling any
+    terrain, the exact gather list is counted (the enumeration is
+    per-tile geometry math, no tile bytes) and the job REFUSES with a
+    clear error when the duplicated payload would exceed the budget —
+    run on a coarser pyramid zoom (``tiling.pyramid``) or raise the
+    budget explicitly instead of silently shuffling ~sqrt(n) x layer
+    bytes. ``None`` disables the guard."""
     T = tile_size
     spc = samples_per_cell
     b = dem_tiles.agg(
@@ -307,6 +316,18 @@ def layer_viewshed(
     needs = dem_tiles.select("key_col", "key_row").mapInPandas(
         enum_needs, _NEEDS_SCHEMA
     )
+    if max_gather_bytes is not None:
+        needs = needs.localCheckpoint()
+        # every needs row gathers one TxT source tile onto a target's
+        # canvas; the float64 canvas assembly dominates the footprint
+        est = needs.count() * T * T * 8
+        if est > max_gather_bytes:
+            raise ValueError(
+                f"layer_viewshed hull gather would duplicate ~{est:,} "
+                f"bytes of terrain (> max_gather_bytes={max_gather_bytes:,})"
+                "; run on a coarser pyramid level (tiling.pyramid) or "
+                "raise max_gather_bytes explicitly"
+            )
     joined = needs.join(
         dem_tiles.select(
             F.col("cell_id").alias("src_cell"),

@@ -32,30 +32,65 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 N_CELL_BUCKETS = 16
 
 
+class ParquetCatalog:
+    """The default catalog: Iceberg-shaped plain parquet under
+    ``base``. This class IS the swap seam — a real-Iceberg deployment
+    replaces it with the 3 writeTo lines below and nothing above the
+    catalog changes (the contract test proves the seam by swapping in
+    a mock catalog)::
+
+        class IcebergCatalog:
+            def __init__(self, catalog): self.cat = catalog
+            def write(self, df, table, partition_cols, mode):
+                w = df.writeTo(f"{self.cat}.{table}").partitionedBy(
+                    *[F.col(c) for c in partition_cols])
+                w.append() if mode == "append" else w.createOrReplace()
+            def read(self, spark, table):
+                return spark.read.table(f"{self.cat}.{table}")
+
+    (with Iceberg's own snapshots/manifests replacing the ``_meta``
+    tables — callers that only write/read keep working unchanged).
+    """
+
+    def __init__(self, base: str):
+        self.base = base
+
+    def write(self, df: DataFrame, table: str, partition_cols, mode: str):
+        path = os.path.join(self.base, table)
+        w = df.write.mode(mode)
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(path)
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.base, table))
+
+
 def write_tiles(
     tiles: DataFrame, base: str, table: str = "tiles",
     n_buckets: int = N_CELL_BUCKETS, mode: str = "append",
+    catalog=None,
 ) -> str:
     """Write a tile layer Iceberg-shaped: partitioned by
     (layer, zoom, bucket(cell_id)), sorted by cell_id within files
     (SFC-ordered files => tight min/max stats => range scans prune,
     the LayerWriter/ZCurveKeyIndexMethod role, SURVEY.md §2.S3)."""
-    path = os.path.join(base, table)
+    cat = catalog or ParquetCatalog(base)
     snap_id = uuid.uuid4().hex[:16]
     out = (
         tiles.withColumn("bucket", F.pmod(F.col("cell_id"), F.lit(n_buckets)).cast("int"))
         .repartition("layer", "zoom", "bucket")
         .sortWithinPartitions("cell_id")
     )
-    out.write.mode(mode).partitionBy("layer", "zoom", "bucket").parquet(path)
-    _write_snapshot(tiles.sparkSession, base, table, snap_id, path)
+    cat.write(out, table, ("layer", "zoom", "bucket"), mode)
+    _write_snapshot(tiles.sparkSession, cat, table, snap_id)
     return snap_id
 
 
 def _write_snapshot(
-    spark: SparkSession, base: str, table: str, snap_id: str, path: str
+    spark: SparkSession, cat, table: str, snap_id: str
 ) -> None:
-    df = spark.read.parquet(path)
+    df = cat.read(spark, table)
     manifest = (
         df.groupBy("layer", "zoom", "bucket")
         .agg(
@@ -66,22 +101,22 @@ def _write_snapshot(
         .withColumn("snapshot_id", F.lit(snap_id))
         .withColumn("table_name", F.lit(table))
     )
-    manifest.coalesce(1).write.mode("append").parquet(
-        os.path.join(base, "_meta", "manifests")
-    )
-    spark.createDataFrame(
-        [(snap_id, table, time.strftime("%Y-%m-%dT%H:%M:%S"), path)],
+    cat.write(manifest.coalesce(1), os.path.join("_meta", "manifests"),
+              (), "append")
+    snap = spark.createDataFrame(
+        [(snap_id, table, time.strftime("%Y-%m-%dT%H:%M:%S"), table)],
         "snapshot_id string, table_name string, committed_at string, path string",
-    ).coalesce(1).write.mode("append").parquet(
-        os.path.join(base, "_meta", "snapshots")
     )
+    cat.write(snap.coalesce(1), os.path.join("_meta", "snapshots"),
+              (), "append")
 
 
 def read_tiles(
     spark: SparkSession, base: str, table: str = "tiles",
     layer: str | None = None, zoom: int | None = None,
+    catalog=None,
 ) -> DataFrame:
-    df = spark.read.parquet(os.path.join(base, table))
+    df = (catalog or ParquetCatalog(base)).read(spark, table)
     if layer is not None:
         df = df.where(F.col("layer") == layer)  # partition-pruned
     if zoom is not None:

@@ -124,3 +124,58 @@ def test_curate_pipeline_e2e(spark, tmp_path):
     out2, _ = curate(spark, docs, per_stratum=3, salt=9)
     rows2 = sorted(r["doc_id"] for r in out2.select("doc_id").collect())
     assert rows1 == rows2
+
+
+class _MockIcebergCatalog:
+    """In-memory catalog implementing the documented swap interface
+    (round-4 verdict item 8): write(df, table, partition_cols, mode) /
+    read(spark, table). Stores pandas snapshots per table — no parquet
+    paths touched, proving write_tiles/read_tiles route everything
+    through the seam."""
+
+    def __init__(self):
+        self.tables = {}
+        self.calls = []
+
+    def write(self, df, table, partition_cols, mode):
+        import pandas as pd
+
+        self.calls.append((table, tuple(partition_cols), mode))
+        pdf = df.toPandas()
+        if mode == "append" and table in self.tables:
+            self.tables[table] = pd.concat([self.tables[table], pdf])
+        else:
+            self.tables[table] = pdf
+
+    def read(self, spark, table):
+        return spark.createDataFrame(self.tables[table])
+
+
+def test_catalog_seam_contract_with_mock(spark):
+    """write_tiles + read_tiles against a mock catalog: the tiles
+    round-trip, the manifests/snapshots metadata rows land in the
+    catalog (not on disk), and partition columns reach the seam."""
+    cat = _MockIcebergCatalog()
+    images = synth.synth_images(spark, 30, partitions=2)
+    tiles = tiling.tile_images(images, 3, 256, salt_buckets=2)
+    snap = ice.write_tiles(tiles, base="unused", n_buckets=4, catalog=cat)
+
+    assert set(cat.tables) == {"tiles", "_meta/manifests", "_meta/snapshots"}
+    tiles_call = [c for c in cat.calls if c[0] == "tiles"][0]
+    assert tiles_call[1] == ("layer", "zoom", "bucket")
+
+    back = ice.read_tiles(spark, base="unused", zoom=3, catalog=cat)
+    assert back.count() == tiles.count()
+    assert (
+        back.select("cell_id").distinct().count()
+        == tiles.select("cell_id").distinct().count()
+    )
+    # metadata rows committed through the seam
+    snaps = cat.tables["_meta/snapshots"]
+    assert (snaps["snapshot_id"] == snap).sum() == 1
+    man = cat.tables["_meta/manifests"]
+    assert (man["cell_id_min"] <= man["cell_id_max"]).all()
+
+    # second append accumulates instead of replacing
+    ice.write_tiles(tiles, base="unused", n_buckets=4, catalog=cat)
+    assert ice.read_tiles(spark, "unused", catalog=cat).count() == 2 * tiles.count()

@@ -119,3 +119,25 @@ def test_dedup_clusters_shortcut_fixpoint_on_chain(spark):
         for r in dedup_clusters(pairs, max_iters=60, shortcut=False).collect()
     }
     assert out == out2
+
+
+def test_layer_viewshed_gather_guard(spark):
+    """Extent guard: a tiny max_gather_bytes refuses before shuffling
+    terrain; the default budget leaves small layers working."""
+    from geotrellis_spark.operators import iterative
+
+    T = 16
+    rng = np.random.default_rng(9)
+    world = (rng.random((2 * T, 2 * T)) * 50).astype(np.uint16)
+    df = _tile_layer_df(spark, world, T, zoom=1)
+    with pytest.raises(ValueError, match="max_gather_bytes"):
+        iterative.layer_viewshed(
+            df, vr=10, vc=10, tile_size=T, max_gather_bytes=1024
+        )
+    out = iterative.layer_viewshed(df, vr=10, vc=10, tile_size=T)
+    got = np.zeros_like(world, dtype=bool)
+    for r in out.collect():
+        vis = np.frombuffer(bytes(r["visible"]), dtype=bool).reshape(T, T)
+        got[r["key_row"] * T : (r["key_row"] + 1) * T,
+            r["key_col"] * T : (r["key_col"] + 1) * T] = vis
+    np.testing.assert_array_equal(got, raster_ops.viewshed(world, 10, 10))
