@@ -72,6 +72,17 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
 
+    # The session default is 128-row Arrow batches, sized for ~100KB
+    # image rows (see session.py). Every main-JVM headline query is
+    # small-row, where 128-row batches mean ~1k pandas-UDF invocations
+    # per 100k rows — measured 2-3x slowdown (the round-3 cell_agg
+    # 0.63->1.90 / zonal_stats 0.74->1.24 "drift": round 2 ran the
+    # image legs in this JVM and their pip stage set 4096 before the
+    # loop; round 3 moved the legs to a subprocess and lost that).
+    # The image-payload legs run in their own JVM with their own
+    # payload-aware batch sizes, so 4096 is safe here.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
@@ -108,19 +119,6 @@ def main() -> None:
     print(f"# pip_join: {leg['n_joined']} rows in {leg['pip_sec']:.1f}s",
           file=sys.stderr)
 
-    # minhash_lsh first in the main JVM (clean heap), best-of-2 with
-    # a GC barrier per rep: it is the most GC-debt-sensitive query in
-    # the suite (2.2M-pair output; measured 6-24s swings in round 2).
-    best_dt, n_mh = None, 0
-    for _rep in range(2):
-        _gc_barrier(spark)
-        t0 = time.time()
-        n_mh = _run(dq.QUERIES["minhash_lsh"][0](spark, sf_dir))
-        dt = time.time() - t0
-        best_dt = dt if best_dt is None else min(best_dt, dt)
-    timings["minhash_lsh"] = round(best_dt, 3)
-    print(f"# minhash_lsh: {n_mh} rows in {best_dt:.1f}s", file=sys.stderr)
-
     for name in HEADLINE:
         # barrier per query: each timing measures THAT query, not the
         # previous query's deferred GC/cleanup debt (measured up to 6x
@@ -131,6 +129,23 @@ def main() -> None:
         n = _run(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # minhash_lsh LAST in the main JVM, best-of-2 with a GC barrier
+    # per rep: it is the most GC-debt-sensitive query in the suite
+    # (2.2M-pair output; measured 6-24s swings in round 2) AND its own
+    # byte churn contaminates whatever runs after it — round 3 ran it
+    # before the headline loop and the first loop queries (cell_agg
+    # 0.63->1.90, zonal_stats 0.74->1.24) paid that debt. Its own
+    # timing is position-insensitive thanks to the barrier+best-of-2.
+    best_dt, n_mh = None, 0
+    for _rep in range(2):
+        _gc_barrier(spark)
+        t0 = time.time()
+        n_mh = _run(dq.QUERIES["minhash_lsh"][0](spark, sf_dir))
+        dt = time.time() - t0
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+    timings["minhash_lsh"] = round(best_dt, 3)
+    print(f"# minhash_lsh: {n_mh} rows in {best_dt:.1f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

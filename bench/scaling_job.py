@@ -53,11 +53,15 @@ def main() -> None:
     # 128-row Arrow batches (session default).
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
     images = synth.synth_images(spark, n_images, partitions=max(32, cpus))
-    # best-of-2 per leg: successive runs in one JVM alternate fast/slow
+    # best-of-3 per leg: successive runs in one JVM alternate fast/slow
     # (async cleanup of the previous run's blocks/buffers collides with
     # the next run); sampling both phases removes the oscillation bias
     t_tile = None
-    for _ in range(2):
+    for _ in range(3):
+        # GC barrier per rep: the previous rep's byte[] churn otherwise
+        # rides into this rep's timed window (same effect as bench.py)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
         t0 = time.time()
         n_tiles = tiling.tile_images(images, 8, 256, fmt="png").count()
         dt = time.time() - t0
@@ -79,7 +83,9 @@ def main() -> None:
         f"{exprs.lat_sql('id * 7 + 1')} as lat",
     )
     t_pip = None
-    for _ in range(2):
+    for _ in range(3):
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
         t0 = time.time()
         n_joined = spatial.pip_join(pts, polys, zoom=5).count()
         dt = time.time() - t0
