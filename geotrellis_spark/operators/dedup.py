@@ -82,6 +82,7 @@ def minhash_signatures(
 def minhash_candidates(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bands: int = 4, max_bucket: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding (4 bands x 2 rows): docs sharing any band value are
     candidate near-duplicates. Returns (doc_a, doc_b), doc_a < doc_b.
@@ -92,8 +93,18 @@ def minhash_candidates(
     ``max_bucket`` smallest ids per (band, bval) — every kept doc still
     pairs with the bucket's representative, so transitive-duplicate
     CLUSTERS are preserved even though the full pair list is truncated.
-    Default None = exact pair enumeration (the oracle-checked path)."""
-    sig = minhash_signatures(docs, id_col, text_col)
+    Default None = exact pair enumeration (the oracle-checked path).
+
+    ``signatures``: optional precomputed ``minhash_signatures`` rows
+    (id_col, mh0..mh7) — the incremental-ingest path: signatures are a
+    pure per-doc function of the text, so a streaming pipeline computes
+    them ONCE per arriving doc and re-banding/pairing over the stored
+    signature table costs one narrow shuffle instead of re-shingling
+    the full corpus' text every recuration."""
+    if signatures is not None:
+        sig = signatures.join(docs.select(id_col), id_col)
+    else:
+        sig = minhash_signatures(docs, id_col, text_col)
     rows_per = len(MINHASH_A) // bands
     band_exprs = []
     for bi in range(bands):
@@ -150,6 +161,7 @@ MAX_BUCKET_DEFAULT = 256
 def minhash_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bands: int = 4, max_bucket: int | None = MAX_BUCKET_DEFAULT,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """PRODUCTION MinHash-LSH entry point: ``max_bucket`` defaults ON
     (256 ids per (band, bval) bucket), so a degenerate hot bucket —
@@ -158,7 +170,9 @@ def minhash_dedup(
     the bucket's smallest-id representative, preserving duplicate
     CLUSTERS. The exact enumeration (``minhash_candidates`` with
     max_bucket=None) stays the oracle-checked path."""
-    return minhash_candidates(docs, id_col, text_col, bands, max_bucket)
+    return minhash_candidates(
+        docs, id_col, text_col, bands, max_bucket, signatures
+    )
 
 
 def simhash(

@@ -1,0 +1,140 @@
+"""Generic OLAP operators over the events table: exact distributed
+percentiles and ordered funnels. (Engine extensions past the reference
+surface — the reference's summary stack stops at histogram/classBreaks
+(``raster/.../summary/``, upstream layout); these are the table-native
+analytics a 100 TB events store needs alongside it.)
+
+Both are written integer/timestamp-exact so the DuckDB oracles match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+CENTS = "cast(floor(value * 100 + 0.5) as bigint)"
+
+
+def group_percentiles(
+    events: DataFrame,
+    group_col: str = "event_type",
+    percentiles: tuple[int, ...] = (50, 95, 99),
+) -> DataFrame:
+    """Exact percentile_disc per group, 100 TB shape: instead of a
+    single-partition sort per group, values are COMPRESSED to
+    (group, value, freq) by one hash-aggregate; the rank-selection
+    window then runs over distinct values only (bounded by the value
+    domain, not the row count). percentile_disc(p) = the value at
+    0-based index floor((n-1)*p/100) of the sorted multiset = the
+    smallest value whose cumulative frequency exceeds that index —
+    pure integer math, bit-exact vs the oracle.
+
+    Returns one row per group: (group, n, p<p>_cents...)."""
+    freq = events.selectExpr(group_col, f"{CENTS} as cents").groupBy(
+        group_col, "cents"
+    ).agg(F.count("*").alias("freq"))
+    w = Window.partitionBy(group_col).orderBy("cents")
+    cum = freq.withColumn("cum", F.sum("freq").over(w))
+    counts = freq.groupBy(group_col).agg(F.sum("freq").alias("n"))
+    j = cum.join(F.broadcast(counts), group_col)
+    aggs = [F.max("n").alias("n")]
+    for p in percentiles:
+        idx = f"((n - 1) * {p}) div 100"
+        aggs.append(
+            F.min(F.expr(f"case when cum >= {idx} + 1 then cents end")).alias(
+                f"p{p}_cents"
+            )
+        )
+    return j.groupBy(group_col).agg(*aggs)
+
+
+def group_percentiles_sql(
+    source_sql: str = "events",
+    group_col: str = "event_type",
+    percentiles: tuple[int, ...] = (50, 95, 99),
+) -> str:
+    cols = ",\n           ".join(
+        f"min(CASE WHEN cum >= ((n - 1) * {p}) // 100 + 1 THEN cents END)"
+        f" AS p{p}_cents"
+        for p in percentiles
+    )
+    return f"""
+    WITH freq AS (
+      SELECT {group_col}, {CENTS} AS cents, count(*) AS freq
+      FROM {source_sql} GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT {group_col}, cents, freq,
+             sum(freq) OVER (PARTITION BY {group_col} ORDER BY cents
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM freq
+    ),
+    counts AS (
+      SELECT {group_col}, CAST(sum(freq) AS BIGINT) AS n FROM freq GROUP BY 1
+    )
+    SELECT cum.{group_col}, max(n) AS n,
+           {cols}
+    FROM cum JOIN counts USING ({group_col})
+    GROUP BY 1
+    """
+
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def funnel(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Ordered funnel: users whose first step-k event STRICTLY follows
+    their first qualifying step-(k-1) event. Chained per-user
+    conditional min-aggregations — every stage is an equi-shuffle on
+    user_id (AQE-splittable), no windows, no per-row python; the
+    per-user state the reference pattern would hold in a driver loop
+    is just k timestamp columns here.
+
+    Returns one row: (step1_users, step2_users, ..., stepk_users)."""
+    cur = events.where(F.col("event_type") == steps[0]).groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("t1"))
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.where(F.col("event_type") == step)
+            .join(cur, "user_id")
+            .where(F.col("ts") > F.col(f"t{k - 1}"))
+            .groupBy("user_id", *[f"t{i}" for i in range(1, k)])
+            .agg(F.min("ts").alias(f"t{k}"))
+        )
+        cur = cur.join(
+            nxt.select("user_id", f"t{k}"), "user_id", "left"
+        )
+    aggs = [
+        F.count(F.col(f"t{k}")).alias(f"step{k}_users")
+        for k in range(1, len(steps) + 1)
+    ]
+    return cur.agg(*aggs)
+
+
+def funnel_sql(
+    source_sql: str = "events", steps: tuple[str, ...] = FUNNEL_STEPS
+) -> str:
+    ctes = [
+        f"s1 AS (SELECT user_id, min(ts) AS t1 FROM {source_sql} "
+        f"WHERE event_type = '{steps[0]}' GROUP BY 1)"
+    ]
+    prev = "s1"
+    for k, step in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"s{k} AS (SELECT e.user_id, min(e.ts) AS t{k} "
+            f"FROM {source_sql} e JOIN {prev} USING (user_id) "
+            f"WHERE e.event_type = '{step}' AND e.ts > {prev}.t{k - 1} "
+            f"GROUP BY 1)"
+        )
+        prev = f"s{k}"
+    joins = " ".join(
+        f"LEFT JOIN s{k} USING (user_id)" for k in range(2, len(steps) + 1)
+    )
+    counts = ", ".join(
+        f"count(t{k}) AS step{k}_users" for k in range(1, len(steps) + 1)
+    )
+    return f"WITH {', '.join(ctes)} SELECT {counts} FROM s1 {joins}"

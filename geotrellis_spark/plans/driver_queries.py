@@ -1303,8 +1303,39 @@ def sql_ann_ivf() -> str:
     return similarity.ivf_topk_sql()
 
 
+def q_group_percentiles(spark, sf_dir) -> DataFrame:
+    """Exact per-event_type percentile_disc (p50/p95/p99 of cents) via
+    compressed rank selection (operators/olap.py): the window runs over
+    (group, value, freq) rows, never a per-group row sort."""
+    from ..operators import olap
+
+    return olap.group_percentiles(_t(spark, sf_dir, "events"))
+
+
+def sql_group_percentiles() -> str:
+    from ..operators import olap
+
+    return olap.group_percentiles_sql()
+
+
+def q_funnel(spark, sf_dir) -> DataFrame:
+    """Ordered signup->click->purchase funnel: chained per-user
+    conditional min-aggregations, all equi-shuffles on user_id."""
+    from ..operators import olap
+
+    return olap.funnel(_t(spark, sf_dir, "events"))
+
+
+def sql_funnel() -> str:
+    from ..operators import olap
+
+    return olap.funnel_sql()
+
+
 QUERIES = {
     "asof_join": (q_asof_join, sql_asof_join),
+    "group_percentiles": (q_group_percentiles, sql_group_percentiles),
+    "funnel": (q_funnel, sql_funnel),
     "interval_join": (q_interval_join, sql_interval_join),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),

@@ -16,11 +16,16 @@ Shape (the honest scale story, stage by stage):
   batches is IDENTICAL to running the batch job over the union of all
   N inputs — the e2e test asserts exactly that.
 
-At 100 TB you would raise ``recurate_every`` (or trigger recuration on
-a compaction schedule) so the O(corpus) global stages amortize over
-many appends; the append path stays O(batch). Incremental-LSH (storing
-minhash signatures and only probing new docs against the bucket index)
-is the next refinement and slots in behind the same foreachBatch seam.
+The expensive per-doc work IS incremental: minhash signatures (the
+shingling pass over full text — the dominant near-dup cost) are
+computed once per arriving doc in its own micro-batch and stored in a
+signature table; recuration re-bands and re-pairs over the stored
+signatures (one narrow shuffle of 9-column rows) instead of
+re-shingling the corpus text. Signatures are a pure function of each
+doc's text, so the result is bit-identical to the batch job. At 100 TB
+you would additionally raise ``recurate_every`` (or trigger recuration
+on a compaction schedule) so the remaining O(corpus-signatures) global
+stages amortize over many appends; the append path stays O(batch).
 """
 
 from __future__ import annotations
@@ -31,6 +36,7 @@ import os
 from pyspark.sql import DataFrame
 
 from ..operators.curation import curate
+from ..operators.dedup import minhash_signatures
 
 
 def curate_stream(
@@ -49,6 +55,7 @@ def curate_stream(
     ``out_dir/_metrics/batch_<id>.json``; raw accepted rows accumulate
     at ``out_dir/staging``."""
     staging = os.path.join(out_dir, "staging")
+    sig_store = os.path.join(out_dir, "staging_sigs")
     snap = os.path.join(out_dir, "docs")
     metrics_dir = os.path.join(out_dir, "_metrics")
     os.makedirs(metrics_dir, exist_ok=True)
@@ -62,12 +69,22 @@ def curate_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        batch_df.drop("ts").write.mode("append").parquet(staging)
+        rows = batch_df.drop("ts").localCheckpoint()
+        rows.write.mode("append").parquet(staging)
+        # incremental signatures: shingle each doc exactly once, in
+        # the micro-batch it arrives in
+        minhash_signatures(rows).write.mode("append").parquet(sig_store)
         seen["batches"] += 1
         if seen["batches"] % recurate_every:
             return
-        docs = spark.read.parquet(staging)
-        curated, stats = curate(spark, docs, per_stratum, salt)
+        # foreachBatch is at-least-once on restart: a replayed batch
+        # re-appends its rows. Both stores are deterministic per doc,
+        # so doc_id-dedupe at read makes recuration idempotent.
+        docs = spark.read.parquet(staging).dropDuplicates(["doc_id"])
+        sigs = spark.read.parquet(sig_store).dropDuplicates(["doc_id"])
+        curated, stats = curate(
+            spark, docs, per_stratum, salt, signatures=sigs
+        )
         curated.write.mode("overwrite").parquet(snap)
         stats["batch_id"] = int(batch_id)
         with open(

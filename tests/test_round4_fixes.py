@@ -141,3 +141,39 @@ def test_layer_viewshed_gather_guard(spark):
         got[r["key_row"] * T : (r["key_row"] + 1) * T,
             r["key_col"] * T : (r["key_col"] + 1) * T] = vis
     np.testing.assert_array_equal(got, raster_ops.viewshed(world, 10, 10))
+
+
+def test_minhash_candidates_from_precomputed_signatures(spark):
+    """The incremental-ingest seam: candidate pairs from a stored
+    signature table must equal pairs computed from the raw text, and
+    the signature join must ignore signatures of absent docs."""
+    from geotrellis_spark.operators import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    sigs = dedup.minhash_signatures(docs)
+    # extra signature rows for docs NOT in the corpus must not leak in
+    ghost = sigs.selectExpr("doc_id + 1000000 as doc_id", *[
+        f"mh{i}" for i in range(8)
+    ])
+    direct = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidates(docs).collect()
+    }
+    via_sigs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidates(
+            docs, signatures=sigs.unionByName(ghost)
+        ).collect()
+    }
+    assert direct == via_sigs
+    # capped production entry agrees with itself through the seam too
+    capped_direct = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.minhash_dedup(docs).collect()
+    }
+    capped_sigs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_dedup(docs, signatures=sigs).collect()
+    }
+    assert capped_direct == capped_sigs

@@ -118,6 +118,19 @@ def main() -> None:
         dq.q_bm25(spark, "/root/testdata/sf0.01"),
     )
 
+    cap(
+        "group_percentiles: values COMPRESSED to (group,value,freq) by "
+        "a two-phase HashAggregate BEFORE the rank-selection window — "
+        "the window sorts distinct values per group, never raw rows",
+        dq.q_group_percentiles(spark, "/root/testdata/sf0.01"),
+    )
+
+    cap(
+        "funnel: chained per-user conditional min-aggregations — every "
+        "stage an equi-shuffle on user_id, no windows, no theta joins",
+        dq.q_funnel(spark, "/root/testdata/sf0.01"),
+    )
+
     hdr = """# PLANS — physical-plan evidence
 
 `.explain("formatted")` captures showing the engine gets the plans a
