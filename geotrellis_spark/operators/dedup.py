@@ -423,3 +423,71 @@ def dedup_clusters_sql(source_sql: str = "documents") -> str:
     SELECT a AS doc_id, least(a, min(b)) AS cluster
     FROM reach GROUP BY a
     """
+
+
+# ------------------------------------------------------- image near-dup
+
+def phash_neardup(
+    images: DataFrame,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash (the image-payload
+    twin of MinHash-LSH): split each 64-bit phash into 4 x 16-bit
+    bands; images sharing ANY band value are candidates (equi-join on
+    (band, value) — never an all-pairs cross); refine with exact
+    bit_count(a XOR b) <= ``max_hamming``.
+
+    Pigeonhole guarantee: any pair within Hamming distance 3 differs
+    in at most 3 bands, so at least one band matches — recall is 100%
+    for d <= 3 and LSH-probabilistic beyond (same contract as MinHash
+    banding). All integer ops, bit-exact vs the DuckDB oracle
+    (arithmetic shifts on BIGINT agree across engines).
+
+    Returns (img_a, img_b, hamming), img_a < img_b."""
+    banded = images.selectExpr(
+        f"{id_col} as _id", f"{hash_col} as _ph"
+    ).selectExpr(
+        "_id", "_ph",
+        "explode(array(0, 1, 2, 3)) as band",
+    ).selectExpr(
+        "_id", "_ph", "band",
+        "shiftright(_ph, band * 16) & 65535 as bval",
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("img_a"),
+            F.col("b._id").alias("img_b"),
+            F.expr("bit_count(a._ph ^ b._ph)").cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+def phash_neardup_sql(
+    source_sql: str, id_col: str = "image_id", hash_col: str = "phash",
+    max_hamming: int = 6,
+) -> str:
+    return f"""
+    WITH banded AS (
+      SELECT {id_col} AS _id, CAST({hash_col} AS BIGINT) AS _ph,
+             band, (CAST({hash_col} AS BIGINT) >> (band * 16)) & 65535 AS bval
+      FROM {source_sql}, (SELECT unnest([0, 1, 2, 3]) AS band)
+    )
+    SELECT DISTINCT a._id AS img_a, b._id AS img_b,
+           CAST(bit_count(xor(a._ph, b._ph)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bval = b.bval AND a._id < b._id
+    WHERE bit_count(xor(a._ph, b._ph)) <= {max_hamming}
+    """

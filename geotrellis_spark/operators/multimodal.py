@@ -5,11 +5,17 @@ Not in the GeoTrellis reference (raster-only); first-class engine
 additions for large-scale training-data pipelines. The design contract
 (what matters at 100 TB) is REAL here — schemas, partition-preserving
 narrow maps, batch-shaped numpy kernels, byte-offset slicing that never
-decodes more than asked — while decode of EXTERNAL codecs (JPEG, MP3,
-H.264...) is stubbed behind clearly-marked ``NotImplementedError``:
-the image/audio libs are not in this container, and the deterministic
-in-repo codecs (raw16/PNG gray, PCM16, raw frame stacks) stand in so
-every pipeline is end-to-end testable.
+decodes more than asked. Every modality has a REAL lossy codec built
+from scratch in-repo (no external libs needed): image ``dct``
+(JPEG-style 8x8 DCT, core/codecs.py), audio ``adpcm`` (IMA ADPCM 4:1,
+core/av_codecs.py), video ``ddct`` (keyframed delta-DCT with
+byte-offset frame index and keyframe-relative seek, core/av_codecs.py)
+— alongside the lossless raw16/PNG/PCM16/rawstack forms. Only decode
+of THIRD-PARTY formats (libjpeg JPEG, MP3, H.264 bitstreams) remains
+stubbed behind clearly-marked ``NotImplementedError``, because parsing
+those external bitstreams needs their libraries; the engine-side
+plumbing is identical either way and fully tested on the in-repo
+codecs.
 
 Row conventions:
 - image: (image_id long, img binary, w int, h int, fmt string)
@@ -139,15 +145,53 @@ def synth_audio(
 
 
 def decode_audio(data: bytes, codec: str) -> np.ndarray:
-    """PCM16 is real; compressed codecs are STUBS (no audio libs in
-    this container)."""
+    """PCM16 and IMA ADPCM (core/av_codecs.py — real 4:1 lossy codec,
+    from scratch) are real; mp3-class codecs are STUBS (no audio libs
+    in this container)."""
     if codec == "pcm16":
         return np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    if codec == "adpcm":
+        from ..core import av_codecs
+
+        return av_codecs.adpcm_decode(data).astype(np.float64) / 32768.0
     if codec in EXTERNAL_AUDIO_CODECS:
         raise NotImplementedError(
             f"STUB: {codec} decode needs an external audio library"
         )
     raise ValueError(codec)
+
+
+def transcode_audio(audio: DataFrame, to_codec: str = "adpcm") -> DataFrame:
+    """Transcode pcm16 <-> adpcm payloads: one narrow map, partitioning
+    preserved; the sequential ADPCM predictor loop parallelizes across
+    rows (one clip per row) like every other payload kernel."""
+    from ..core import av_codecs
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            blobs, codecs_out = [], []
+            for i in range(len(pdf)):
+                src = pdf["codec"].iloc[i]
+                data = bytes(pdf["pcm"].iloc[i])
+                if src == to_codec:
+                    blobs.append(data)
+                elif (src, to_codec) == ("pcm16", "adpcm"):
+                    blobs.append(
+                        av_codecs.adpcm_encode(np.frombuffer(data, "<i2"))
+                    )
+                elif (src, to_codec) == ("adpcm", "pcm16"):
+                    blobs.append(
+                        av_codecs.adpcm_decode(data).astype("<i2").tobytes()
+                    )
+                else:
+                    raise ValueError((src, to_codec))
+                codecs_out.append(to_codec)
+            out["pcm"] = blobs
+            out["codec"] = codecs_out
+            yield out
+
+    return audio.mapInPandas(gen, audio.schema)
 
 
 def audio_features(
@@ -229,11 +273,13 @@ def frame_sample(
     frame binary, phash)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core import av_codecs
+
         for pdf in batches:
             out = {"video_id": [], "frame_ord": [], "frame": [], "phash": []}
             for i in range(len(pdf)):
                 codec = pdf["codec"].iloc[i]
-                if codec != "rawstack":
+                if codec not in ("rawstack", "ddct"):
                     raise NotImplementedError(
                         f"STUB: {codec} frame seek needs an external "
                         "video library"
@@ -245,7 +291,14 @@ def frame_sample(
                 fbytes = w * h * 2
                 vid = int(pdf["video_id"].iloc[i])
                 for f in range(0, nf, every_k):
-                    chunk = bytes(blob[f * fbytes : (f + 1) * fbytes])
+                    if codec == "ddct":
+                        # keyframe-relative seek: decode cost is
+                        # (f mod keyframe_every)+1 frames, not nf
+                        chunk = av_codecs.ddct_decode_frame(
+                            bytes(blob), f
+                        ).tobytes()
+                    else:
+                        chunk = bytes(blob[f * fbytes : (f + 1) * fbytes])
                     out["video_id"].append(vid)
                     out["frame_ord"].append(f)
                     out["frame"].append(chunk)
@@ -261,3 +314,40 @@ def frame_sample(
     return video.mapInPandas(
         gen, "video_id long, frame_ord long, frame binary, phash long"
     )
+
+
+def transcode_video(video: DataFrame, to_codec: str = "ddct",
+                    quality: int = 95, keyframe_every: int = 8) -> DataFrame:
+    """Transcode rawstack <-> ddct (keyframed delta-DCT,
+    core/av_codecs.py): one narrow map, partitioning preserved."""
+    from ..core import av_codecs
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            blobs, codecs_out = [], []
+            for i in range(len(pdf)):
+                src = pdf["codec"].iloc[i]
+                blob = bytes(pdf["frames"].iloc[i])
+                w = int(pdf["w"].iloc[i])
+                h = int(pdf["h"].iloc[i])
+                nf = int(pdf["n_frames"].iloc[i])
+                if src == to_codec:
+                    blobs.append(blob)
+                elif (src, to_codec) == ("rawstack", "ddct"):
+                    stack = np.frombuffer(blob, "<u2").reshape(nf, h, w)
+                    blobs.append(
+                        av_codecs.ddct_encode(stack, quality, keyframe_every)
+                    )
+                elif (src, to_codec) == ("ddct", "rawstack"):
+                    blobs.append(
+                        av_codecs.ddct_decode(blob).astype("<u2").tobytes()
+                    )
+                else:
+                    raise ValueError((src, to_codec))
+                codecs_out.append(to_codec)
+            out["frames"] = blobs
+            out["codec"] = codecs_out
+            yield out
+
+    return video.mapInPandas(gen, video.schema)

@@ -1303,6 +1303,30 @@ def sql_ann_ivf() -> str:
     return similarity.ivf_topk_sql()
 
 
+def q_phash_neardup(spark, sf_dir) -> DataFrame:
+    """Image near-dup pairs by perceptual hash: 4x16-bit band LSH
+    (equi-join, never all-pairs) + exact bit_count hamming refine at
+    d<=3 — the recall-guaranteed regime (pigeonhole over 4 bands).
+    Input = the distributed synth generator's stored phash column; the
+    oracle runs the same integer banding over the SAME 300 phashes
+    computed by the local generator (so this also re-proves
+    distributed == local generation)."""
+    from ..operators import dedup
+
+    images = synth.synth_images(spark, 300, partitions=8)
+    return dedup.phash_neardup(images, max_hamming=3)
+
+
+def sql_phash_neardup() -> str:
+    from ..operators import dedup
+
+    vals = ", ".join(
+        f"('img{i:012d}', {synth.make_row(i)['phash']})" for i in range(300)
+    )
+    src = f"(SELECT * FROM (VALUES {vals}) t(image_id, phash))"
+    return dedup.phash_neardup_sql(src, max_hamming=3)
+
+
 def q_group_percentiles(spark, sf_dir) -> DataFrame:
     """Exact per-event_type percentile_disc (p50/p95/p99 of cents) via
     compressed rank selection (operators/olap.py): the window runs over
@@ -1336,6 +1360,7 @@ QUERIES = {
     "asof_join": (q_asof_join, sql_asof_join),
     "group_percentiles": (q_group_percentiles, sql_group_percentiles),
     "funnel": (q_funnel, sql_funnel),
+    "phash_neardup": (q_phash_neardup, sql_phash_neardup),
     "interval_join": (q_interval_join, sql_interval_join),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),
