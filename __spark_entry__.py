@@ -50,7 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """Exact DuckDB twins for EVERY query (47/47): the image-pipeline
+    """Exact DuckDB twins for EVERY query in the registry (no
+    rows-only entries): the image-pipeline
     entries compare tile-cover/pyramid key math directly and verify
     binary payloads as match-vs-independent-golden booleans; Hilbert is
     the xy2d rotation unrolled to SQL CASE steps."""

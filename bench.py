@@ -99,7 +99,7 @@ def main() -> None:
     # restore). A real deployment runs ingest as a dedicated job, which
     # is exactly what a fresh JVM models. PIP leg = 4M dense synthetic
     # points (the 100k-row events table is fixed-cost-dominated and
-    # under-reports the rate ~60x). Each leg is best-of-2 in its JVM.
+    # under-reports the rate ~60x). Each leg is best-of-3 in its JVM with a GC barrier per rep.
     import subprocess
 
     _here = os.path.dirname(os.path.abspath(__file__))

@@ -266,5 +266,8 @@ def dct_decode_gray(data: bytes, nodata: int | None = 0) -> np.ndarray:
     out = np.clip(np.round(f), 0, 65535).astype(np.uint16)
     if nodata is not None:
         out[mask] = nodata
-        out[~mask & (out == nodata)] = nodata + 1  # never invent NoData
+        # never invent NoData: nudge colliding valid pixels by one step
+        # INTO the uint16 range (nodata=65535 must nudge down, not wrap)
+        nudge = nodata - 1 if nodata == 65535 else nodata + 1
+        out[~mask & (out == nodata)] = np.uint16(nudge)
     return out

@@ -102,7 +102,20 @@ def minhash_candidates(
     signature table costs one narrow shuffle instead of re-shingling
     the full corpus' text every recuration."""
     if signatures is not None:
-        sig = signatures.join(docs.select(id_col), id_col)
+        ids = docs.select(id_col)
+        sig = signatures.join(ids, id_col)
+        # a doc with no signature row would silently skip near-dup
+        # detection (its duplicates survive) — fail loudly instead.
+        # Two 1-row aggregates; runs once per recuration, not per row.
+        # (duplicate signature rows are harmless — the final pair
+        # distinct() absorbs them; only MISSING rows corrupt results)
+        n_docs, n_sig = ids.count(), sig.select(id_col).distinct().count()
+        if n_sig < n_docs:
+            raise ValueError(
+                f"signatures table is missing {n_docs - n_sig} of "
+                f"{n_docs} docs — stale or partially-written signature "
+                "store; recompute signatures for the missing docs"
+            )
     else:
         sig = minhash_signatures(docs, id_col, text_col)
     rows_per = len(MINHASH_A) // bands

@@ -290,15 +290,16 @@ def frame_sample(
                 blob = pdf["frames"].iloc[i]
                 fbytes = w * h * 2
                 vid = int(pdf["video_id"].iloc[i])
+                blob_b = bytes(blob)  # ONE materialization per row
                 for f in range(0, nf, every_k):
                     if codec == "ddct":
                         # keyframe-relative seek: decode cost is
                         # (f mod keyframe_every)+1 frames, not nf
                         chunk = av_codecs.ddct_decode_frame(
-                            bytes(blob), f
+                            blob_b, f
                         ).tobytes()
                     else:
-                        chunk = bytes(blob[f * fbytes : (f + 1) * fbytes])
+                        chunk = blob_b[f * fbytes : (f + 1) * fbytes]
                     out["video_id"].append(vid)
                     out["frame_ord"].append(f)
                     out["frame"].append(chunk)

@@ -56,14 +56,18 @@ class ParquetCatalog:
         self.base = base
 
     def write(self, df: DataFrame, table: str, partition_cols, mode: str):
-        path = os.path.join(self.base, table)
         w = df.write.mode(mode)
         if partition_cols:
             w = w.partitionBy(*partition_cols)
-        w.parquet(path)
+        w.parquet(self.location(table))
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.base, table))
+        return spark.read.parquet(self.location(table))
+
+    def location(self, table: str) -> str:
+        """Physical address recorded in snapshot metadata; a real
+        Iceberg catalog returns the table identifier instead."""
+        return os.path.join(self.base, table)
 
 
 def write_tiles(
@@ -103,8 +107,9 @@ def _write_snapshot(
     )
     cat.write(manifest.coalesce(1), os.path.join("_meta", "manifests"),
               (), "append")
+    loc = cat.location(table) if hasattr(cat, "location") else table
     snap = spark.createDataFrame(
-        [(snap_id, table, time.strftime("%Y-%m-%dT%H:%M:%S"), table)],
+        [(snap_id, table, time.strftime("%Y-%m-%dT%H:%M:%S"), loc)],
         "snapshot_id string, table_name string, committed_at string, path string",
     )
     cat.write(snap.coalesce(1), os.path.join("_meta", "snapshots"),

@@ -39,6 +39,37 @@ from ..operators.curation import curate
 from ..operators.dedup import minhash_signatures
 
 
+def recurate(
+    spark,
+    out_dir: str,
+    per_stratum: int = 100,
+    salt: int = 42,
+    batch_id: int | None = None,
+) -> dict:
+    """Fold everything staged so far into the curated snapshot. Called
+    by the stream on its recuration cadence, and callable standalone
+    after the stream stops to fold any tail batches (the snapshot ==
+    batch-job invariant then holds over ALL staged rows regardless of
+    ``recurate_every``). foreachBatch is at-least-once on restart — a
+    replayed batch re-appends its rows — and both stores are
+    deterministic per doc, so doc_id-dedupe at read makes this
+    idempotent."""
+    staging = os.path.join(out_dir, "staging")
+    sig_store = os.path.join(out_dir, "staging_sigs")
+    snap = os.path.join(out_dir, "docs")
+    metrics_dir = os.path.join(out_dir, "_metrics")
+    os.makedirs(metrics_dir, exist_ok=True)
+    docs = spark.read.parquet(staging).dropDuplicates(["doc_id"])
+    sigs = spark.read.parquet(sig_store).dropDuplicates(["doc_id"])
+    curated, stats = curate(spark, docs, per_stratum, salt, signatures=sigs)
+    curated.write.mode("overwrite").parquet(snap)
+    tag = "final" if batch_id is None else str(batch_id)
+    stats["batch_id"] = tag
+    with open(os.path.join(metrics_dir, f"batch_{tag}.json"), "w") as f:
+        json.dump(stats, f)
+    return stats
+
+
 def curate_stream(
     docs_stream: DataFrame,
     out_dir: str,
@@ -59,7 +90,6 @@ def curate_stream(
     snap = os.path.join(out_dir, "docs")
     metrics_dir = os.path.join(out_dir, "_metrics")
     os.makedirs(metrics_dir, exist_ok=True)
-    seen = {"batches": 0}
 
     deduped = docs_stream.withWatermark(
         "ts", watermark
@@ -74,23 +104,15 @@ def curate_stream(
         # incremental signatures: shingle each doc exactly once, in
         # the micro-batch it arrives in
         minhash_signatures(rows).write.mode("append").parquet(sig_store)
-        seen["batches"] += 1
-        if seen["batches"] % recurate_every:
+        # cadence keyed on the CHECKPOINTED batch_id (monotone across
+        # restarts), not an in-memory counter that resets. With
+        # recurate_every > 1 the snapshot may trail by up to
+        # recurate_every-1 batches until the next firing trigger — the
+        # standard streaming-snapshot trade-off; call ``recurate()``
+        # after stopping the stream for an explicit final fold.
+        if batch_id % recurate_every:
             return
-        # foreachBatch is at-least-once on restart: a replayed batch
-        # re-appends its rows. Both stores are deterministic per doc,
-        # so doc_id-dedupe at read makes recuration idempotent.
-        docs = spark.read.parquet(staging).dropDuplicates(["doc_id"])
-        sigs = spark.read.parquet(sig_store).dropDuplicates(["doc_id"])
-        curated, stats = curate(
-            spark, docs, per_stratum, salt, signatures=sigs
-        )
-        curated.write.mode("overwrite").parquet(snap)
-        stats["batch_id"] = int(batch_id)
-        with open(
-            os.path.join(metrics_dir, f"batch_{batch_id}.json"), "w"
-        ) as f:
-            json.dump(stats, f)
+        recurate(spark, out_dir, per_stratum, salt, batch_id=int(batch_id))
 
     writer = deduped.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

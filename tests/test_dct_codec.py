@@ -90,3 +90,14 @@ def test_tile_images_dct_roundtrip_psnr(spark):
         if valid.any():
             p = imagery.psnr(want[valid].astype(float), got[valid].astype(float))
             assert p >= 40.0, (r["cell_id"], p)
+
+
+def test_nodata_65535_nudges_down_not_wrap():
+    # nodata at the TOP of the range: colliding valid pixels must nudge
+    # to 65534, never wrap to 0
+    px = np.full((16, 16), 65535, dtype=np.uint16)
+    px[0, 0] = 60000  # one valid pixel in a NoData sea -> mean fill
+    enc = codecs.dct_encode_gray(px, nodata=65535)
+    dec = codecs.dct_decode_gray(enc, nodata=65535)
+    np.testing.assert_array_equal(dec == 65535, px == 65535)
+    assert dec[0, 0] != 0 and dec[0, 0] != 65535

@@ -234,3 +234,63 @@ def test_streaming_curation_equals_batch(spark, tmp_path):
     # metrics were recorded for at least the final recuration
     import glob
     assert glob.glob(str(tmp_path / "out" / "_metrics" / "batch_*.json"))
+
+
+def test_streaming_curation_tail_fold_recurate(spark, tmp_path):
+    """recurate_every > 1 leaves tail batches out of the snapshot until
+    the next cadence hit; an explicit recurate() after the stream stops
+    folds them, restoring snapshot == batch-job over ALL staged rows."""
+    import pandas as pd
+    from geotrellis_spark.operators.curation import curate
+    from geotrellis_spark.streaming.curate_stream import (
+        curate_stream, recurate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        pdf.iloc[i::3].to_parquet(src / f"b{i}.parquet", index=False)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .selectExpr(
+            "*",
+            "timestamp'2026-01-01' + make_interval(0,0,0,0,0,0,doc_id) as ts",
+        )
+    )
+    out = tmp_path / "out"
+    q = curate_stream(
+        stream, out_dir=str(out), checkpoint_dir=str(tmp_path / "ckpt"),
+        per_stratum=20, recurate_every=5,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # only batch_id 0 recurated: snapshot is stale vs the full corpus
+    stale = set(
+        spark.read.parquet(str(out / "docs")).toPandas()["doc_id"]
+    )
+    want_df, _ = curate(spark, docs, per_stratum=20)
+    want = set(want_df.toPandas()["doc_id"])
+    assert stale != want  # proves the cadence really skipped batches
+    recurate(spark, str(out), per_stratum=20)
+    got = set(spark.read.parquet(str(out / "docs")).toPandas()["doc_id"])
+    assert got == want
+
+
+def test_minhash_missing_signatures_raises(spark):
+    """A signature store missing docs must fail loudly, not silently
+    skip near-dup detection for them."""
+    import pytest
+    from geotrellis_spark.operators import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50)
+    partial = dedup.minhash_signatures(docs.limit(30))
+    with pytest.raises(ValueError, match="missing"):
+        dedup.minhash_candidates(docs, signatures=partial).collect()
