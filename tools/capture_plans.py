@@ -131,6 +131,13 @@ def main() -> None:
         dq.q_funnel(spark, "/root/testdata/sf0.01"),
     )
 
+    cap(
+        "phash_neardup: band equi-join over 4x16-bit phash bands "
+        "(SortMergeJoin/BHJ on (band,bval)) + bit_count hamming refine "
+        "— never an all-pairs image cross join",
+        dq.q_phash_neardup(spark, "/root/testdata/sf0.01"),
+    )
+
     hdr = """# PLANS — physical-plan evidence
 
 `.explain("formatted")` captures showing the engine gets the plans a
