@@ -415,13 +415,14 @@ def dedup_clusters(
     )
 
 
-def dedup_clusters_sql(source_sql: str = "documents") -> str:
-    """DuckDB twin: transitive closure by recursive CTE, cluster = min
-    reachable id. (Closure is quadratic in component size — fine at
-    oracle scale; the Spark side is the scale path.)"""
+def closure_sql(pairs_sql: str, extra_ctes: str = "") -> str:
+    """Transitive closure by recursive CTE over ANY (doc_a, doc_b)
+    pair query: (doc_id, cluster = min reachable id). (Closure is
+    quadratic in component size — fine at oracle scale; the Spark side
+    is the scale path.)"""
     return f"""
-    WITH RECURSIVE pairs AS (
-      {minhash_candidates_sql(source_sql)}
+    WITH RECURSIVE {extra_ctes}{"," if extra_ctes else ""} pairs AS (
+      {pairs_sql}
     ),
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -436,6 +437,11 @@ def dedup_clusters_sql(source_sql: str = "documents") -> str:
     SELECT a AS doc_id, least(a, min(b)) AS cluster
     FROM reach GROUP BY a
     """
+
+
+def dedup_clusters_sql(source_sql: str = "documents") -> str:
+    """DuckDB twin of MinHash candidates -> connected components."""
+    return closure_sql(minhash_candidates_sql(source_sql))
 
 
 # ------------------------------------------------------- image near-dup
@@ -504,3 +510,55 @@ def phash_neardup_sql(
       ON a.band = b.band AND a.bval = b.bval AND a._id < b._id
     WHERE bit_count(xor(a._ph, b._ph)) <= {max_hamming}
     """
+
+
+# ---------------------------------------------------- cross-modal dedup
+
+def crossmodal_dedup(
+    images: DataFrame,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Cross-modal near-duplicate clustering over image+caption pairs
+    (the LAION-style curation op): a pair is a candidate duplicate if
+    EITHER its captions near-dup (MinHash-LSH over the text) OR its
+    images near-dup (phash band LSH) — the two pair sources union into
+    one graph and connected components pick each cluster's minimum id
+    as the representative to keep.
+
+    Input must carry (ordinal-bearing id, caption, phash); ids are the
+    numeric image ordinals. Every stage is an equi-join / hash-agg
+    (the minhash + phash + min-label machinery above); nothing here
+    adds a shuffle beyond the pair union. Returns (doc_id, cluster)."""
+    base = images.selectExpr(
+        f"cast(substring({id_col}, 4) as bigint) as doc_id",
+        f"{caption_col} as text",
+        f"{hash_col} as phash",
+    )
+    cap_pairs = minhash_candidates(base)
+    img_pairs = phash_neardup(
+        base.selectExpr("doc_id as image_id", "phash"),
+        max_hamming=max_hamming,
+    ).selectExpr("img_a as doc_a", "img_b as doc_b")
+    pairs = cap_pairs.unionByName(img_pairs).distinct()
+    return dedup_clusters(pairs)
+
+
+def crossmodal_dedup_sql(
+    values_sql: str, max_hamming: int = 3
+) -> str:
+    """DuckDB twin: same two pair generators unioned, then the shared
+    recursive-CTE closure. ``values_sql`` supplies rows
+    (doc_id bigint, text, phash bigint) — e.g. an inlined VALUES list
+    of the deterministic synth corpus."""
+    img_sql = phash_neardup_sql(
+        "imgs", id_col="doc_id", hash_col="phash", max_hamming=max_hamming
+    )
+    pair_union = f"""
+      SELECT doc_a, doc_b FROM ({minhash_candidates_sql('imgs')})
+      UNION
+      SELECT img_a AS doc_a, img_b AS doc_b FROM ({img_sql})
+    """
+    return closure_sql(pair_union, extra_ctes=f"imgs AS ({values_sql})")

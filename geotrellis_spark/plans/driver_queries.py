@@ -1327,6 +1327,32 @@ def sql_phash_neardup() -> str:
     return dedup.phash_neardup_sql(src, max_hamming=3)
 
 
+def q_crossmodal_dedup(spark, sf_dir) -> DataFrame:
+    """Cross-modal near-dup clustering over image+caption pairs: a
+    pair duplicates if EITHER its captions MinHash-near-dup OR its
+    images phash-near-dup; the union graph dissolves by connected
+    components (min-id representative). All equi-joins + the
+    min-label propagation loop — the LAION-style curation op at the
+    100 TB shape."""
+    from ..operators import dedup
+
+    images = synth.synth_images(spark, 300, partitions=8)
+    return dedup.crossmodal_dedup(images)
+
+
+def sql_crossmodal_dedup() -> str:
+    from ..operators import dedup
+
+    vals = ", ".join(
+        "(CAST({i} AS BIGINT), '{c}', CAST({p} AS BIGINT))".format(
+            i=i, c=synth.make_row(i)["caption"], p=synth.make_row(i)["phash"]
+        )
+        for i in range(300)
+    )
+    src = f"SELECT * FROM (VALUES {vals}) t(doc_id, text, phash)"
+    return dedup.crossmodal_dedup_sql(src)
+
+
 def q_group_percentiles(spark, sf_dir) -> DataFrame:
     """Exact per-event_type percentile_disc (p50/p95/p99 of cents) via
     compressed rank selection (operators/olap.py): the window runs over
@@ -1361,6 +1387,7 @@ QUERIES = {
     "group_percentiles": (q_group_percentiles, sql_group_percentiles),
     "funnel": (q_funnel, sql_funnel),
     "phash_neardup": (q_phash_neardup, sql_phash_neardup),
+    "crossmodal_dedup": (q_crossmodal_dedup, sql_crossmodal_dedup),
     "interval_join": (q_interval_join, sql_interval_join),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),
