@@ -685,3 +685,55 @@ def ivf_kmeans_topk_sql(
     ) WHERE rank <= {k}
     """
     )
+
+
+def ann_recall(
+    emb: DataFrame,
+    k: int = 5,
+    query_pred: str = "vec_id % 100 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN path vs exact brute-force
+    cosine, per query — the quality metric a production ANN deployment
+    monitors, as a first-class (and oracle-checkable) query: both
+    top-k sets are deterministic, so recall is an exact integer.
+    Output: (q_id, hits, recall_milli)."""
+    exact = cosine_topk(emb, k, query_pred, id_col, vec_col)
+    approx = lsh_topk(emb, k, query_pred, id_col, vec_col)
+    hits = (
+        exact.join(approx.select("q_id", id_col), ["q_id", id_col])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    base = exact.select("q_id").distinct()
+    return base.join(hits, "q_id", "left").selectExpr(
+        "q_id",
+        "cast(coalesce(hits, 0) as bigint) as hits",
+        f"cast(coalesce(hits, 0) * 1000 div {k} as bigint) as recall_milli",
+    )
+
+
+def ann_recall_sql(
+    k: int = 5,
+    query_pred: str = "vec_id % 100 = 0",
+    source_sql: str = "embeddings",
+) -> str:
+    return f"""
+    WITH exact_tk AS (
+      SELECT * FROM ({cosine_topk_sql(k, query_pred, source_sql)})
+    ),
+    approx_tk AS (
+      SELECT * FROM ({lsh_topk_sql(k, query_pred, source_sql)})
+    ),
+    hits AS (
+      SELECT e.q_id, count(*) AS hits
+      FROM exact_tk e JOIN approx_tk a
+        ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+      GROUP BY 1
+    )
+    SELECT b.q_id,
+           CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+           CAST(coalesce(hits, 0) * 1000 // {k} AS BIGINT) AS recall_milli
+    FROM (SELECT DISTINCT q_id FROM exact_tk) b LEFT JOIN hits USING (q_id)
+    """

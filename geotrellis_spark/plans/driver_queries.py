@@ -1327,6 +1327,16 @@ def sql_phash_neardup() -> str:
     return dedup.phash_neardup_sql(src, max_hamming=3)
 
 
+def q_ann_recall(spark, sf_dir) -> DataFrame:
+    """Recall@5 of the bucketed ANN path vs exact cosine, per query —
+    the ANN quality metric as an oracle-exact integer query."""
+    return similarity.ann_recall(_t(spark, sf_dir, "embeddings"))
+
+
+def sql_ann_recall() -> str:
+    return similarity.ann_recall_sql()
+
+
 def q_crossmodal_dedup(spark, sf_dir) -> DataFrame:
     """Cross-modal near-dup clustering over image+caption pairs: a
     pair duplicates if EITHER its captions MinHash-near-dup OR its
@@ -1388,6 +1398,7 @@ QUERIES = {
     "funnel": (q_funnel, sql_funnel),
     "phash_neardup": (q_phash_neardup, sql_phash_neardup),
     "crossmodal_dedup": (q_crossmodal_dedup, sql_crossmodal_dedup),
+    "ann_recall": (q_ann_recall, sql_ann_recall),
     "interval_join": (q_interval_join, sql_interval_join),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),

@@ -161,3 +161,42 @@ def stateful_cell_tracker(
         track, out_schema, state_schema, "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def asof_enrich_stream(
+    events_stream: DataFrame,
+    dim: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    on: str,
+    ts: str = "ts",
+    right_cols: tuple[str, ...] = ("snap_id", "snap_value"),
+    watermark: str = "30 seconds",
+):
+    """Streaming as-of enrichment: every event picks up the latest
+    dimension snapshot with ``dim.ts <= event.ts`` for its key —
+    Spark has no built-in streaming as-of join, so each micro-batch
+    runs the batch ``temporal.asof_join`` (single-shuffle union+window)
+    against the static dimension inside ``foreachBatch``. Per-batch
+    results equal the batch join because as-of is row-local given the
+    full dimension: each LEFT row's match depends only on its own key
+    and timestamp, never on other left rows, so batching the left side
+    arbitrarily cannot change any match (proven by the e2e test).
+    Output appends to ``out_dir`` parquet."""
+    from ..operators.temporal import asof_join
+
+    dim = dim.localCheckpoint()  # pin: re-read per batch otherwise
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        asof_join(batch_df, dim, on, ts, right_cols).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return (
+        events_stream.withWatermark(ts, watermark)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -294,3 +294,58 @@ def test_minhash_missing_signatures_raises(spark):
     partial = dedup.minhash_signatures(docs.limit(30))
     with pytest.raises(ValueError, match="missing"):
         dedup.minhash_candidates(docs, signatures=partial).collect()
+
+
+def test_streaming_asof_enrichment_equals_batch(spark, tmp_path):
+    """Streaming as-of enrichment: events streamed in 3 micro-batches,
+    each batch as-of joined against a static snapshot dimension; the
+    appended union must EQUAL the batch asof_join over all events
+    (as-of is row-local given the full dimension)."""
+    import datetime as dt
+    import pandas as pd
+    from geotrellis_spark.operators.temporal import asof_join
+    from geotrellis_spark.streaming.ingest_stream import asof_enrich_stream
+
+    t0 = dt.datetime(2026, 1, 1)
+    dim = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(minutes=m), m * 10 + k, float(m))
+         for k in (1, 2) for m in (0, 30, 60)],
+        "key long, ts timestamp, snap_id long, snap_value double",
+    )
+    ev = pd.DataFrame({
+        "event_id": range(60),
+        "key": [1 + (i % 2) for i in range(60)],
+        "ts": pd.to_datetime(
+            [t0 + dt.timedelta(minutes=i * 2 - 5) for i in range(60)]
+        ).astype("datetime64[us]"),
+    })
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        ev.iloc[i::3].to_parquet(src / f"b{i}.parquet", index=False)
+    stream = (
+        spark.readStream.schema("event_id long, key long, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    out = tmp_path / "enriched"
+    q = asof_enrich_stream(
+        stream, dim, str(out), str(tmp_path / "ckpt"), on="key",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.read.parquet(str(out))
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    events = spark.createDataFrame(ev)
+    want = (
+        asof_join(events, dim, "key").toPandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)]
+    )
+    # sanity: pre-dimension events carry NULLs, later ones snapshots
+    assert got["snap_id"].isna().any() and got["snap_id"].notna().any()
