@@ -41,6 +41,7 @@ HEADLINE = [
     "ann_multiprobe",
     "ann_ivf",
     "ann_ivf_kmeans",
+    "ann_recall",
     "spacetime_join",
     "asof_join",
     "interval_join",

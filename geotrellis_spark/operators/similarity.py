@@ -737,3 +737,110 @@ def ann_recall_sql(
            CAST(coalesce(hits, 0) * 1000 // {k} AS BIGINT) AS recall_milli
     FROM (SELECT DISTINCT q_id FROM exact_tk) b LEFT JOIN hits USING (q_id)
     """
+
+
+# -------------------------------------------------- persisted IVF index
+
+def ivf_build_index(
+    emb: DataFrame,
+    base: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stride: int = 61,
+    kmeans_rounds: int = 0,
+) -> None:
+    """Build and PERSIST an IVF index — the build-once/query-many
+    deployment shape: centroids to ``base/centroids`` (k rows) and
+    vector assignments to ``base/assignments`` HIVE-PARTITIONED BY
+    cent_id, so a query's probes read only its nprobe partitions
+    (partition pruning does the inverted-list seek; at 100 TB this is
+    the difference between scanning the corpus per query batch and
+    scanning nprobe lists). ``kmeans_rounds`` > 0 refines the stride
+    seed centroids with the bit-exact milli-integer Lloyd iterations
+    (``kmeans_milli``)."""
+    if kmeans_rounds > 0:
+        cents = kmeans_milli(
+            emb, stride=stride, iters=kmeans_rounds,
+            id_col=id_col, vec_col=vec_col,
+        ).select("cent_id", F.col("cv").alias("c_vec"))
+    else:
+        cents = emb.where(f"{id_col} % {stride} = 0").select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
+        )
+    cents = cents.localCheckpoint()
+    cents.write.mode("overwrite").parquet(f"{base}/centroids")
+    bcents = F.broadcast(cents)
+    scored = emb.select(id_col, vec_col).crossJoin(bcents).withColumn(
+        "ccos",
+        _dot(vec_col, "c_vec")
+        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("c_vec", "c_vec"))),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("ccos").desc(), F.col("cent_id").asc()
+    )
+    assign = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .where("crank = 1")
+        .select(id_col, vec_col, "cent_id")
+    )
+    assign.write.mode("overwrite").partitionBy("cent_id").parquet(
+        f"{base}/assignments"
+    )
+
+
+def ivf_query_index(
+    spark,
+    base: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index: nearest ``nprobe`` centroids per
+    query (broadcast k-row table), then a cent_id equi-join against
+    the partitioned assignment store — `.explain` shows PartitionFilters
+    on cent_id, i.e. only the probed inverted lists are scanned.
+    Matches ``ivf_topk`` exactly for the same centroid table."""
+    cents = F.broadcast(spark.read.parquet(f"{base}/centroids"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    qscored = q.crossJoin(cents).withColumn(
+        "ccos",
+        _dot("q_vec", "c_vec")
+        / (F.sqrt(_dot("q_vec", "q_vec")) * F.sqrt(_dot("c_vec", "c_vec"))),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        qscored.withColumn("crank", F.row_number().over(w))
+        .where(f"crank <= {nprobe}")
+        .select("q_id", "q_vec", "cent_id")
+    )
+    # driver-side probe list -> IN-list partition filter on the scan:
+    # the probed cent_ids are tiny (n_queries x nprobe), and inlining
+    # them into the read is what turns partition pruning ON for the
+    # assignment store
+    probe_ids = [int(r["cent_id"]) for r in
+                 probes.select("cent_id").distinct().collect()]
+    assign = spark.read.parquet(f"{base}/assignments").where(
+        F.col("cent_id").isin(probe_ids)
+    )
+    pairs = assign.join(F.broadcast(probes), "cent_id").where(
+        F.col(id_col) != F.col("q_id")
+    )
+    scored = pairs.withColumn(
+        "cos",
+        _dot(vec_col, "q_vec")
+        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("q_vec", "q_vec"))),
+    )
+    win = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("q_id", id_col, "rank")
+    )

@@ -404,3 +404,44 @@ def test_minhash_cap_preserves_clusters(spark):
     got = {r["doc_id"]: r["cluster"] for r in clusters.collect()}
     assert len(got) == 20  # every doc appears in the pair graph
     assert set(got.values()) == {0}  # one cluster, rep = min id
+
+
+def test_ivf_persisted_index_matches_inline(spark, tmp_path):
+    """Build-once/query-many IVF: the persisted index (hive-partitioned
+    assignments by cent_id) must return EXACTLY ivf_topk's results, and
+    the probe scan must carry a cent_id partition filter (only the
+    probed inverted lists are read)."""
+    from geotrellis_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = str(tmp_path / "ivf")
+    S.ivf_build_index(emb, base)
+    queries = emb.where("vec_id % 100 = 0")
+    got = {
+        (r["q_id"], r["vec_id"], r["rank"])
+        for r in S.ivf_query_index(spark, base, queries).collect()
+    }
+    want = {
+        (r["q_id"], r["vec_id"], r["rank"])
+        for r in S.ivf_topk(emb).collect()
+    }
+    assert got == want and got
+    # partition pruning proof: the assignment scan has PartitionFilters
+    import io, contextlib
+    df = S.ivf_query_index(spark, base, queries)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cent_id" in plan
+
+
+def test_ivf_persisted_kmeans_variant(spark, tmp_path):
+    from geotrellis_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = str(tmp_path / "ivf_km")
+    S.ivf_build_index(emb, base, kmeans_rounds=2)
+    out = S.ivf_query_index(spark, base, emb.where("vec_id % 100 = 0"))
+    # 5 queries x top-5
+    assert out.count() == 25
