@@ -47,6 +47,7 @@ HEADLINE = [
     "interval_join",
     "group_percentiles",
     "funnel",
+    "retention",
     "resample_ffill",
     "stratified_sample",
     "tfidf",

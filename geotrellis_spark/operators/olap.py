@@ -138,3 +138,43 @@ def funnel_sql(
         f"count(t{k}) AS step{k}_users" for k in range(1, len(steps) + 1)
     )
     return f"WITH {', '.join(ctes)} SELECT {counts} FROM s1 {joins}"
+
+
+def retention(events: DataFrame, period_sec: int = 604800) -> DataFrame:
+    """Cohort retention: users bucketed by their FIRST active period
+    (week by default), counted once per (cohort, periods-since) they
+    were active — the training-telemetry staple. Integer epoch math
+    end-to-end (UTC), so the oracle is bit-exact. Three hash-aggs +
+    one equi-join on user_id; the distinct is the only extra shuffle.
+    Output: (cohort, period_off, users) — period_off, not "offset",
+    which is a reserved word in DuckDB."""
+    wk = events.selectExpr(
+        "user_id",
+        f"cast(unix_timestamp(ts) as bigint) div {period_sec} as wk",
+    )
+    first = wk.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    active = (
+        wk.join(first, "user_id")
+        .selectExpr("user_id", "cohort", "wk - cohort as period_off")
+        .distinct()
+    )
+    return active.groupBy("cohort", "period_off").agg(
+        F.count("*").alias("users")
+    )
+
+
+def retention_sql(source_sql: str = "events", period_sec: int = 604800) -> str:
+    return f"""
+    WITH wk AS (
+      SELECT user_id,
+             CAST(epoch(ts) AS BIGINT) // {period_sec} AS wk
+      FROM {source_sql}
+    ),
+    firstp AS (SELECT user_id, min(wk) AS cohort FROM wk GROUP BY 1),
+    active AS (
+      SELECT DISTINCT user_id, cohort, wk - cohort AS period_off
+      FROM wk JOIN firstp USING (user_id)
+    )
+    SELECT cohort, period_off, CAST(count(*) AS BIGINT) AS users
+    FROM active GROUP BY 1, 2
+    """

@@ -1327,6 +1327,21 @@ def sql_phash_neardup() -> str:
     return dedup.phash_neardup_sql(src, max_hamming=3)
 
 
+def q_retention(spark, sf_dir) -> DataFrame:
+    """Cohort retention (users active per (first-week cohort, weeks
+    since)) — integer epoch math, three hash-aggs + one user_id
+    equi-join (operators/olap.py)."""
+    from ..operators import olap
+
+    return olap.retention(_t(spark, sf_dir, "events"))
+
+
+def sql_retention() -> str:
+    from ..operators import olap
+
+    return olap.retention_sql()
+
+
 def q_ann_recall(spark, sf_dir) -> DataFrame:
     """Recall@5 of the bucketed ANN path vs exact cosine, per query —
     the ANN quality metric as an oracle-exact integer query."""
@@ -1399,6 +1414,7 @@ QUERIES = {
     "phash_neardup": (q_phash_neardup, sql_phash_neardup),
     "crossmodal_dedup": (q_crossmodal_dedup, sql_crossmodal_dedup),
     "ann_recall": (q_ann_recall, sql_ann_recall),
+    "retention": (q_retention, sql_retention),
     "interval_join": (q_interval_join, sql_interval_join),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),
