@@ -677,3 +677,73 @@ def knn_join(
         .drop("q_lon", "q_lat")
     )
     return out
+
+
+# --------------------------------------------- persisted vector index
+
+def write_vector_index(
+    polys: DataFrame,
+    base: str,
+    zoom: int,
+    wkb_col: str = "wkb",
+    n_buckets: int = 32,
+) -> None:
+    """Persist the J5 vector_cells table as a query-many PIP index:
+    cover cells (with bbox prefilter columns and the geometry) written
+    hive-partitioned by bucket(cell_id) and SFC-sorted within files —
+    the vector-side twin of the tile LayerWriter (S3). Repeated point
+    batches then skip the cover-cell explode entirely and join against
+    a co-bucketed store; with a region filter the scan prunes to the
+    region's buckets/row-groups (min-max on the sorted cell_id).
+    Index metadata (zoom, n_buckets) rides along so queries cannot
+    desync from the write layout."""
+    cells = cover_cells(polys, zoom, wkb_col, bbox=True).drop(
+        "key_col", "key_row"
+    )
+    (
+        cells.withColumn(
+            "cbucket", F.pmod(F.col("cell_id"), F.lit(n_buckets)).cast("int")
+        )
+        .repartition("cbucket")
+        .sortWithinPartitions("cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cbucket")
+        .parquet(f"{base}/cells")
+    )
+    polys.sparkSession.createDataFrame(
+        [(zoom, n_buckets)], "zoom int, n_buckets int"
+    ).write.mode("overwrite").parquet(f"{base}/_index_meta")
+
+
+def pip_join_indexed(
+    spark,
+    base: str,
+    points: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    wkb_col: str = "wkb",
+) -> DataFrame:
+    """PIP join against a persisted vector index — the broadcast-free,
+    explode-free scale path for HUGE polygon sets: points key to cells
+    (codegen), equi-join the stored cover-cell table on
+    (cbucket, cell_id), pushed bbox prefilter, exact vectorized
+    ray-cast refine. Same results as ``pip_join`` on the indexed
+    polygons (tested); no geometry ever visits the driver."""
+    meta = spark.read.parquet(f"{base}/_index_meta").collect()[0]
+    zoom, n_buckets = int(meta["zoom"]), int(meta["n_buckets"])
+    keyed = assign_cells(points, lon_col, lat_col, zoom, impl="expr").drop(
+        "key_col", "key_row"
+    ).withColumn(
+        "cbucket", F.pmod(F.col("cell_id"), F.lit(n_buckets)).cast("int")
+    )
+    idx = spark.read.parquet(f"{base}/cells")
+    joined = keyed.join(idx, ["cbucket", "cell_id"], "inner").where(
+        F.col(lon_col).between(F.col("bbox_xmin"), F.col("bbox_xmax"))
+        & F.col(lat_col).between(F.col("bbox_ymin"), F.col("bbox_ymax"))
+    )
+    refined = joined.where(
+        _pip_udf(F.col(lon_col), F.col(lat_col), F.col(wkb_col))
+    )
+    return refined.drop(
+        wkb_col, "bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax", "cbucket"
+    )

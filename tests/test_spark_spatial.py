@@ -162,3 +162,28 @@ def test_assign_cells_expr_equals_udf(spark):
         "id", "key_col", "key_row", "cell_id"
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pip_join_indexed_matches_pip_join(spark, tmp_path):
+    """Persisted vector index (write once, query many, broadcast-free):
+    pip_join_indexed over the stored cover-cell table must equal
+    pip_join on the same polygons and points."""
+    from geotrellis_spark.operators import spatial
+    from geotrellis_spark.plans import driver_queries as dq
+
+    pts = dq._events_pts(spark, "/root/testdata/sf0.001")
+    polys = dq._grid_polys(spark)
+    base = str(tmp_path / "vindex")
+    spatial.write_vector_index(polys, base, zoom=5)
+
+    got = spatial.pip_join_indexed(spark, base, pts)
+    want = spatial.pip_join(pts, polys, zoom=5)
+    key_cols = ["event_id"] + [
+        c for c in want.columns if c not in pts.columns and c in got.columns
+    ]
+    g = {tuple(r) for r in got.select(*key_cols).collect()}
+    w = {tuple(r) for r in want.select(*key_cols).collect()}
+    assert g == w and g
+    # layout really is hive-partitioned by cbucket
+    import glob
+    assert glob.glob(f"{base}/cells/cbucket=*")
