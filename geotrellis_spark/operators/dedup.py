@@ -542,7 +542,10 @@ def crossmodal_dedup(
         base.selectExpr("doc_id as image_id", "phash"),
         max_hamming=max_hamming,
     ).selectExpr("img_a as doc_a", "img_b as doc_b")
-    pairs = cap_pairs.unionByName(img_pairs).distinct()
+    # no pre-distinct: dedup_clusters symmetrizes + distincts the
+    # edge list itself, so a distinct here is a redundant extra
+    # shuffle over the full pair set
+    pairs = cap_pairs.unionByName(img_pairs)
     return dedup_clusters(pairs)
 
 

@@ -144,7 +144,10 @@ def retention(events: DataFrame, period_sec: int = 604800) -> DataFrame:
     """Cohort retention: users bucketed by their FIRST active period
     (week by default), counted once per (cohort, periods-since) they
     were active — the training-telemetry staple. Integer epoch math
-    end-to-end (UTC), so the oracle is bit-exact. Three hash-aggs +
+    end-to-end (UTC): the oracle floors epoch seconds BEFORE casting
+    (DuckDB CAST double->int ROUNDS, Spark unix_timestamp truncates —
+    an uncast epoch would disagree within 0.5s of a week boundary), so
+    the comparison is bit-exact. Three hash-aggs +
     one equi-join on user_id; the distinct is the only extra shuffle.
     Output: (cohort, period_off, users) — period_off, not "offset",
     which is a reserved word in DuckDB."""
@@ -167,7 +170,7 @@ def retention_sql(source_sql: str = "events", period_sec: int = 604800) -> str:
     return f"""
     WITH wk AS (
       SELECT user_id,
-             CAST(epoch(ts) AS BIGINT) // {period_sec} AS wk
+             CAST(floor(epoch(ts)) AS BIGINT) // {period_sec} AS wk
       FROM {source_sql}
     ),
     firstp AS (SELECT user_id, min(wk) AS cohort FROM wk GROUP BY 1),

@@ -818,6 +818,10 @@ def ivf_query_index(
         qscored.withColumn("crank", F.row_number().over(w))
         .where(f"crank <= {nprobe}")
         .select("q_id", "q_vec", "cent_id")
+        # pin: probes feed BOTH the probe-id collect and the final
+        # join; without this the query x centroid pass runs twice
+        # (same lazy-pin convention as kmeans_milli)
+        .localCheckpoint()
     )
     # driver-side probe list -> IN-list partition filter on the scan:
     # the probed cent_ids are tiny (n_queries x nprobe), and inlining

@@ -705,7 +705,11 @@ def write_vector_index(
             "cbucket", F.pmod(F.col("cell_id"), F.lit(n_buckets)).cast("int")
         )
         .repartition("cbucket")
-        .sortWithinPartitions("cell_id")
+        # cbucket FIRST: the dynamic-partition writer requires the
+        # partition column leading the sort order — sorting by cell_id
+        # alone makes the writer insert its own re-sort on cbucket,
+        # silently destroying the SFC file order (measured)
+        .sortWithinPartitions("cbucket", "cell_id")
         .write.mode("overwrite")
         .partitionBy("cbucket")
         .parquet(f"{base}/cells")

@@ -1368,11 +1368,12 @@ def q_crossmodal_dedup(spark, sf_dir) -> DataFrame:
 def sql_crossmodal_dedup() -> str:
     from ..operators import dedup
 
+    rows = [synth.make_row(i) for i in range(300)]
     vals = ", ".join(
         "(CAST({i} AS BIGINT), '{c}', CAST({p} AS BIGINT))".format(
-            i=i, c=synth.make_row(i)["caption"], p=synth.make_row(i)["phash"]
+            i=i, c=r["caption"].replace("'", "''"), p=r["phash"]
         )
-        for i in range(300)
+        for i, r in enumerate(rows)
     )
     src = f"SELECT * FROM (VALUES {vals}) t(doc_id, text, phash)"
     return dedup.crossmodal_dedup_sql(src)

@@ -182,7 +182,11 @@ def asof_enrich_stream(
     full dimension: each LEFT row's match depends only on its own key
     and timestamp, never on other left rows, so batching the left side
     arbitrarily cannot change any match (proven by the e2e test).
-    Output appends to ``out_dir`` parquet."""
+
+    Output lands at ``out_dir/batch_id=<id>`` with OVERWRITE — batch_id
+    keys the write, so a foreachBatch replay after a failure/restart
+    (at-least-once semantics) rewrites its own directory instead of
+    appending duplicates; read ``out_dir`` as one partitioned table."""
     from ..operators.temporal import asof_join
 
     dim = dim.localCheckpoint()  # pin: re-read per batch otherwise
@@ -191,8 +195,8 @@ def asof_enrich_stream(
         if batch_df.isEmpty():
             return
         asof_join(batch_df, dim, on, ts, right_cols).write.mode(
-            "append"
-        ).parquet(out_dir)
+            "overwrite"
+        ).parquet(f"{out_dir}/batch_id={int(batch_id)}")
 
     return (
         events_stream.withWatermark(ts, watermark)

@@ -187,3 +187,21 @@ def test_pip_join_indexed_matches_pip_join(spark, tmp_path):
     # layout really is hive-partitioned by cbucket
     import glob
     assert glob.glob(f"{base}/cells/cbucket=*")
+
+
+def test_vector_index_files_actually_sfc_sorted(spark, tmp_path):
+    """The writer's dynamic-partition re-sort must not destroy the
+    cell_id order inside files (the min-max pruning contract)."""
+    import glob
+    import pyarrow.parquet as pq
+
+    from geotrellis_spark.operators import spatial
+    from geotrellis_spark.plans import driver_queries as dq
+
+    base = str(tmp_path / "vindex")
+    spatial.write_vector_index(dq._grid_polys(spark), base, zoom=5)
+    files = glob.glob(f"{base}/cells/cbucket=*/part-*.parquet")
+    assert files
+    for f in files:
+        cells = pq.read_table(f, columns=["cell_id"])["cell_id"].to_pylist()
+        assert cells == sorted(cells), f

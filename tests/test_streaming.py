@@ -336,7 +336,7 @@ def test_streaming_asof_enrichment_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     got = (
-        spark.read.parquet(str(out))
+        spark.read.parquet(str(out)).drop("batch_id")
         .toPandas().sort_values("event_id").reset_index(drop=True)
     )
     events = spark.createDataFrame(ev)
