@@ -20,14 +20,21 @@ from . import dedup, sampling, text
 
 
 def curate(spark, docs, per_stratum: int, salt: int = 42,
-           metrics=None, signatures=None) -> "tuple":
+           metrics=None, signatures=None, pairs=None) -> "tuple":
     """Run the 4-stage curation over a documents DataFrame. Returns
     (curated_df, stats dict). ``metrics``: optional (base, job_id)
     tuple to persist per-stage counts. ``signatures``: optional
     precomputed minhash signature rows (doc_id, mh0..mh7) — the
     streaming path stores these per arriving doc so recuration skips
     re-shingling the corpus text; the pair/cluster result is identical
-    because signatures are a pure function of each doc's text."""
+    because signatures are a pure function of each doc's text.
+    ``pairs``: optional precomputed candidate-pair rows (doc_a, doc_b)
+    over ANY superset of the corpus (the incrementally-maintained pair
+    store): they are filtered to pairs whose BOTH endpoints survive
+    the exact-dedup stage — bucket membership is per-doc deterministic,
+    so the filtered set has exactly the batch enumeration's connected
+    components (caps only ever truncate pairs, never components), and
+    the curated output is identical."""
     stats = {"input": docs.count()}
 
     def metric(stage, name, value):
@@ -50,7 +57,13 @@ def curate(spark, docs, per_stratum: int, salt: int = 42,
 
     # 3. near-dup collapse: production (capped) candidate pairs ->
     # connected components -> drop everything but cluster minima
-    pairs = dedup.minhash_dedup(exact, signatures=signatures)
+    if pairs is not None:
+        ids = exact.select("doc_id")
+        pairs = pairs.join(
+            ids.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        ).join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+    else:
+        pairs = dedup.minhash_dedup(exact, signatures=signatures)
     clusters = dedup.dedup_clusters(pairs)
     drop = clusters.where("doc_id <> cluster").select("doc_id")
     neardup = exact.join(drop, "doc_id", "left_anti").localCheckpoint()

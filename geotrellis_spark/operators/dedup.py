@@ -565,3 +565,48 @@ def crossmodal_dedup_sql(
       SELECT img_a AS doc_a, img_b AS doc_b FROM ({img_sql})
     """
     return closure_sql(pair_union, extra_ctes=f"imgs AS ({values_sql})")
+
+
+def band_rows(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4
+) -> DataFrame:
+    """LSH band rows (doc_id, band, bval) from signature rows — the
+    same banding expression minhash_candidates uses, exposed so a
+    streaming pipeline can PERSIST band membership per doc and
+    generate new pairs incrementally (new docs x their buckets) instead
+    of re-running the full self-join every recuration."""
+    rows_per = len(MINHASH_A) // bands
+    band_exprs = []
+    for bi in range(bands):
+        cols = [f"mh{bi * rows_per + r}" for r in range(rows_per)]
+        val = cols[0]
+        for c in cols[1:]:
+            val = f"(({val}) * {PRIME} + {c})"
+        band_exprs.append(f"struct({bi} as band, {val} as bval)")
+    return signatures.selectExpr(
+        id_col, f"explode(array({', '.join(band_exprs)})) as bk"
+    ).select(id_col, "bk.band", "bk.bval")
+
+
+def incremental_pairs(
+    new_bands: DataFrame, all_bands: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pairs ADDED by a batch of new docs: new x (everything sharing a
+    bucket with them). For an append-only corpus the bucket pair set is
+    MONOTONE — appending docs only ever adds pairs — so
+    (old pairs) UNION (this) == the full enumeration, exactly. The
+    join is proportional to the TOUCHED buckets' membership, not the
+    corpus. Returns normalized (doc_a < doc_b) distinct pairs."""
+    a = new_bands.select(
+        F.col(id_col).alias("_na"), "band", "bval"
+    )
+    b = all_bands.select(F.col(id_col).alias("_ab"), "band", "bval")
+    return (
+        a.join(b, ["band", "bval"])
+        .where(F.col("_na") != F.col("_ab"))
+        .select(
+            F.least("_na", "_ab").alias("doc_a"),
+            F.greatest("_na", "_ab").alias("doc_b"),
+        )
+        .distinct()
+    )

@@ -36,7 +36,7 @@ import os
 from pyspark.sql import DataFrame
 
 from ..operators.curation import curate
-from ..operators.dedup import minhash_signatures
+from ..operators.dedup import band_rows, incremental_pairs, minhash_signatures
 
 
 def recurate(
@@ -45,6 +45,7 @@ def recurate(
     per_stratum: int = 100,
     salt: int = 42,
     batch_id: int | None = None,
+    use_pair_store: bool = False,
 ) -> dict:
     """Fold everything staged so far into the curated snapshot. Called
     by the stream on its recuration cadence, and callable standalone
@@ -60,8 +61,16 @@ def recurate(
     metrics_dir = os.path.join(out_dir, "_metrics")
     os.makedirs(metrics_dir, exist_ok=True)
     docs = spark.read.parquet(staging).dropDuplicates(["doc_id"])
-    sigs = spark.read.parquet(sig_store).dropDuplicates(["doc_id"])
-    curated, stats = curate(spark, docs, per_stratum, salt, signatures=sigs)
+    if use_pair_store:
+        pairs = spark.read.parquet(
+            os.path.join(out_dir, "staging_pairs")
+        ).distinct()
+        curated, stats = curate(spark, docs, per_stratum, salt, pairs=pairs)
+    else:
+        sigs = spark.read.parquet(sig_store).dropDuplicates(["doc_id"])
+        curated, stats = curate(
+            spark, docs, per_stratum, salt, signatures=sigs
+        )
     curated.write.mode("overwrite").parquet(snap)
     tag = "final" if batch_id is None else str(batch_id)
     stats["batch_id"] = tag
@@ -79,14 +88,28 @@ def curate_stream(
     watermark: str = "1 hour",
     recurate_every: int = 1,
     trigger_sec: int | None = None,
+    pair_store: bool = False,
 ):
     """Start the streaming curation. ``docs_stream`` must carry the
     documents columns plus an event-time ``ts`` timestamp column.
     Curated snapshot lands at ``out_dir/docs``; per-recuration stats at
     ``out_dir/_metrics/batch_<id>.json``; raw accepted rows accumulate
-    at ``out_dir/staging``."""
+    at ``out_dir/staging``.
+
+    ``pair_store=True`` additionally maintains band membership and an
+    incrementally-grown candidate-pair store: each batch joins only its
+    NEW docs against the buckets they touch (pair sets are monotone
+    under an append-only corpus, so old pairs never need recomputing),
+    and recuration reads the stored pairs instead of re-running the
+    corpus-wide banding self-join — per-batch cost is proportional to
+    the touched buckets' membership, recuration's near-dup stage to
+    the pair-store size. The curated snapshot is still identical to
+    the batch job (pairs filter to exact-dedup survivors at
+    recuration; components are cap-invariant)."""
     staging = os.path.join(out_dir, "staging")
     sig_store = os.path.join(out_dir, "staging_sigs")
+    band_store = os.path.join(out_dir, "staging_bands")
+    pairs_store = os.path.join(out_dir, "staging_pairs")
     snap = os.path.join(out_dir, "docs")
     metrics_dir = os.path.join(out_dir, "_metrics")
     os.makedirs(metrics_dir, exist_ok=True)
@@ -103,7 +126,19 @@ def curate_stream(
         rows.write.mode("append").parquet(staging)
         # incremental signatures: shingle each doc exactly once, in
         # the micro-batch it arrives in
-        minhash_signatures(rows).write.mode("append").parquet(sig_store)
+        sigs_new = minhash_signatures(rows).localCheckpoint()
+        sigs_new.write.mode("append").parquet(sig_store)
+        if pair_store:
+            bands_new = band_rows(sigs_new).localCheckpoint()
+            bands_new.write.mode("append").parquet(band_store)
+            # all bands INCLUDING this batch (just appended); replay
+            # re-appends dup rows, so dedupe before pairing
+            all_bands = spark.read.parquet(band_store).dropDuplicates(
+                ["doc_id", "band", "bval"]
+            )
+            incremental_pairs(bands_new, all_bands).write.mode(
+                "append"
+            ).parquet(pairs_store)
         # cadence keyed on the CHECKPOINTED batch_id (monotone across
         # restarts), not an in-memory counter that resets. With
         # recurate_every > 1 the snapshot may trail by up to
@@ -112,7 +147,10 @@ def curate_stream(
         # after stopping the stream for an explicit final fold.
         if batch_id % recurate_every:
             return
-        recurate(spark, out_dir, per_stratum, salt, batch_id=int(batch_id))
+        recurate(
+            spark, out_dir, per_stratum, salt, batch_id=int(batch_id),
+            use_pair_store=pair_store,
+        )
 
     writer = deduped.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

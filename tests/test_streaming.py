@@ -349,3 +349,49 @@ def test_streaming_asof_enrichment_equals_batch(spark, tmp_path):
     )
     # sanity: pre-dimension events carry NULLs, later ones snapshots
     assert got["snap_id"].isna().any() and got["snap_id"].notna().any()
+
+
+def test_streaming_curation_pair_store_equals_batch(spark, tmp_path):
+    """Incremental pair maintenance: with pair_store=True each batch
+    joins only its new docs against touched buckets and appends the
+    new pairs; the snapshot after 3 micro-batches must still equal the
+    batch curation job exactly (pairs filter to exact-dedup survivors;
+    components are cap-invariant)."""
+    import pandas as pd
+    from geotrellis_spark.operators.curation import curate
+    from geotrellis_spark.streaming.curate_stream import curate_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        pdf.iloc[i::3].to_parquet(src / f"b{i}.parquet", index=False)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .selectExpr(
+            "*",
+            "timestamp'2026-01-01' + make_interval(0,0,0,0,0,0,doc_id) as ts",
+        )
+    )
+    out = tmp_path / "out"
+    q = curate_stream(
+        stream, out_dir=str(out), checkpoint_dir=str(tmp_path / "ckpt"),
+        per_stratum=20, pair_store=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        spark.read.parquet(str(out / "docs")).toPandas()["doc_id"]
+    )
+    want_df, _ = curate(spark, docs, per_stratum=20)
+    want = sorted(want_df.toPandas()["doc_id"])
+    assert got == want and got
+    # the pair store holds normalized pairs covering the corpus graph
+    pairs = spark.read.parquet(str(out / "staging_pairs"))
+    r = pairs.selectExpr("min(doc_a < doc_b) as ok").collect()[0]
+    assert r["ok"] and pairs.count() > 0
