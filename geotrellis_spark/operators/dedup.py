@@ -118,17 +118,9 @@ def minhash_candidates(
             )
     else:
         sig = minhash_signatures(docs, id_col, text_col)
-    rows_per = len(MINHASH_A) // bands
-    band_exprs = []
-    for bi in range(bands):
-        cols = [f"mh{bi * rows_per + r}" for r in range(rows_per)]
-        val = cols[0]
-        for c in cols[1:]:
-            val = f"(({val}) * {PRIME} + {c})"
-        band_exprs.append(f"struct({bi} as band, {val} as bval)")
-    banded = sig.selectExpr(
-        id_col, f"explode(array({', '.join(band_exprs)})) as bk"
-    ).select(id_col, "bk.band", "bk.bval")
+    # ONE banding definition: the incremental pair store's exactness
+    # depends on batch and streaming computing identical (band, bval)
+    banded = band_rows(sig, id_col, bands)
     tail_pairs = None
     if max_bucket is not None:
         from pyspark.sql.window import Window

@@ -62,6 +62,19 @@ def recurate(
     os.makedirs(metrics_dir, exist_ok=True)
     docs = spark.read.parquet(staging).dropDuplicates(["doc_id"])
     if use_pair_store:
+        # fail-loud coverage guard (mirrors the signature path's): a
+        # band store missing staged docs means their near-dups were
+        # never paired — duplicates would silently survive curation
+        bands = spark.read.parquet(os.path.join(out_dir, "staging_bands"))
+        n_docs = docs.count()
+        n_banded = bands.select("doc_id").distinct().count()
+        if n_banded < n_docs:
+            raise ValueError(
+                f"band store covers {n_banded} of {n_docs} staged docs"
+                " — it was not maintained for every batch (pair_store"
+                " off for part of the stream?); rebuild it or recurate"
+                " with use_pair_store=False"
+            )
         pairs = spark.read.parquet(
             os.path.join(out_dir, "staging_pairs")
         ).distinct()
@@ -131,11 +144,12 @@ def curate_stream(
         if pair_store:
             bands_new = band_rows(sigs_new).localCheckpoint()
             bands_new.write.mode("append").parquet(band_store)
-            # all bands INCLUDING this batch (just appended); replay
-            # re-appends dup rows, so dedupe before pairing
-            all_bands = spark.read.parquet(band_store).dropDuplicates(
-                ["doc_id", "band", "bval"]
-            )
+            # all bands INCLUDING this batch (just appended). NO
+            # dedupe here: replayed duplicate band rows only produce
+            # duplicate pairs, absorbed by incremental_pairs' distinct
+            # — a dropDuplicates would shuffle the whole corpus store
+            # every batch, defeating the touched-buckets cost model
+            all_bands = spark.read.parquet(band_store)
             incremental_pairs(bands_new, all_bands).write.mode(
                 "append"
             ).parquet(pairs_store)

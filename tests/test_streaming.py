@@ -357,7 +357,6 @@ def test_streaming_curation_pair_store_equals_batch(spark, tmp_path):
     new pairs; the snapshot after 3 micro-batches must still equal the
     batch curation job exactly (pairs filter to exact-dedup survivors;
     components are cap-invariant)."""
-    import pandas as pd
     from geotrellis_spark.operators.curation import curate
     from geotrellis_spark.streaming.curate_stream import curate_stream
 
