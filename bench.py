@@ -48,6 +48,7 @@ HEADLINE = [
     "group_percentiles",
     "funnel",
     "retention",
+    "hll_sketch",
     "resample_ffill",
     "stratified_sample",
     "tfidf",

@@ -181,3 +181,110 @@ def retention_sql(source_sql: str = "events", period_sec: int = 604800) -> str:
     SELECT cohort, period_off, CAST(count(*) AS BIGINT) AS users
     FROM active GROUP BY 1, 2
     """
+
+
+HLL_M = 256        # registers (p=8)
+HLL_RHO_CAP = 40   # keeps sum(2^(CAP-rho)) within int64 exactly
+
+
+def hll_sketch(
+    events: DataFrame,
+    group_col: str = "event_type",
+    key_expr: str = "cast(user_id as string)",
+) -> DataFrame:
+    """Deterministic HyperLogLog sketch as DataFrame ops — the sketch
+    itself is the oracle-checkable artifact (no float anywhere):
+
+    - register index = md5-hash(key) mod m; register value = max over
+      keys of rho (leading-zero count of the remaining 52 hash bits,
+      via length(bin(v)) — identical in Spark and DuckDB), capped so
+      the power sums below stay exact in int64.
+    - the per-group register table is the MERGEABLE sketch: union two
+      sketches = max per register — the same partial-aggregate shape
+      the two-phase hash aggregate already exploits distributedly.
+    - output per group: m_used (non-empty registers), sum_pow =
+      sum(2^(CAP-rho)) + empty_registers * 2^CAP (all integer), and
+      raw_est = m^2 * 2^CAP div sum_pow — the raw HLL
+      estimate BEFORE the alpha_m bias constant
+      (a driver-side scalar multiply, kept off the oracle so no float
+      enters the comparison), plus the exact distinct for reference.
+    """
+    m, cap = HLL_M, HLL_RHO_CAP
+    import re as _re
+
+    from .dedup import hex2int_spark
+
+    h = hex2int_spark(key_expr)
+    keyed = events.selectExpr(
+        group_col, f"{h} as _h", key_expr + " as _k"
+    ).selectExpr(
+        group_col, "_k", f"_h % {m} as bucket", f"_h div {m} as v"
+    ).selectExpr(
+        group_col, "bucket", "_k",
+        f"least(case when v = 0 then 53 else 52 - length(bin(v)) + 1 end, "
+        f"{cap}) as rho",
+    )
+    regs = keyed.groupBy(group_col, "bucket").agg(F.max("rho").alias("r"))
+    exact = keyed.groupBy(group_col).agg(
+        F.count_distinct("_k").alias("n_exact")
+    )
+    out = regs.groupBy(group_col).agg(
+        F.count("*").alias("m_used"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {cap} - r)")).alias("_s"),
+    ).selectExpr(
+        group_col,
+        "m_used",
+        f"_s + ({m} - m_used) * shiftleft(cast(1 as bigint), {cap}) "
+        "as sum_pow",
+    ).selectExpr(
+        group_col,
+        "m_used",
+        "sum_pow",
+        f"cast({m} as bigint) * {m} * shiftleft(cast(1 as bigint), {cap}) "
+        "div sum_pow as raw_est",
+    )
+    return out.join(exact, group_col)
+
+
+def hll_sketch_sql(
+    source_sql: str = "events",
+    group_col: str = "event_type",
+    key_expr: str = "CAST(user_id AS VARCHAR)",
+) -> str:
+    from .dedup import hex2int_duckdb
+
+    m, cap = HLL_M, HLL_RHO_CAP
+    h = hex2int_duckdb(key_expr)
+    return f"""
+    WITH hashed AS (
+      SELECT {group_col}, ({h}) AS _h, {key_expr} AS _k
+      FROM {source_sql}
+    ),
+    keyed AS (
+      SELECT {group_col}, _k,
+             _h % {m} AS bucket,
+             least(CASE WHEN _h // {m} = 0 THEN 53
+                   ELSE 52 - length(bin(_h // {m})) + 1 END,
+                   {cap}) AS rho
+      FROM hashed
+    ),
+    regs AS (
+      SELECT {group_col}, bucket, max(rho) AS r
+      FROM keyed GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT {group_col}, CAST(count(DISTINCT _k) AS BIGINT) AS n_exact
+      FROM keyed GROUP BY 1
+    ),
+    agg AS (
+      SELECT {group_col}, CAST(count(*) AS BIGINT) AS m_used,
+             CAST(sum(CAST(1 AS BIGINT) << ({cap} - r)) AS BIGINT)
+               + ({m} - count(*)) * (CAST(1 AS BIGINT) << {cap}) AS sum_pow
+      FROM regs GROUP BY 1
+    )
+    SELECT agg.{group_col}, m_used, sum_pow,
+           CAST({m} AS BIGINT) * {m} * (CAST(1 AS BIGINT) << {cap})
+             // sum_pow AS raw_est,
+           n_exact
+    FROM agg JOIN ex USING ({group_col})
+    """

@@ -1342,6 +1342,24 @@ def sql_retention() -> str:
     return olap.retention_sql()
 
 
+def q_hll_sketch(spark, sf_dir) -> DataFrame:
+    """Deterministic HyperLogLog sketch per event_type — the MERGEABLE
+    register table and its integer power sums are the oracle-checked
+    artifact (no float; the alpha bias constant stays a driver-side
+    scalar). raw_est overestimates in the small-n linear-counting
+    regime by design — the point is sketch exactness, not smallness of
+    the fixture."""
+    from ..operators import olap
+
+    return olap.hll_sketch(_t(spark, sf_dir, "events"))
+
+
+def sql_hll_sketch() -> str:
+    from ..operators import olap
+
+    return olap.hll_sketch_sql()
+
+
 def q_ann_recall(spark, sf_dir) -> DataFrame:
     """Recall@5 of the bucketed ANN path vs exact cosine, per query —
     the ANN quality metric as an oracle-exact integer query."""
@@ -1416,6 +1434,7 @@ QUERIES = {
     "crossmodal_dedup": (q_crossmodal_dedup, sql_crossmodal_dedup),
     "ann_recall": (q_ann_recall, sql_ann_recall),
     "retention": (q_retention, sql_retention),
+    "hll_sketch": (q_hll_sketch, sql_hll_sketch),
     "interval_join": (q_interval_join, sql_interval_join),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),
