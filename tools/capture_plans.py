@@ -138,6 +138,19 @@ def main() -> None:
         dq.q_phash_neardup(spark, "/root/testdata/sf0.01"),
     )
 
+    cap(
+        "retention: three two-phase HashAggregates + ONE user_id "
+        "equi-join — no windows over raw rows",
+        dq.q_retention(spark, "/root/testdata/sf0.01"),
+    )
+
+    cap(
+        "hll_sketch: mergeable max-per-register partial aggregation — "
+        "the sketch merges map-side like any two-phase agg; no float "
+        "anywhere in the plan",
+        dq.q_hll_sketch(spark, "/root/testdata/sf0.01"),
+    )
+
     hdr = """# PLANS — physical-plan evidence
 
 `.explain("formatted")` captures showing the engine gets the plans a
