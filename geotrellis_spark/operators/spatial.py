@@ -751,3 +751,45 @@ def pip_join_indexed(
     return refined.drop(
         wkb_col, "bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax", "cbucket"
     )
+
+
+def polygon_stats(
+    polys: DataFrame, id_col: str = "geom_id", wkb_col: str = "wkb"
+) -> DataFrame:
+    """RV9 measure ops: exact shoelace area + centroid accumulators
+    per polygon, computed from the DECODED WKB exterior ring in one
+    narrow Arrow-batched map. For integer-lattice vertices everything
+    is exact int64: area2 = sum cross products (2x signed area),
+    sx/sy = centroid numerators (centroid = (sx/(3*area2),
+    sy/(3*area2))). The oracle recomputes the same sums from the
+    polygons' GENERATING formula in pure SQL — so a green check proves
+    the WKB write -> parse -> kernel path end-to-end against an
+    independent derivation."""
+    from ..core import geom as G
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"_id": [], "area2": [], "sx": [], "sy": []}
+            for i in range(len(pdf)):
+                kind, rings = G.wkb_read(bytes(pdf[wkb_col].iloc[i]))
+                if kind != "polygon":  # pragma: no cover
+                    raise ValueError(kind)
+                ring = np.round(np.asarray(rings[0], np.float64)).astype(
+                    np.int64
+                )
+                # drop closing vertex if present
+                if (ring[0] == ring[-1]).all():
+                    ring = ring[:-1]
+                x, y = ring[:, 0], ring[:, 1]
+                x2, y2 = np.roll(x, -1), np.roll(y, -1)
+                cross = x * y2 - x2 * y
+                out["_id"].append(int(pdf[id_col].iloc[i]))
+                out["area2"].append(int(cross.sum()))
+                out["sx"].append(int(((x + x2) * cross).sum()))
+                out["sy"].append(int(((y + y2) * cross).sum()))
+            yield pd.DataFrame(out)
+
+    schema = f"_id long, area2 long, sx long, sy long"
+    return polys.select(id_col, wkb_col).mapInPandas(gen, schema).selectExpr(
+        f"_id as {id_col}", "area2", "sx", "sy"
+    )

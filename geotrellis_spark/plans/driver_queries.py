@@ -1342,6 +1342,62 @@ def sql_retention() -> str:
     return olap.retention_sql()
 
 
+_STAR_DIRS = ((1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1),
+              (0, -1), (1, -1))
+
+
+def _star_polys(spark, n: int = 400) -> DataFrame:
+    """Deterministic star-shaped lattice polygons: 8 CCW angular
+    directions with per-vertex integer radii from modular formulas —
+    always simple, integer vertices, so shoelace sums are exact."""
+    rows = []
+    for pid in range(n):
+        cx = (pid * 13) % 200 - 100
+        cy = (pid * 29) % 140 - 70
+        ring = []
+        for d, (dx, dy) in enumerate(_STAR_DIRS):
+            r = 1 + (pid * 7 + d * 13) % 5
+            ring.append([cx + r * dx, cy + r * dy])
+        rows.append(
+            (pid, bytearray(G.wkb_write_polygon([np.array(ring, float)])))
+        )
+    return spark.createDataFrame(rows, "geom_id long, wkb binary")
+
+
+def q_poly_stats(spark, sf_dir) -> DataFrame:
+    """Exact polygon measures (RV9): shoelace area2 + centroid
+    numerators from the decoded WKB exterior ring; the oracle
+    re-derives the same integers from the generating formula — a green
+    check proves WKB write -> parse -> kernel end-to-end."""
+    return spatial.polygon_stats(_star_polys(spark))
+
+
+def sql_poly_stats() -> str:
+    dirs = ", ".join(f"({d}, {dx}, {dy})" for d, (dx, dy)
+                     in enumerate(_STAR_DIRS))
+    return f"""
+    WITH dirs(d, dx, dy) AS (VALUES {dirs}),
+    verts AS (
+      SELECT pid, d,
+             ((pid * 13) % 200 - 100)
+               + (1 + (pid * 7 + d * 13) % 5) * dx AS x,
+             ((pid * 29) % 140 - 70)
+               + (1 + (pid * 7 + d * 13) % 5) * dy AS y
+      FROM range(400) t(pid), dirs
+    ),
+    seg AS (
+      SELECT v.pid, v.x, v.y, w.x AS x2, w.y AS y2
+      FROM verts v JOIN verts w
+        ON w.pid = v.pid AND w.d = (v.d + 1) % 8
+    )
+    SELECT pid AS geom_id,
+           CAST(sum(x * y2 - x2 * y) AS BIGINT) AS area2,
+           CAST(sum((x + x2) * (x * y2 - x2 * y)) AS BIGINT) AS sx,
+           CAST(sum((y + y2) * (x * y2 - x2 * y)) AS BIGINT) AS sy
+    FROM seg GROUP BY 1
+    """
+
+
 def q_hll_sketch(spark, sf_dir) -> DataFrame:
     """Deterministic HyperLogLog sketch per event_type — the MERGEABLE
     register table and its integer power sums are the oracle-checked
@@ -1435,6 +1491,7 @@ QUERIES = {
     "ann_recall": (q_ann_recall, sql_ann_recall),
     "retention": (q_retention, sql_retention),
     "hll_sketch": (q_hll_sketch, sql_hll_sketch),
+    "poly_stats": (q_poly_stats, sql_poly_stats),
     "interval_join": (q_interval_join, sql_interval_join),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),
