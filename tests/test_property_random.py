@@ -11,6 +11,8 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from geotrellis_spark.operators import temporal
 
 T0 = dt.datetime(2024, 1, 1)
@@ -125,3 +127,89 @@ def test_simplify_line_properties(pts, tol):
             )
             dmin = np.minimum(dmin, d)
         assert (dmin <= tol + 1e-9).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(9, 40),
+    st.integers(9, 40),
+    st.sampled_from([70, 85, 95]),
+)
+def test_dct_codec_properties(seed, h, w, quality):
+    """Round-trip properties on random uint16 arrays: deterministic
+    encode, exact NoData mask, bounded error (quant steps bound the
+    per-coefficient error, so pixel error is bounded by the step
+    energy), never inventing NoData."""
+    from geotrellis_spark.core import codecs
+
+    rng = np.random.default_rng(seed)
+    # mix of smooth + noise, with NoData holes
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 20000 + 8000 * np.sin(xx / 5) + 6000 * np.cos(yy / 7)
+    arr = np.clip(
+        base + rng.normal(0, 2000, (h, w)), 1, 65535
+    ).astype(np.uint16)
+    arr[rng.random((h, w)) < 0.1] = 0
+    enc = codecs.dct_encode_gray(arr, quality=quality)
+    assert enc == codecs.dct_encode_gray(arr, quality=quality)
+    dec = codecs.dct_decode_gray(enc)
+    assert dec.shape == arr.shape
+    np.testing.assert_array_equal(dec == 0, arr == 0)
+    valid = arr != 0
+    if valid.any():
+        err = np.abs(dec[valid].astype(float) - arr[valid].astype(float))
+        # worst-case bound: half-step per coefficient, 64 coefficients
+        # per block, orthonormal transform -> generous 8x step ceiling
+        step_max = float(codecs._quant_steps(quality).max())
+        assert err.max() <= 8 * step_max
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(0, 5000), min_size=1, max_size=300),
+       st.integers(1, 99))
+def test_group_percentiles_matches_sorted_index(spark, values, p):
+    """percentile_disc property: the compressed rank-selection result
+    equals the value at index floor((n-1)*p/100) of the sorted list."""
+    from geotrellis_spark.operators import olap
+
+    df = spark.createDataFrame(
+        [("g", v / 100.0) for v in values], "event_type string, value double"
+    )
+    out = olap.group_percentiles(df, percentiles=(p,)).collect()[0]
+    cents = sorted(int(np.floor(v / 100.0 * 100 + 0.5)) for v in values)
+    idx = (len(cents) - 1) * p // 100
+    assert out[f"p{p}_cents"] == cents[idx]
+    assert out["n"] == len(values)
+
+
+def test_incremental_pairs_match_full_banding_random_splits(spark):
+    """Pair-store invariant: streaming the corpus in ANY batch order,
+    the union of incremental pairs equals the full banding self-join's
+    pairs (monotone pair sets under append-only corpora)."""
+    from geotrellis_spark.operators import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(150)
+    sigs = dedup.minhash_signatures(docs).localCheckpoint()
+    bands = dedup.band_rows(sigs).localCheckpoint()
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidates(docs, signatures=sigs).collect()
+    }
+    rng = np.random.default_rng(7)
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    rng.shuffle(ids)
+    splits = np.array_split(np.array(ids), 4)
+    seen_ids: list[int] = []
+    got = set()
+    for part in splits:
+        seen_ids.extend(int(x) for x in part)
+        new_b = bands.where(F.col("doc_id").isin([int(x) for x in part]))
+        all_b = bands.where(F.col("doc_id").isin(seen_ids))
+        got |= {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.incremental_pairs(new_b, all_b).collect()
+        }
+    assert got == full and full
