@@ -288,3 +288,66 @@ def hll_sketch_sql(
            n_exact
     FROM agg JOIN ex USING ({group_col})
     """
+
+
+CM_DEPTH = 4      # independent hash rows
+CM_WIDTH = 512    # counters per row
+
+
+def countmin_sketch(
+    events: DataFrame,
+    group_col: str = "event_type",
+    key_expr: str = "cast(user_id as string)",
+    weight_expr: str = "1",
+) -> DataFrame:
+    """Count-min sketch as DataFrame ops — like ``hll_sketch``, the
+    sketch IS the oracle-checkable artifact (pure integers): depth
+    md5-salted hash rows x width counters, counter = sum of weights of
+    keys hashing there. Mergeable by counter-wise ADDITION (the
+    two-phase hash aggregate already does the distributed merge);
+    a point query reads min over its depth counters (over-estimate
+    bounded by eps = e/width with prob 1-delta = 1-e^-depth).
+    Output: one row per (group, row, slot) with its exact counter —
+    the full sketch table, shuffled once."""
+    m, d = CM_WIDTH, CM_DEPTH
+    from .dedup import hex2int_spark
+
+    rows = events.selectExpr(
+        group_col,
+        f"cast({weight_expr} as bigint) as _w",
+        f"{key_expr} as _k",
+    ).selectExpr(
+        group_col, "_w",
+        f"explode(array({', '.join(str(i) for i in range(d))})) as row",
+        "_k",
+    )
+    salted = "concat(_k, '#', row)"
+    rows = rows.selectExpr(
+        group_col, "_w", "row",
+        f"{hex2int_spark(salted)} % {m} as slot",
+    )
+    return rows.groupBy(group_col, "row", "slot").agg(
+        F.sum("_w").cast("long").alias("counter")
+    )
+
+
+def countmin_sketch_sql(
+    source_sql: str = "events",
+    group_col: str = "event_type",
+    key_expr: str = "CAST(user_id AS VARCHAR)",
+    weight_expr: str = "1",
+) -> str:
+    from .dedup import hex2int_duckdb
+
+    m, d = CM_WIDTH, CM_DEPTH
+    h = hex2int_duckdb("concat(_k, '#', row)")
+    return f"""
+    WITH rows_ AS (
+      SELECT {group_col}, CAST({weight_expr} AS BIGINT) AS _w,
+             {key_expr} AS _k, row
+      FROM {source_sql}, (SELECT unnest(generate_series(0, {d - 1})) AS row)
+    )
+    SELECT {group_col}, row, ({h}) % {m} AS slot,
+           CAST(sum(_w) AS BIGINT) AS counter
+    FROM rows_ GROUP BY 1, 2, 3
+    """

@@ -1416,6 +1416,23 @@ def sql_hll_sketch() -> str:
     return olap.hll_sketch_sql()
 
 
+def q_countmin(spark, sf_dir) -> DataFrame:
+    """Count-min sketch per event_type (value-weighted in cents) —
+    like hll_sketch, the mergeable sketch table itself is the
+    oracle-checked artifact; all counters exact integers."""
+    from ..operators import olap
+
+    return olap.countmin_sketch(
+        _t(spark, sf_dir, "events"), weight_expr=CENTS
+    )
+
+
+def sql_countmin() -> str:
+    from ..operators import olap
+
+    return olap.countmin_sketch_sql(weight_expr=CENTS)
+
+
 def q_ann_recall(spark, sf_dir) -> DataFrame:
     """Recall@5 of the bucketed ANN path vs exact cosine, per query —
     the ANN quality metric as an oracle-exact integer query."""
@@ -1492,6 +1509,7 @@ QUERIES = {
     "retention": (q_retention, sql_retention),
     "hll_sketch": (q_hll_sketch, sql_hll_sketch),
     "poly_stats": (q_poly_stats, sql_poly_stats),
+    "countmin": (q_countmin, sql_countmin),
     "interval_join": (q_interval_join, sql_interval_join),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),
