@@ -10,10 +10,11 @@ from scratch in-repo (no external libs needed): image ``dct``
 (JPEG-style 8x8 DCT, core/codecs.py), audio ``adpcm`` (IMA ADPCM 4:1,
 core/av_codecs.py), video ``ddct`` (keyframed delta-DCT with
 byte-offset frame index and keyframe-relative seek, core/av_codecs.py)
-— alongside the lossless raw16/PNG/PCM16/rawstack forms. Only decode
-of THIRD-PARTY formats (libjpeg JPEG, MP3, H.264 bitstreams) remains
-stubbed behind clearly-marked ``NotImplementedError``, because parsing
-those external bitstreams needs their libraries; the engine-side
+— alongside the lossless raw16/PNG/PCM16/rawstack forms, and a REAL
+baseline grayscale JPEG encoder+decoder (core/jpeg.py — full marker
+parse, Annex K Huffman, entropy coding; no libjpeg). Only webp/tiff/
+MP3/H.264 remain stubbed behind clearly-marked ``NotImplementedError``
+(their bitstream libraries are not in this container); the engine-side
 plumbing is identical either way and fully tested on the in-repo
 codecs.
 
@@ -35,24 +36,67 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..core import codecs, imagery, kernels
 
-EXTERNAL_IMAGE_CODECS = ("jpeg", "webp", "tiff")
+EXTERNAL_IMAGE_CODECS = ("webp", "tiff")
 EXTERNAL_AUDIO_CODECS = ("mp3", "flac", "opus")
 EXTERNAL_VIDEO_CODECS = ("h264", "vp9", "av1")
 
 
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """Decode one image payload. raw16/png are real (in-repo codecs);
-    external codecs are STUBS — the container has no image libraries,
-    so the decode step raises; swap in pillow/libjpeg on a real
-    cluster, the surrounding Spark plumbing is codec-agnostic."""
-    if fmt in ("raw16", "png"):
+    """Decode one image payload to uint16 gray. raw16/png/dct are the
+    in-repo tile codecs; 'jpeg' is a REAL from-scratch baseline
+    grayscale JPEG decoder (core/jpeg.py — full marker parse, Annex K
+    Huffman, entropy decode; 8-bit samples widened x257); webp/tiff
+    remain stubs (their bitstream libraries are not in this
+    container)."""
+    if fmt in ("raw16", "png", "dct"):
         return codecs.decode_tile(data, w, h, fmt)
+    if fmt == "jpeg":
+        from ..core import jpeg
+
+        u8 = jpeg.jpeg_decode_gray(bytes(data))
+        if u8.shape != (h, w):
+            raise ValueError(f"JPEG dims {u8.shape} != metadata {(h, w)}")
+        return (u8.astype(np.uint16)) * 257
     if fmt in EXTERNAL_IMAGE_CODECS:
         raise NotImplementedError(
             f"STUB: {fmt} decode needs an external image library "
             "(not in this container); plug a decoder into decode_image"
         )
     raise ValueError(fmt)
+
+
+def transcode_image(
+    imgs: DataFrame, to_fmt: str, quality: int = 85
+) -> DataFrame:
+    """Transcode image payloads between raw16/png/dct/jpeg — one
+    narrow map, partitioning preserved ('jpeg' encodes the high byte:
+    8-bit baseline JPEG of uint16 >> 8)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core import jpeg
+
+        for pdf in batches:
+            out = pdf.copy()
+            payloads, fmts = [], []
+            for i in range(len(pdf)):
+                px = decode_image(
+                    bytes(pdf["img"].iloc[i]), int(pdf["w"].iloc[i]),
+                    int(pdf["h"].iloc[i]), pdf["fmt"].iloc[i],
+                )
+                if to_fmt == "jpeg":
+                    payloads.append(
+                        jpeg.jpeg_encode_gray(
+                            (px >> 8).astype(np.uint8), quality
+                        )
+                    )
+                else:
+                    payloads.append(codecs.encode_tile(px, to_fmt))
+                fmts.append(to_fmt)
+            out["img"] = payloads
+            out["fmt"] = fmts
+            yield out
+
+    return imgs.mapInPandas(gen, imgs.schema)
 
 
 def image_resize(
