@@ -257,6 +257,8 @@ def jpeg_decode_gray(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG stream")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:

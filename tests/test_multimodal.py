@@ -46,8 +46,12 @@ def test_image_features_phash_invariant(spark, images_df):
 
 
 def test_external_image_codec_is_stub():
-    with pytest.raises(NotImplementedError, match="STUB"):
+    # jpeg is REAL now (core/jpeg.py) — a truncated stream errors as
+    # a malformed bitstream, not a stub
+    with pytest.raises((ValueError, IndexError)):
         mm.decode_image(b"\xff\xd8\xff", 8, 8, "jpeg")
+    with pytest.raises(NotImplementedError, match="STUB"):
+        mm.decode_image(b"", 8, 8, "webp")
     with pytest.raises(NotImplementedError, match="STUB"):
         mm.decode_audio(b"", "mp3")
 
