@@ -205,14 +205,34 @@ def _dct_basis() -> np.ndarray:
 _DCT_M = _dct_basis()
 
 
-def _quant_steps(quality: int) -> np.ndarray:
+def _qscale(quality: int) -> float:
+    """Annex-K quality -> scale factor (shared by the dct tile codec
+    and core/jpeg.py so the formula cannot drift)."""
     if not 1 <= quality <= 100:
         raise ValueError("quality in 1..100")
-    scale = 5000.0 / quality if quality < 50 else 200.0 - 2.0 * quality
+    return 5000.0 / quality if quality < 50 else 200.0 - 2.0 * quality
+
+
+def _quant_steps(quality: int) -> np.ndarray:
     # x257: the table is specified for 8-bit samples; our samples are
     # uint16 (peak 65535 = 255*257), so steps scale with the range
-    steps = np.floor((_QTABLE * scale + 50.0) / 100.0) * 257.0
+    steps = np.floor((_QTABLE * _qscale(quality) + 50.0) / 100.0) * 257.0
     return np.maximum(steps, 1.0)
+
+
+def dct2_blocks(f: np.ndarray) -> np.ndarray:
+    """(H,W) image (H,W multiples of 8) -> (H/8, W/8, 8, 8) DCT-II
+    coefficient blocks. Shared by the dct tile codec and core/jpeg.py."""
+    H, W = f.shape
+    blocks = f.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+    return np.einsum("ij,bcjk,lk->bcil", _DCT_M, blocks, _DCT_M)
+
+
+def idct2_blocks(coefs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`dct2_blocks` -> (H, W) image."""
+    blocks = np.einsum("ji,bcjk,kl->bcil", _DCT_M, coefs, _DCT_M)
+    nby, nbx = coefs.shape[:2]
+    return blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
 
 
 def dct_encode_gray(
@@ -233,9 +253,7 @@ def dct_encode_gray(
         f[mask] = f[~mask].mean()
     ph, pw = (-h) % 8, (-w) % 8
     f = np.pad(f, ((0, ph), (0, pw)), mode="edge")
-    H, W = f.shape
-    blocks = f.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
-    coefs = np.einsum("ij,bcjk,lk->bcil", _DCT_M, blocks, _DCT_M)
+    coefs = dct2_blocks(f)
     steps = _quant_steps(quality)
     q = np.round(coefs / steps).astype(np.int32)
     mask_z = zlib.compress(np.packbits(mask).tobytes(), 6)
@@ -260,9 +278,7 @@ def dct_decode_gray(data: bytes, nodata: int | None = 0) -> np.ndarray:
     q = np.frombuffer(zlib.decompress(data[off + mask_len :]), "<i4")
     H, W = h + ((-h) % 8), w + ((-w) % 8)
     q = q.astype(np.float64).reshape(H // 8, W // 8, 8, 8)
-    coefs = q * _quant_steps(quality)
-    blocks = np.einsum("ji,bcjk,kl->bcil", _DCT_M, coefs, _DCT_M)
-    f = blocks.transpose(0, 2, 1, 3).reshape(H, W)[:h, :w]
+    f = idct2_blocks(q * _quant_steps(quality))[:h, :w]
     out = np.clip(np.round(f), 0, 65535).astype(np.uint16)
     if nodata is not None:
         out[mask] = nodata

@@ -21,7 +21,7 @@ import struct
 
 import numpy as np
 
-from .codecs import _DCT_M, _QTABLE
+from .codecs import _QTABLE, _qscale, dct2_blocks, idct2_blocks
 
 # ---- spec constants (ITU-T T.81 Annex K) ----
 
@@ -74,10 +74,7 @@ _AC_ENC = _canonical_codes(AC_BITS, AC_VALS)
 
 
 def _quant_table(quality: int) -> np.ndarray:
-    if not 1 <= quality <= 100:
-        raise ValueError("quality in 1..100")
-    scale = 5000.0 / quality if quality < 50 else 200.0 - 2.0 * quality
-    q = np.floor((_QTABLE * scale + 50.0) / 100.0)
+    q = np.floor((_QTABLE * _qscale(quality) + 50.0) / 100.0)
     return np.clip(q, 1, 255).astype(np.int32)
 
 
@@ -96,6 +93,10 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:
                 self.buf.append(0x00)  # stuffing
+        # mask consumed high bits: without this the int grows with the
+        # whole stream and every shift goes quadratic (measured 60x on
+        # a 512x512 image)
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
         if self.n:
@@ -117,9 +118,7 @@ def jpeg_encode_gray(arr: np.ndarray, quality: int = 85) -> bytes:
     qt = _quant_table(quality)
     ph, pw = (-h) % 8, (-w) % 8
     f = np.pad(a.astype(np.float64), ((0, ph), (0, pw)), mode="edge") - 128.0
-    H, W = f.shape
-    blocks = f.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
-    coefs = np.einsum("ij,bcjk,lk->bcil", _DCT_M, blocks, _DCT_M)
+    coefs = dct2_blocks(f)
     q = np.round(coefs / qt).astype(np.int32)
     zz = q.reshape(-1, 64)[:, ZIGZAG]  # row-major block order
 
@@ -136,7 +135,6 @@ def jpeg_encode_gray(arr: np.ndarray, quality: int = 85) -> bytes:
             v = diff if diff >= 0 else diff + (1 << cat) - 1
             bw.write(v, cat)
         run = 0
-        last_nz = 0
         nz = np.nonzero(blk[1:])[0]
         last_nz = int(nz[-1]) + 1 if nz.size else 0
         for i in range(1, last_nz + 1):
@@ -216,11 +214,12 @@ class _BitReader:
             self.n = k
         self.n -= k
         v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1  # drop consumed bits (see writer)
         return v
 
 
 def _decode_tables(bits: list[int], vals: list[int]):
-    """(maxcode/mincode/valptr) per length for spec FSM decoding."""
+    """(length, code) -> value lookup from the canonical assignment."""
     codes = _canonical_codes(bits, vals)
     by_len: dict[int, list[tuple[int, int]]] = {}
     for v, (c, ln) in codes.items():
@@ -253,10 +252,16 @@ def jpeg_decode_gray(data: bytes) -> np.ndarray:
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     h = w = None
+    tq = td = ta = 0
+    scan_start = None
     restart = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         if pos + 1 >= len(data):
             raise ValueError("truncated JPEG stream")
         marker = data[pos + 1]
@@ -282,6 +287,7 @@ def jpeg_decode_gray(data: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8 or nc != 1:
                 raise ValueError("baseline grayscale only")
+            tq = payload[8]  # component spec: id, sampling, Tq
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("baseline (SOF0) only")
         elif marker == 0xC4:
@@ -296,19 +302,30 @@ def jpeg_decode_gray(data: bytes) -> np.ndarray:
         elif marker == 0xDD:
             (restart,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:
+            # scan header: ns, then per component (id, Td<<4|Ta)
+            td_ta = payload[2]
+            td, ta = td_ta >> 4, td_ta & 0xF
             scan_start = pos + ln
             break
         pos += ln
     if h is None:
         raise ValueError("no SOF0")
-    dc_lut = huff[(0, 0)]
-    ac_lut = huff[(1, 0)]
-    qt = qts[0]
+    if scan_start is None:
+        raise ValueError("no SOS marker (truncated JPEG)")
+    try:
+        dc_lut = huff[(0, td)]
+        ac_lut = huff[(1, ta)]
+        qt = qts[tq]
+    except KeyError as e:
+        raise ValueError(f"missing Huffman/quant table {e}") from None
     H, W = h + ((-h) % 8), w + ((-w) % 8)
     nby, nbx = H // 8, W // 8
     n_blocks = nby * nbx
     # split entropy data on restart markers if DRI declared
-    body = data[scan_start: data.rfind(b"\xff\xd9")]
+    end = data.rfind(b"\xff\xd9")
+    if end < scan_start:  # EOI missing or a header byte pair matched
+        end = len(data)
+    body = data[scan_start:end]
     segments = [body]
     if restart:
         segments = []
@@ -353,6 +370,5 @@ def jpeg_decode_gray(data: bytes) -> np.ndarray:
     dezz = np.zeros((n_blocks, 64), np.int32)
     dezz[:, ZIGZAG] = out_blocks
     coefs = dezz.reshape(nby, nbx, 8, 8).astype(np.float64) * qt
-    blocks = np.einsum("ji,bcjk,kl->bcil", _DCT_M, coefs, _DCT_M)
-    img = blocks.transpose(0, 2, 1, 3).reshape(H, W)[:h, :w] + 128.0
+    img = idct2_blocks(coefs)[:h, :w] + 128.0
     return np.clip(np.round(img), 0, 255).astype(np.uint8)

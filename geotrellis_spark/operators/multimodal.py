@@ -89,7 +89,9 @@ def transcode_image(
                             (px >> 8).astype(np.uint8), quality
                         )
                     )
-                else:
+                elif to_fmt == "dct":
+                    payloads.append(codecs.dct_encode_gray(px, quality))
+                else:  # lossless targets: quality has no meaning
                     payloads.append(codecs.encode_tile(px, to_fmt))
                 fmts.append(to_fmt)
             out["img"] = payloads

@@ -312,11 +312,14 @@ def countmin_sketch(
     m, d = CM_WIDTH, CM_DEPTH
     from .dedup import hex2int_spark
 
+    # NULL keys are EXCLUDED on both sides: Spark concat(NULL,..) is
+    # NULL while DuckDB concat skips NULLs — without the filter the
+    # sketches silently diverge on nullable key columns
     rows = events.selectExpr(
         group_col,
         f"cast({weight_expr} as bigint) as _w",
         f"{key_expr} as _k",
-    ).selectExpr(
+    ).where("_k is not null").selectExpr(
         group_col, "_w",
         f"explode(array({', '.join(str(i) for i in range(d))})) as row",
         "_k",
@@ -346,6 +349,7 @@ def countmin_sketch_sql(
       SELECT {group_col}, CAST({weight_expr} AS BIGINT) AS _w,
              {key_expr} AS _k, row
       FROM {source_sql}, (SELECT unnest(generate_series(0, {d - 1})) AS row)
+      WHERE {key_expr} IS NOT NULL
     )
     SELECT {group_col}, row, ({h}) % {m} AS slot,
            CAST(sum(_w) AS BIGINT) AS counter
