@@ -602,3 +602,61 @@ def incremental_pairs(
         )
         .distinct()
     )
+
+
+def simhash_neardup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-duplicate pairs — the text twin of
+    ``phash_neardup``: split the 16-bit fingerprint into 4 x 4-bit
+    bands (equi-join on (band, value); pigeonhole guarantees 100%
+    recall for Hamming distance <= 3), refine with exact
+    bit_count(a XOR b) <= ``max_hamming``. All integer; scale shape is
+    the same bounded-bucket equi-join as every other LSH op here.
+    Returns (doc_a, doc_b, hamming)."""
+    fp = simhash(docs, id_col, text_col)
+    banded = fp.selectExpr(
+        f"{id_col} as _id", "simhash as _fp",
+        "explode(array(0, 1, 2, 3)) as band",
+    ).selectExpr(
+        "_id", "_fp", "band",
+        "shiftright(_fp, band * 4) & 15 as bval",
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.expr("bit_count(a._fp ^ b._fp)").cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_neardup_sql(
+    source_sql: str = "documents", max_hamming: int = 2
+) -> str:
+    return f"""
+    WITH fp AS ({simhash_sql(source_sql)}),
+    banded AS (
+      SELECT doc_id AS _id, simhash AS _fp, band,
+             (simhash >> (band * 4)) & 15 AS bval
+      FROM fp, (SELECT unnest([0, 1, 2, 3]) AS band)
+    )
+    SELECT DISTINCT a._id AS doc_a, b._id AS doc_b,
+           CAST(bit_count(xor(a._fp, b._fp)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bval = b.bval AND a._id < b._id
+    WHERE bit_count(xor(a._fp, b._fp)) <= {max_hamming}
+    """

@@ -1416,6 +1416,17 @@ def sql_hll_sketch() -> str:
     return olap.hll_sketch_sql()
 
 
+def q_simhash_neardup(spark, sf_dir) -> DataFrame:
+    """SimHash near-dup pairs: 4x4-bit band LSH over the 16-bit
+    fingerprint + exact bit_count hamming refine (the text twin of
+    phash_neardup)."""
+    return dedup.simhash_neardup(_t(spark, sf_dir, "documents"))
+
+
+def sql_simhash_neardup() -> str:
+    return dedup.simhash_neardup_sql()
+
+
 def q_countmin(spark, sf_dir) -> DataFrame:
     """Count-min sketch per event_type (value-weighted in cents) —
     like hll_sketch, the mergeable sketch table itself is the
@@ -1510,6 +1521,7 @@ QUERIES = {
     "hll_sketch": (q_hll_sketch, sql_hll_sketch),
     "poly_stats": (q_poly_stats, sql_poly_stats),
     "countmin": (q_countmin, sql_countmin),
+    "simhash_neardup": (q_simhash_neardup, sql_simhash_neardup),
     "interval_join": (q_interval_join, sql_interval_join),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),
