@@ -204,3 +204,81 @@ def asof_enrich_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stateful_asof_stream(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    on: str = "key",
+    ts: str = "ts",
+    watermark: str = "30 seconds",
+):
+    """STREAM-STREAM as-of join via ``applyInPandasWithState`` — the
+    temporal-table join Spark lacks (Flink's ``FOR SYSTEM_TIME AS OF``
+    role): per key, state holds the latest right row seen; each left
+    row emits with the right row whose ``ts`` most recently preceded
+    it.
+
+    Contract (the same one Flink's processing-order temporal join
+    documents): per key, rows must arrive in event-time order ACROSS
+    the two streams (right snapshots published before the left events
+    that should see them). Under that contract the result equals the
+    batch ``temporal.asof_join`` exactly — e2e-tested; out-of-order
+    arrivals match against the latest right seen SO FAR (best-effort,
+    like any processing-order temporal join). State per key is ONE
+    (ts, snap_id, snap_value) triple — bounded regardless of stream
+    length.
+
+    Inputs: left (key, ts, event_id), right (key, ts, snap_id,
+    snap_value). Output: left columns + snap_id/snap_value (NULL
+    before the first snapshot)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tagged = left_stream.selectExpr(
+        f"{on} as key", f"{ts} as ts", "event_id",
+        "cast(null as long) as snap_id",
+        "cast(null as double) as snap_value",
+        "1 as side",
+    ).unionByName(
+        right_stream.selectExpr(
+            f"{on} as key", f"{ts} as ts",
+            "cast(null as long) as event_id",
+            "snap_id", "snap_value", "0 as side",
+        )
+    ).withWatermark("ts", watermark)
+
+    out_schema = (
+        "key long, ts timestamp, event_id long, snap_id long, "
+        "snap_value double"
+    )
+    state_schema = "rts timestamp, rid long, rval double"
+
+    def join_fn(key, pdfs, state):
+        if state.exists:
+            rts, rid, rval = state.get
+        else:
+            rts = rid = rval = None
+        outs = []
+        for pdf in pdfs:
+            # event-time order within the batch; rights before lefts
+            # on equal timestamps (asof_join's tie rule)
+            pdf = pdf.sort_values(["ts", "side"], kind="mergesort")
+            for r in pdf.itertuples(index=False):
+                if r.side == 0:
+                    rts, rid, rval = r.ts, int(r.snap_id), float(r.snap_value)
+                else:
+                    outs.append(
+                        (key[0], r.ts, int(r.event_id), rid, rval)
+                    )
+        state.update((rts, rid, rval))
+        if outs:
+            yield pd.DataFrame(
+                outs,
+                columns=["key", "ts", "event_id", "snap_id", "snap_value"],
+            )
+
+    return tagged.groupBy("key").applyInPandasWithState(
+        join_fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -394,3 +394,66 @@ def test_streaming_curation_pair_store_equals_batch(spark, tmp_path):
     pairs = spark.read.parquet(str(out / "staging_pairs"))
     r = pairs.selectExpr("min(doc_a < doc_b) as ok").collect()[0]
     assert r["ok"] and pairs.count() > 0
+
+
+def test_stateful_asof_stream_equals_batch(spark, tmp_path):
+    """Stream-stream as-of via applyInPandasWithState: with per-key
+    event-time-ordered arrival (the temporal-join contract), the
+    emitted rows equal the batch asof_join exactly — including events
+    before the first snapshot (NULLs) and the rights-win-ties rule."""
+    import datetime as dt
+    import pandas as pd
+    from geotrellis_spark.operators.temporal import asof_join
+    from geotrellis_spark.streaming.ingest_stream import stateful_asof_stream
+
+    for old in spark.streams.active:
+        old.stop()
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rights = pd.DataFrame({
+        "key": [1, 2, 1, 2, 1],
+        "ts": pd.to_datetime([ts(10), ts(10), ts(40), ts(40), ts(70)]
+                             ).astype("datetime64[us]"),
+        "snap_id": [110, 210, 140, 240, 170],
+        "snap_value": [1.0, 2.0, 1.4, 2.4, 1.7],
+    })
+    lefts = pd.DataFrame({
+        "key": [1 + (i % 2) for i in range(40)],
+        "ts": pd.to_datetime([ts(i * 2) for i in range(40)]
+                             ).astype("datetime64[us]"),
+        "event_id": list(range(40)),
+    })
+    # one file per stream: in-order within each; state machine orders
+    # rights-before-lefts on equal ts
+    (tmp_path / "L").mkdir(); (tmp_path / "R").mkdir()
+    lefts.to_parquet(tmp_path / "L" / "l.parquet", index=False)
+    rights.to_parquet(tmp_path / "R" / "r.parquet", index=False)
+    ls = spark.readStream.schema(
+        "key long, ts timestamp, event_id long").parquet(str(tmp_path / "L"))
+    rs = spark.readStream.schema(
+        "key long, ts timestamp, snap_id long, snap_value double"
+    ).parquet(str(tmp_path / "R"))
+    joined = stateful_asof_stream(ls, rs)
+    q = (
+        joined.writeStream.format("memory").queryName("asof_state")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["event_id"], r["snap_id"], r["snap_value"])
+        for r in spark.table("asof_state").collect()
+    }
+    want = {
+        (r["event_id"], r["snap_id"], r["snap_value"])
+        for r in asof_join(
+            spark.createDataFrame(lefts), spark.createDataFrame(rights), "key"
+        ).collect()
+    }
+    assert got == want and len(got) == 40
