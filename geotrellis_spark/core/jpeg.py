@@ -273,7 +273,10 @@ def jpeg_decode_gray(data: bytes) -> np.ndarray:
         if marker == 0xDB:
             off = 0
             while off < len(payload):
-                pq, tq = payload[off] >> 4, payload[off] & 0xF
+                # distinct local for the DQT table id: a DQT segment is
+                # legal AFTER SOF0 (T.81 B.2.4.1) and must not clobber
+                # the component's quant-table SELECTOR `tq`
+                pq, tqi = payload[off] >> 4, payload[off] & 0xF
                 off += 1
                 if pq:
                     raise ValueError("16-bit quant tables unsupported")
@@ -281,7 +284,7 @@ def jpeg_decode_gray(data: bytes) -> np.ndarray:
                 t[ZIGZAG] = np.frombuffer(
                     payload[off : off + 64], np.uint8
                 )
-                qts[tq] = t.reshape(8, 8)
+                qts[tqi] = t.reshape(8, 8)
                 off += 64
         elif marker == 0xC0:
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)

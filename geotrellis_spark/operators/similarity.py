@@ -769,23 +769,39 @@ def ivf_build_index(
         )
     cents = cents.localCheckpoint()
     cents.write.mode("overwrite").parquet(f"{base}/centroids")
+    assign = ivf_assignments(emb, cents, id_col, vec_col)
+    assign.write.mode("overwrite").partitionBy("cent_id").parquet(
+        f"{base}/assignments"
+    )
+
+
+def ivf_assignments(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment (id, vec, cent_id) for every vector.
+
+    Argmax as a hash-aggregate, not a row_number window: the window
+    sort-shuffles all n x k scored rows; max_by partial-aggregates
+    map-side and never sorts. Tie-break matches a
+    (ccos desc, cent_id asc) ordering — struct comparison is
+    lexicographic and -cent_id flips asc into the max."""
     bcents = F.broadcast(cents)
     scored = emb.select(id_col, vec_col).crossJoin(bcents).withColumn(
         "ccos",
         _dot(vec_col, "c_vec")
         / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("c_vec", "c_vec"))),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("ccos").desc(), F.col("cent_id").asc()
-    )
-    assign = (
-        scored.withColumn("crank", F.row_number().over(w))
-        .where("crank = 1")
-        .select(id_col, vec_col, "cent_id")
-    )
-    assign.write.mode("overwrite").partitionBy("cent_id").parquet(
-        f"{base}/assignments"
-    )
+    # group by id ONLY (grouping by the array column would fall back
+    # to SortAggregate — arrays aren't hash-aggregatable); the vector
+    # rides inside the max_by payload struct instead
+    return scored.groupBy(id_col).agg(
+        F.expr(
+            f"max_by(struct(cent_id, {vec_col}), struct(ccos, -cent_id))"
+        ).alias("_m")
+    ).select(id_col, f"_m.{vec_col}", "_m.cent_id")
 
 
 def ivf_query_index(

@@ -79,3 +79,46 @@ def test_spark_transcode_and_features(spark):
             np.int64(feats[iid]["phash"]), np.int64(orig[iid]["phash"])
         )
         assert int(d) <= 10, (iid, int(d))
+
+
+def test_dqt_after_sof0_with_distinct_table_ids():
+    """T.81 allows DQT segments after SOF0; a late DQT defining a
+    DIFFERENT table id must not clobber the component's quant-table
+    selector (regression: the parse loop used to reuse the selector
+    variable for the DQT table id)."""
+    import struct
+
+    import numpy as np
+
+    from geotrellis_spark.core import jpeg as J
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    data = J.jpeg_encode_gray(img, quality=90)
+    baseline = J.jpeg_decode_gray(data)
+
+    # re-segment: move the real DQT (as table id 1) AFTER SOF0, set the
+    # component selector to 1, and append a junk DQT with table id 0
+    pos = 2
+    segs = []
+    while True:
+        marker = data[pos + 1]
+        if marker == 0xDA:
+            tail = data[pos:]
+            break
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        segs.append((marker, data[pos : pos + 2 + ln]))
+        pos += 2 + ln
+    by = {m: bytearray(s) for m, s in segs if m != 0xC4}
+    dhts = [bytes(s) for m, s in segs if m == 0xC4]
+    dqt = by[0xDB]
+    dqt[4] = 0x01  # Pq=0, Tq=1
+    sof = by[0xC0]
+    sof[4 + 8] = 0x01  # component Tq selector -> 1 (2 marker + 2 len hdr)
+    junk = bytes([0xFF, 0xDB, 0x00, 0x43, 0x00]) + bytes(64)  # id 0, all-zero
+    reordered = (
+        data[:2] + bytes(by[0xE0]) + bytes(sof) + bytes(dqt) + junk
+        + b"".join(dhts) + tail
+    )
+    out = J.jpeg_decode_gray(reordered)
+    assert np.array_equal(out, baseline)

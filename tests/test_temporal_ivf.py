@@ -450,3 +450,51 @@ def test_ivf_persisted_kmeans_variant(spark, tmp_path):
     out = S.ivf_query_index(spark, base, emb.where("vec_id % 100 = 0"))
     # 5 queries x top-5
     assert out.count() == 25
+
+
+def test_ivf_assignments_maxby_no_window(spark):
+    """The IVF assignment stage is a hash-aggregate argmax (max_by),
+    not a row_number window: results match the window derivation
+    bit-for-bit (same tie-break) and the plan carries no Window/Sort."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from geotrellis_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.where("vec_id % 61 = 0").selectExpr(
+        "vec_id as cent_id", "embedding as c_vec"
+    )
+    assign = S.ivf_assignments(emb, cents)
+    got = {(r["vec_id"], r["cent_id"]) for r in assign.collect()}
+
+    scored = emb.select("vec_id", "embedding").crossJoin(
+        F.broadcast(cents)
+    ).withColumn(
+        "ccos",
+        S._dot("embedding", "c_vec")
+        / (F.sqrt(S._dot("embedding", "embedding"))
+           * F.sqrt(S._dot("c_vec", "c_vec"))),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id").asc()
+    )
+    want = {
+        (r["vec_id"], r["cent_id"])
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .where("rk = 1").select("vec_id", "cent_id").collect()
+    }
+    assert got == want and got
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assign.explain(True)
+    physical = buf.getvalue().split("== Physical Plan ==")[-1]
+    # no Window (the old row_number plan shuffled ALL n x k scored
+    # rows); the aggregate must partial-combine map-side so the
+    # exchange carries ~n rows, not n x k
+    assert "Window" not in physical, physical
+    assert "partial_max_by" in physical, physical
