@@ -26,7 +26,15 @@ PRIME = 1_000_000_007
 MINHASH_A = (7, 11, 13, 17, 19, 23, 29, 31)
 MINHASH_B = (3, 5, 101, 211, 307, 401, 503, 601)
 SHINGLE_K = 8
-SIMHASH_BITS = 16
+# 64-bit fingerprint, 4 x 16-bit bands: 65,536 possible values per
+# band, so bucket occupancy FALLS as the corpus grows (the r4 16-bit
+# fingerprint had 16 values/band — every bucket held ~n/16 docs and
+# the band self-join was effectively quadratic at scale)
+SIMHASH_BITS = 64
+SIMHASH_BAND_BITS = 16
+# bigint min as an overflow-safe SQL literal (bit 63 of the
+# fingerprint is the sign bit in two's complement — both engines)
+_I64_MIN = "(-9223372036854775807 - 1)"
 
 
 def hex2int_spark(expr: str) -> str:
@@ -180,27 +188,52 @@ def minhash_dedup(
     )
 
 
+def _fp_bit_expr_spark(i: int) -> str:
+    """+1/-1 vote from bit i of md5(token): bit (i % 2) of hex nibble
+    (i // 2) — 32 nibbles x 2 bits = 64 usable bits, identical
+    arithmetic in DuckDB (values 0..15, non-negative, so % 2 agrees)."""
+    nib = f"cast(conv(substring(th, {i // 2 + 1}, 1), 16, 10) as int)"
+    return f"2 * (shiftright({nib}, {i % 2}) % 2) - 1"
+
+
+def _fp_bit_expr_duckdb(i: int) -> str:
+    nib = f"(('0x' || substr(th, {i // 2 + 1}, 1))::int)"
+    return f"2 * (({nib} >> {i % 2}) % 2) - 1"
+
+
+def _fp_assemble(bits: int) -> str:
+    """Sum-of-set-bits fingerprint expression over s0..s{bits-1}.
+    Bit 63 is the bigint sign bit: added as I64_MIN so the 64-bit
+    fingerprint lands in two's complement without overflow (the band
+    extraction masks with & 65535, so sign extension is harmless)."""
+    terms = [
+        f"(case when s{i} > 0 then "
+        + (_I64_MIN if i == 63 else str(1 << i))
+        + " else 0 end)"
+        for i in range(bits)
+    ]
+    return " + ".join(terms)
+
+
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """SimHash fingerprint from whitespace tokens: bit i of md5(token)
     votes +1/-1; fingerprint bit i set iff the sum is positive.
+    64-bit by default (2 bits per md5 hex nibble).
     Returns (doc_id, simhash)."""
     toks = docs.selectExpr(
         id_col, f"explode(split({text_col}, ' ')) as tok"
     ).selectExpr(id_col, "md5(tok) as th")
     aggs = [
-        F.sum(
-            F.expr(f"2 * (cast(conv(substring(th, {i + 1}, 1), 16, 10) as int) % 2) - 1")
-        ).alias(f"s{i}")
+        F.sum(F.expr(_fp_bit_expr_spark(i))).alias(f"s{i}")
         for i in range(bits)
     ]
     summed = toks.groupBy(id_col).agg(*aggs)
-    fp = " + ".join(
-        f"(case when s{i} > 0 then {1 << i} else 0 end)" for i in range(bits)
+    return summed.selectExpr(
+        id_col, f"cast({_fp_assemble(bits)} as bigint) as simhash"
     )
-    return summed.selectExpr(id_col, f"cast({fp} as bigint) as simhash")
 
 
 def ngram_jaccard_pairs(
@@ -283,18 +316,14 @@ def minhash_candidates_sql(source_sql: str = "documents") -> str:
 def simhash_sql(source_sql: str = "documents") -> str:
     bits = SIMHASH_BITS
     sums = ", ".join(
-        f"sum(2 * (('0x' || substr(th, {i + 1}, 1))::int % 2) - 1) AS s{i}"
-        for i in range(bits)
-    )
-    fp = " + ".join(
-        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+        f"sum({_fp_bit_expr_duckdb(i)}) AS s{i}" for i in range(bits)
     )
     return f"""
     WITH toks AS (
       SELECT doc_id, md5(unnest(string_split(text, ' '))) AS th FROM {source_sql}
     ),
     summed AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
-    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM summed
+    SELECT doc_id, CAST({_fp_assemble(bits)} AS BIGINT) AS simhash FROM summed
     """
 
 
@@ -438,11 +467,75 @@ def dedup_clusters_sql(source_sql: str = "documents") -> str:
 
 # ------------------------------------------------------- image near-dup
 
+def _fingerprint_band_pairs(
+    banded: DataFrame,
+    max_hamming: int,
+    out_a: str,
+    out_b: str,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Shared band-LSH pair generation over (_id, _fp, band, bval)
+    rows: equi-join on (band, bval), refine with exact
+    bit_count(a XOR b) <= ``max_hamming``.
+
+    ``max_bucket`` is the same 100 TB hot-bucket valve
+    ``minhash_candidates`` carries: a degenerate bucket (near-constant
+    images / boilerplate text collapsing to one band value) otherwise
+    makes the self-join quadratic in the bucket size. Capping keeps
+    the ``max_bucket`` smallest ids per (band, bval); overflow docs
+    pair ONLY with the bucket's smallest-id representative (linear),
+    still subject to the hamming refine. In the degenerate buckets the
+    cap exists for, members are near-identical, so the representative
+    edge passes the refine and transitive CLUSTERS are preserved
+    (pytest-proven on an identical-fingerprint hot-bucket fixture);
+    for genuinely diverse buckets above the cap the truncation trades
+    recall for boundedness — the standard LSH-cap contract."""
+    tail_pairs = None
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bval").orderBy(F.col("_id").asc())
+        ranked = banded.withColumn("_rk", F.row_number().over(w))
+        rep = ranked.where("_rk = 1").select(
+            "band", "bval",
+            F.col("_id").alias("_rid"), F.col("_fp").alias("_rfp"),
+        )
+        tail_pairs = (
+            ranked.where(F.col("_rk") > max_bucket)
+            .join(rep, ["band", "bval"])
+            .select(
+                F.col("_rid").alias(out_a),
+                F.col("_id").alias(out_b),
+                F.expr("bit_count(_rfp ^ _fp)").cast("long").alias("hamming"),
+            )
+        )
+        banded = ranked.where(F.col("_rk") <= max_bucket).drop("_rk")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias(out_a),
+            F.col("b._id").alias(out_b),
+            F.expr("bit_count(a._fp ^ b._fp)").cast("long").alias("hamming"),
+        )
+    )
+    if tail_pairs is not None:
+        pairs = pairs.unionByName(tail_pairs)
+    return pairs.where(F.col("hamming") <= max_hamming).distinct()
+
+
 def phash_neardup(
     images: DataFrame,
     id_col: str = "image_id",
     hash_col: str = "phash",
     max_hamming: int = 6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs by perceptual hash (the image-payload
     twin of MinHash-LSH): split each 64-bit phash into 4 x 16-bit
@@ -456,34 +549,22 @@ def phash_neardup(
     banding). All integer ops, bit-exact vs the DuckDB oracle
     (arithmetic shifts on BIGINT agree across engines).
 
+    ``max_bucket`` caps hot buckets (see ``_fingerprint_band_pairs``);
+    None = exact enumeration, the oracle-checked path.
+
     Returns (img_a, img_b, hamming), img_a < img_b."""
     banded = images.selectExpr(
-        f"{id_col} as _id", f"{hash_col} as _ph"
+        f"{id_col} as _id", f"{hash_col} as _fp"
     ).selectExpr(
-        "_id", "_ph",
+        "_id", "_fp",
         "explode(array(0, 1, 2, 3)) as band",
     ).selectExpr(
-        "_id", "_ph", "band",
-        "shiftright(_ph, band * 16) & 65535 as bval",
+        "_id", "_fp", "band",
+        "shiftright(_fp, band * 16) & 65535 as bval",
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("img_a"),
-            F.col("b._id").alias("img_b"),
-            F.expr("bit_count(a._ph ^ b._ph)").cast("long").alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
+    return _fingerprint_band_pairs(
+        banded, max_hamming, "img_a", "img_b", max_bucket
     )
-    return pairs
 
 
 def phash_neardup_sql(
@@ -512,6 +593,7 @@ def crossmodal_dedup(
     caption_col: str = "caption",
     hash_col: str = "phash",
     max_hamming: int = 3,
+    max_bucket: int | None = MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """Cross-modal near-duplicate clustering over image+caption pairs
     (the LAION-style curation op): a pair is a candidate duplicate if
@@ -529,10 +611,16 @@ def crossmodal_dedup(
         f"{caption_col} as text",
         f"{hash_col} as phash",
     )
-    cap_pairs = minhash_candidates(base)
+    # PRODUCTION defaults: both pair generators run hot-bucket-capped
+    # (max_bucket=256). The output is CLUSTERS, and the cap preserves
+    # bucket connectivity through the representative, so at oracle
+    # scale (where no bucket overflows) the result equals the exact
+    # enumeration the DuckDB twin computes.
+    cap_pairs = minhash_candidates(base, max_bucket=max_bucket)
     img_pairs = phash_neardup(
         base.selectExpr("doc_id as image_id", "phash"),
         max_hamming=max_hamming,
+        max_bucket=max_bucket,
     ).selectExpr("img_a as doc_a", "img_b as doc_b")
     # no pre-distinct: dedup_clusters symmetrizes + distincts the
     # edge list itself, so a distinct here is a redundant extra
@@ -608,50 +696,38 @@ def simhash_neardup(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 2,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs — the text twin of
-    ``phash_neardup``: split the 16-bit fingerprint into 4 x 4-bit
-    bands (equi-join on (band, value); pigeonhole guarantees 100%
-    recall for Hamming distance <= 3), refine with exact
-    bit_count(a XOR b) <= ``max_hamming``. All integer; scale shape is
-    the same bounded-bucket equi-join as every other LSH op here.
-    Returns (doc_a, doc_b, hamming)."""
+    """SimHash near-duplicate pairs — the TRUE text twin of
+    ``phash_neardup``: split the 64-bit fingerprint into 4 x 16-bit
+    bands (65,536 bucket values per band — bucket occupancy falls as
+    the corpus grows; the pigeonhole gives 100% recall for Hamming
+    distance <= 3), refine with exact bit_count(a XOR b) <=
+    ``max_hamming``. All integer. ``max_bucket`` caps hot buckets
+    (see ``_fingerprint_band_pairs``); None = exact enumeration, the
+    oracle-checked path. Returns (doc_a, doc_b, hamming)."""
     fp = simhash(docs, id_col, text_col)
     banded = fp.selectExpr(
         f"{id_col} as _id", "simhash as _fp",
         "explode(array(0, 1, 2, 3)) as band",
     ).selectExpr(
         "_id", "_fp", "band",
-        "shiftright(_fp, band * 4) & 15 as bval",
+        "shiftright(_fp, band * 16) & 65535 as bval",
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            F.expr("bit_count(a._fp ^ b._fp)").cast("long").alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
+    return _fingerprint_band_pairs(
+        banded, max_hamming, "doc_a", "doc_b", max_bucket
     )
 
 
 def simhash_neardup_sql(
-    source_sql: str = "documents", max_hamming: int = 2
+    source_sql: str = "documents", max_hamming: int = 3
 ) -> str:
     return f"""
     WITH fp AS ({simhash_sql(source_sql)}),
     banded AS (
       SELECT doc_id AS _id, simhash AS _fp, band,
-             (simhash >> (band * 4)) & 15 AS bval
+             (simhash >> (band * 16)) & 65535 AS bval
       FROM fp, (SELECT unnest([0, 1, 2, 3]) AS band)
     )
     SELECT DISTINCT a._id AS doc_a, b._id AS doc_b,

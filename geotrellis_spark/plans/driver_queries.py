@@ -1417,9 +1417,10 @@ def sql_hll_sketch() -> str:
 
 
 def q_simhash_neardup(spark, sf_dir) -> DataFrame:
-    """SimHash near-dup pairs: 4x4-bit band LSH over the 16-bit
+    """SimHash near-dup pairs: 4x16-bit band LSH over the 64-bit
     fingerprint + exact bit_count hamming refine (the text twin of
-    phash_neardup)."""
+    phash_neardup — 65,536 bucket values per band, so bucket
+    occupancy falls as the corpus grows)."""
     return dedup.simhash_neardup(_t(spark, sf_dir, "documents"))
 
 

@@ -1,0 +1,95 @@
+"""Round-5 verdict items: capped band-LSH (simhash/phash hot-bucket
+valve), 64-bit simhash, group_percentiles domain bound."""
+
+import numpy as np
+import pytest
+
+
+def test_phash_cap_preserves_clusters_on_hot_bucket(spark):
+    """Degenerate hot-bucket fixture: 40 images whose phash is
+    IDENTICAL (one band bucket holds all 40 — the flat/dark-image
+    case the cap exists for), plus a disjoint pair. With max_bucket
+    far below the bucket size, the pair LIST truncates (linear, not
+    quadratic) but connected CLUSTERS are identical to the uncapped
+    enumeration."""
+    from geotrellis_spark.operators import dedup
+
+    rows = [(i, 0x1234_5678_9ABC_0000 + 0) for i in range(40)]
+    rows += [(100, 0x7FFF_0000_1111_2222), (101, 0x7FFF_0000_1111_2223)]
+    imgs = spark.createDataFrame(rows, "image_id long, phash long")
+
+    full = dedup.phash_neardup(imgs, max_hamming=6)
+    capped = dedup.phash_neardup(imgs, max_hamming=6, max_bucket=4)
+
+    n_full = full.count()
+    n_capped = capped.count()
+    assert n_full == 40 * 39 // 2 + 1          # clique + the pair
+    assert n_capped < n_full                   # truncated...
+    assert n_capped == 4 * 3 // 2 + (40 - 4) + 1  # kept-clique + tails
+
+    cf = {(r["doc_id"], r["cluster"]) for r in dedup.dedup_clusters(
+        full.selectExpr("img_a as doc_a", "img_b as doc_b")).collect()}
+    cc = {(r["doc_id"], r["cluster"]) for r in dedup.dedup_clusters(
+        capped.selectExpr("img_a as doc_a", "img_b as doc_b")).collect()}
+    assert cf == cc                            # ...but clusters equal
+
+
+def test_simhash_cap_preserves_clusters_on_boilerplate(spark):
+    """Text twin: 30 identical boilerplate docs (identical 64-bit
+    fingerprint -> one hot bucket) — capped pair set preserves the
+    single cluster."""
+    from geotrellis_spark.operators import dedup
+
+    docs = spark.range(30).selectExpr(
+        "id as doc_id",
+        "'the same exact boilerplate sentence repeated verbatim' as text",
+    )
+    full = dedup.simhash_neardup(docs)
+    capped = dedup.simhash_neardup(docs, max_bucket=3)
+    assert full.count() == 30 * 29 // 2
+    assert capped.count() == 3 * 2 // 2 + 27
+    cf = {(r["doc_id"], r["cluster"])
+          for r in dedup.dedup_clusters(full).collect()}
+    cc = {(r["doc_id"], r["cluster"])
+          for r in dedup.dedup_clusters(capped).collect()}
+    assert cf == cc
+
+
+def test_simhash_64bit_band_domain(spark):
+    """The widened fingerprint actually uses high bits: random-ish
+    docs produce fingerprints outside int16 range, and band values
+    spread over the 16-bit domain (the r4 16-bit fingerprint had 16
+    values per band)."""
+    from geotrellis_spark.operators import dedup
+
+    docs = spark.range(50).selectExpr(
+        "id as doc_id",
+        "concat('alpha', id, ' beta', id * 7, ' gamma', id * 13, "
+        "' delta', id * 29) as text",
+    )
+    fps = [r["simhash"] for r in dedup.simhash(docs).collect()]
+    assert any(abs(v) > (1 << 32) for v in fps)
+    assert len(set(fps)) == 50
+    # negative fingerprints (bit 63 set) must appear and band-extract
+    # cleanly via shiftright + mask
+    assert any(v < 0 for v in fps)
+
+
+def test_crossmodal_capped_default_equals_uncapped_at_small_scale(spark):
+    """crossmodal_dedup now defaults max_bucket=256: at a scale where
+    no bucket overflows the result is bit-identical to the exact
+    enumeration (the oracle path)."""
+    from geotrellis_spark.operators import dedup
+
+    imgs = spark.range(60).selectExpr(
+        "concat('img', id) as image_id",
+        "concat('caption text number ', cast(id as string), "
+        "' with some shared words') as caption",
+        "cast(id * 1099511627776 as long) as phash",
+    )
+    capped = {(r["doc_id"], r["cluster"])
+              for r in dedup.crossmodal_dedup(imgs).collect()}
+    uncapped = {(r["doc_id"], r["cluster"])
+                for r in dedup.crossmodal_dedup(
+                    imgs, max_bucket=None).collect()}
+    assert capped == uncapped
