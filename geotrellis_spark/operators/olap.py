@@ -20,18 +20,33 @@ def group_percentiles(
     events: DataFrame,
     group_col: str = "event_type",
     percentiles: tuple[int, ...] = (50, 95, 99),
+    grid_cents: int | None = None,
 ) -> DataFrame:
     """Exact percentile_disc per group, 100 TB shape: instead of a
     single-partition sort per group, values are COMPRESSED to
     (group, value, freq) by one hash-aggregate; the rank-selection
-    window then runs over distinct values only (bounded by the value
-    domain, not the row count). percentile_disc(p) = the value at
-    0-based index floor((n-1)*p/100) of the sorted multiset = the
-    smallest value whose cumulative frequency exceeds that index —
-    pure integer math, bit-exact vs the oracle.
+    window then runs over distinct values only.
+
+    CONTRACT — the per-group window is bounded by the DISTINCT-VALUE
+    domain, not the row count. For discretized domains (cents, ints,
+    enums) that bound is small and fixed and the result is exact
+    percentile_disc: the value at 0-based index floor((n-1)*p/100) of
+    the sorted multiset = the smallest value whose cumulative
+    frequency exceeds that index — pure integer math, bit-exact vs
+    the oracle. For a heavy-tailed CONTINUOUS domain the distinct
+    count approaches the row count again and the window becomes a
+    per-group sort — for that case set ``grid_cents``: values are
+    floored onto a fixed-width grid of that many cents FIRST, so the
+    window is bounded by domain/grid_cents buckets regardless of row
+    count (percentiles are then exact over the gridded multiset, i.e.
+    correct to one grid step — the standard t-digest-style tradeoff,
+    but deterministic).
 
     Returns one row per group: (group, n, p<p>_cents...)."""
-    freq = events.selectExpr(group_col, f"{CENTS} as cents").groupBy(
+    cents = CENTS
+    if grid_cents is not None:
+        cents = f"(({CENTS}) div {grid_cents}) * {grid_cents}"
+    freq = events.selectExpr(group_col, f"{cents} as cents").groupBy(
         group_col, "cents"
     ).agg(F.count("*").alias("freq"))
     w = Window.partitionBy(group_col).orderBy("cents")
@@ -53,7 +68,13 @@ def group_percentiles_sql(
     source_sql: str = "events",
     group_col: str = "event_type",
     percentiles: tuple[int, ...] = (50, 95, 99),
+    grid_cents: int | None = None,
 ) -> str:
+    cents = CENTS
+    if grid_cents is not None:
+        # DuckDB // floors, Spark div truncates — identical on the
+        # non-negative cents domain this engine defines
+        cents = f"(({CENTS}) // {grid_cents}) * {grid_cents}"
     cols = ",\n           ".join(
         f"min(CASE WHEN cum >= ((n - 1) * {p}) // 100 + 1 THEN cents END)"
         f" AS p{p}_cents"
@@ -61,7 +82,7 @@ def group_percentiles_sql(
     )
     return f"""
     WITH freq AS (
-      SELECT {group_col}, {CENTS} AS cents, count(*) AS freq
+      SELECT {group_col}, {cents} AS cents, count(*) AS freq
       FROM {source_sql} GROUP BY 1, 2
     ),
     cum AS (

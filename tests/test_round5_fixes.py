@@ -93,3 +93,46 @@ def test_crossmodal_capped_default_equals_uncapped_at_small_scale(spark):
                 for r in dedup.crossmodal_dedup(
                     imgs, max_bucket=None).collect()}
     assert capped == uncapped
+
+
+def test_group_percentiles_grid_bounds_domain(spark):
+    """High-cardinality continuous fixture: 20k distinct doubles in
+    one group. grid_cents bounds the window's distinct-value domain
+    (here to <= 101 buckets) and the gridded percentile is within one
+    grid step of the exact one; ungridded stays exact
+    percentile_disc."""
+    from pyspark.sql import functions as F
+
+    from geotrellis_spark.operators import olap
+
+    n = 20_000
+    ev = spark.range(n).selectExpr(
+        "'t' as event_type",
+        # non-uniform continuous-ish values in [0, 1000)
+        "cast(pmod(id * 7919, 99991) as double) / 100.0 as value",
+    )
+    exact = olap.group_percentiles(ev).collect()[0]
+    gridded = olap.group_percentiles(ev, grid_cents=1000).collect()[0]
+    # bucket count under the grid obeys the documented bound
+    n_buckets = (
+        ev.selectExpr(
+            f"(({olap.CENTS}) div 1000) * 1000 as c"
+        ).distinct().count()
+    )
+    assert n_buckets <= 101
+    for p in (50, 95, 99):
+        e, g = exact[f"p{p}_cents"], gridded[f"p{p}_cents"]
+        assert g % 1000 == 0
+        assert g <= e < g + 1000  # floor-onto-grid: within one step
+    # spark == duckdb for the GRIDDED variant too
+    import duckdb
+
+    pdf = ev.toPandas()
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = con.execute(
+        olap.group_percentiles_sql(grid_cents=1000)
+    ).fetchone()
+    got = olap.group_percentiles(ev, grid_cents=1000).collect()[0]
+    assert (got["n"], got["p50_cents"], got["p95_cents"],
+            got["p99_cents"]) == (want[1], want[2], want[3], want[4])
