@@ -11,8 +11,11 @@ from scratch in-repo (no external libs needed): image ``dct``
 core/av_codecs.py), video ``ddct`` (keyframed delta-DCT with
 byte-offset frame index and keyframe-relative seek, core/av_codecs.py)
 — alongside the lossless raw16/PNG/PCM16/rawstack forms, and a REAL
-baseline grayscale JPEG encoder+decoder (core/jpeg.py — full marker
-parse, Annex K Huffman, entropy coding; no libjpeg). Only webp/tiff/
+baseline JPEG encoder+decoder, grayscale AND YCbCr 4:2:0/4:4:4 color
+(core/jpeg.py — full marker parse, Annex K Huffman, interleaved MCU
+entropy coding; no libjpeg). Multiband (D2) rows carry a ``bands``
+column; ``decode_image_multiband``/``transcode_image_multiband``
+handle plane-sequential raw16 and 3-band color JPEG. Only webp/tiff/
 MP3/H.264 remain stubbed behind clearly-marked ``NotImplementedError``
 (their bitstream libraries are not in this container); the engine-side
 plumbing is identical either way and fully tested on the in-repo
@@ -20,6 +23,8 @@ codecs.
 
 Row conventions:
 - image: (image_id long, img binary, w int, h int, fmt string)
+  — multiband rows add (bands int); raw16 payloads are then
+  plane-sequential, band-major
 - audio: (audio_id long, pcm binary, sample_rate int, n_samples int,
   codec string)  — pcm = little-endian int16 mono
 - video: (video_id long, frames binary, n_frames int, w int, h int,
@@ -63,6 +68,95 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
             "(not in this container); plug a decoder into decode_image"
         )
     raise ValueError(fmt)
+
+
+def decode_image_multiband(
+    data: bytes, w: int, h: int, fmt: str, bands: int
+) -> np.ndarray:
+    """Decode a MULTIBAND image payload to uint16 (bands, h, w) — the
+    D2 MultibandTile shape. Layouts:
+
+    - bands == 1: any single-band fmt, via ``decode_image``.
+    - 'raw16': plane-sequential little-endian uint16 — band i is the
+      i-th w*h*2-byte slab (1-4 bands).
+    - 'jpeg', bands == 3: REAL from-scratch color JPEG (YCbCr 4:2:0
+      or 4:4:4, core/jpeg.py); 8-bit samples widened x257.
+    """
+    if bands == 1:
+        return decode_image(data, w, h, fmt)[None, :, :]
+    if fmt == "raw16":
+        if len(data) != w * h * 2 * bands:
+            raise ValueError(
+                f"raw16 multiband payload is {len(data)} bytes, "
+                f"expected {w * h * 2 * bands} for {bands} bands"
+            )
+        return (
+            np.frombuffer(data, dtype="<u2")
+            .astype(np.uint16)
+            .reshape(bands, h, w)
+        )
+    if fmt == "jpeg" and bands == 3:
+        from ..core import jpeg
+
+        rgb = jpeg.jpeg_decode(bytes(data))
+        if rgb.ndim != 3:
+            raise ValueError("jpeg payload is grayscale, not 3-band")
+        if rgb.shape[:2] != (h, w):
+            raise ValueError(f"JPEG dims {rgb.shape[:2]} != {(h, w)}")
+        return rgb.transpose(2, 0, 1).astype(np.uint16) * 257
+    if fmt in EXTERNAL_IMAGE_CODECS:
+        raise NotImplementedError(
+            f"STUB: {fmt} decode needs an external image library"
+        )
+    raise ValueError(f"unsupported multiband fmt {fmt!r} x{bands}")
+
+
+def encode_image_multiband(
+    px: np.ndarray, fmt: str, quality: int = 85, subsampling: str = "420"
+) -> bytes:
+    """Encode uint16 (bands, h, w) pixels: 'raw16' plane-sequential,
+    or 'jpeg' for 3-band (high bytes -> color JPEG)."""
+    bands = px.shape[0]
+    if bands == 1:
+        return codecs.encode_tile(px[0], fmt)
+    if fmt == "raw16":
+        return np.ascontiguousarray(px, dtype="<u2").tobytes()
+    if fmt == "jpeg" and bands == 3:
+        from ..core import jpeg
+
+        rgb = (px >> 8).astype(np.uint8).transpose(1, 2, 0)
+        return jpeg.jpeg_encode_rgb(rgb, quality, subsampling)
+    raise ValueError(f"unsupported multiband fmt {fmt!r} x{bands}")
+
+
+def transcode_image_multiband(
+    imgs: DataFrame, to_fmt: str, quality: int = 85,
+    subsampling: str = "420",
+) -> DataFrame:
+    """Multiband transcode (raw16 <-> color jpeg): one narrow map over
+    (img, w, h, fmt, bands) rows, partitioning preserved — the same
+    Arrow-batched shape as ``transcode_image``, with the D2 ``bands``
+    column driving the codec path per row."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            payloads, fmts = [], []
+            for i in range(len(pdf)):
+                px = decode_image_multiband(
+                    bytes(pdf["img"].iloc[i]), int(pdf["w"].iloc[i]),
+                    int(pdf["h"].iloc[i]), pdf["fmt"].iloc[i],
+                    int(pdf["bands"].iloc[i]),
+                )
+                payloads.append(
+                    encode_image_multiband(px, to_fmt, quality, subsampling)
+                )
+                fmts.append(to_fmt)
+            out["img"] = payloads
+            out["fmt"] = fmts
+            yield out
+
+    return imgs.mapInPandas(gen, imgs.schema)
 
 
 def transcode_image(
