@@ -225,7 +225,8 @@ def stateful_asof_stream(
     that should see them). Under that contract the result equals the
     batch ``temporal.asof_join`` exactly — e2e-tested; out-of-order
     arrivals match against the latest right seen SO FAR (best-effort,
-    like any processing-order temporal join). State per key is ONE
+    like any processing-order temporal join; for exactness under
+    bounded disorder use ``watermark_asof_stream``). State per key is ONE
     (ts, snap_id, snap_value) triple — bounded regardless of stream
     length.
 
@@ -260,17 +261,25 @@ def stateful_asof_stream(
         else:
             rts = rid = rval = None
         outs = []
-        for pdf in pdfs:
-            # event-time order within the batch; rights before lefts
-            # on equal timestamps (asof_join's tie rule)
-            pdf = pdf.sort_values(["ts", "side"], kind="mergesort")
-            for r in pdf.itertuples(index=False):
-                if r.side == 0:
-                    rts, rid, rval = r.ts, int(r.snap_id), float(r.snap_value)
-                else:
-                    outs.append(
-                        (key[0], r.ts, int(r.event_id), rid, rval)
-                    )
+        # materialize ALL Arrow chunks first: a key's micro-batch can
+        # span chunks, and sorting per chunk would replay rows in
+        # shuffle order ACROSS chunks (a left could miss a right that
+        # lands in a later chunk with an earlier ts). One concat + one
+        # sort; state per key stays one triple.
+        chunks = list(pdfs)
+        if not chunks:  # timeout-less invocations always carry data,
+            return      # but guard the empty-iterator edge anyway
+        pdf = pd.concat(chunks, ignore_index=True)
+        # event-time order within the batch; rights before lefts on
+        # equal timestamps (asof_join's tie rule)
+        pdf = pdf.sort_values(["ts", "side"], kind="mergesort")
+        for r in pdf.itertuples(index=False):
+            if r.side == 0:
+                rts, rid, rval = r.ts, int(r.snap_id), float(r.snap_value)
+            else:
+                outs.append(
+                    (key[0], r.ts, int(r.event_id), rid, rval)
+                )
         state.update((rts, rid, rval))
         if outs:
             yield pd.DataFrame(
@@ -281,4 +290,138 @@ def stateful_asof_stream(
     return tagged.groupBy("key").applyInPandasWithState(
         join_fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+def watermark_asof_stream(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    on: str = "key",
+    ts: str = "ts",
+    watermark: str = "30 seconds",
+):
+    """Stream-stream as-of join under BOUNDED DISORDER — the
+    watermark-correct upgrade of ``stateful_asof_stream`` (which
+    requires per-key event-time-ordered arrival): rows may arrive in
+    ANY order within the watermark, and the emitted rows still equal
+    the batch ``temporal.asof_join`` exactly.
+
+    Mechanism (the Flink watermark-temporal-join pattern, via
+    ``applyInPandasWithState`` + event-time timeout):
+
+    - per key, state BUFFERS pending left events and right snapshots
+      (epoch-micros arrays — bounded by the rows inside the watermark
+      horizon) plus one compacted "floor" right (the latest snapshot
+      older than everything already finalized).
+    - a left event is emitted only once the watermark passes its
+      timestamp — at that point no earlier right can still arrive, so
+      "latest right with rts <= lts" (rights win ties, asof_join's
+      rule) is final.
+    - rights older than the watermark compact to the single floor
+      triple; an event-time timeout (set to the earliest pending
+      left) flushes keys even in batches where they receive no data.
+
+    Late rows beyond the watermark are dropped by Spark before the
+    state function sees them — the standard contract. Emission lags
+    arrival by up to the watermark delay (the price of exactness).
+
+    Inputs/output match ``stateful_asof_stream``."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tagged = left_stream.selectExpr(
+        f"{on} as key", f"{ts} as ts", "event_id",
+        "cast(null as long) as snap_id",
+        "cast(null as double) as snap_value",
+        "1 as side",
+    ).unionByName(
+        right_stream.selectExpr(
+            f"{on} as key", f"{ts} as ts",
+            "cast(null as long) as event_id",
+            "snap_id", "snap_value", "0 as side",
+        )
+    ).withWatermark("ts", watermark)
+
+    out_schema = (
+        "key long, ts timestamp, event_id long, snap_id long, "
+        "snap_value double"
+    )
+    state_schema = (
+        "lts array<long>, lid array<long>, "
+        "rts array<long>, rid array<long>, rval array<double>, "
+        "fts long, fid long, fval double"
+    )
+
+    def join_fn(key, pdfs, state):
+        if state.exists:
+            lts, lid, rts, rid, rval, fts, fid, fval = state.get
+            lts, lid = list(lts), list(lid)
+            rts, rid, rval = list(rts), list(rid), list(rval)
+        else:
+            lts, lid, rts, rid, rval = [], [], [], [], []
+            fts = fid = fval = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            us = (pdf["ts"].astype("datetime64[ns]").astype("int64")
+                  // 1000)
+            for t_us, side, eid, sid, sval in zip(
+                us, pdf["side"], pdf["event_id"], pdf["snap_id"],
+                pdf["snap_value"],
+            ):
+                if side == 0:
+                    rts.append(int(t_us))
+                    rid.append(int(sid))
+                    rval.append(float(sval))
+                else:
+                    lts.append(int(t_us))
+                    lid.append(int(eid))
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        outs = []
+        if lts:
+            # finalize lefts the watermark has passed, oldest first
+            order = sorted(range(len(lts)), key=lambda i: (lts[i], lid[i]))
+            # rights sorted once for floor-aware lookup
+            rorder = sorted(range(len(rts)), key=lambda i: rts[i])
+            keep_l = []
+            for i in order:
+                if lts[i] > wm_us:
+                    keep_l.append(i)
+                    continue
+                bt, bi, bv = fts, fid, fval
+                for j in rorder:
+                    if rts[j] <= lts[i] and (bt is None or rts[j] >= bt):
+                        bt, bi, bv = rts[j], rid[j], rval[j]
+                outs.append((key[0], lts[i], lid[i], bi, bv))
+            lts, lid = [lts[i] for i in keep_l], [lid[i] for i in keep_l]
+        # compact rights: everything at or below the watermark can
+        # never beat the latest such snapshot for any FUTURE left
+        # (future lefts have lts > wm) — fold them into the floor
+        keep_r = []
+        for j in range(len(rts)):
+            if rts[j] <= wm_us:
+                if fts is None or rts[j] >= fts:
+                    fts, fid, fval = rts[j], rid[j], rval[j]
+            else:
+                keep_r.append(j)
+        rts = [rts[j] for j in keep_r]
+        rid = [rid[j] for j in keep_r]
+        rval = [rval[j] for j in keep_r]
+
+        state.update((lts, lid, rts, rid, rval, fts, fid, fval))
+        if lts:
+            # flush pending lefts when the watermark passes the
+            # earliest one, even if this key gets no more data
+            state.setTimeoutTimestamp(min(lts) // 1000 + 1)
+        if outs:
+            df = pd.DataFrame(
+                outs,
+                columns=["key", "ts", "event_id", "snap_id", "snap_value"],
+            )
+            df["ts"] = pd.to_datetime(df["ts"], unit="us")
+            yield df
+
+    return tagged.groupBy("key").applyInPandasWithState(
+        join_fn, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
     )

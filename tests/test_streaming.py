@@ -457,3 +457,89 @@ def test_stateful_asof_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 40
+
+
+def test_watermark_asof_stream_out_of_order(spark, tmp_path):
+    """watermark_asof_stream: rows arrive SHUFFLED (within and across
+    micro-batches, both streams) inside the watermark — emitted rows
+    still equal the batch asof_join exactly. Lefts are held until the
+    watermark passes them; an event-time timeout flushes keys in
+    batches where they get no data."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from geotrellis_spark.operators.temporal import asof_join
+    from geotrellis_spark.streaming.ingest_stream import watermark_asof_stream
+
+    for old in spark.streams.active:
+        old.stop()
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rights = pd.DataFrame({
+        "key": [1, 2, 1, 2, 1, 2],
+        "ts": pd.to_datetime([ts(10), ts(12), ts(40), ts(38), ts(70),
+                              ts(66)]).astype("datetime64[us]"),
+        "snap_id": [110, 210, 140, 240, 170, 270],
+        "snap_value": [1.0, 2.0, 1.4, 2.4, 1.7, 2.6],
+    })
+    lefts = pd.DataFrame({
+        "key": [1 + (i % 2) for i in range(40)],
+        "ts": pd.to_datetime([ts(i * 2) for i in range(40)]
+                             ).astype("datetime64[us]"),
+        "event_id": list(range(40)),
+    })
+    rng = random.Random(5)
+    lshuf = lefts.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    rshuf = rights.sample(frac=1.0, random_state=9).reset_index(drop=True)
+    (tmp_path / "L").mkdir(); (tmp_path / "R").mkdir()
+    # two shuffled files per stream (multi-batch via maxFilesPerTrigger)
+    lshuf.iloc[:20].to_parquet(tmp_path / "L" / "l1.parquet", index=False)
+    lshuf.iloc[20:].to_parquet(tmp_path / "L" / "l2.parquet", index=False)
+    rshuf.iloc[:3].to_parquet(tmp_path / "R" / "r1.parquet", index=False)
+    rshuf.iloc[3:].to_parquet(tmp_path / "R" / "r2.parquet", index=False)
+
+    ls = spark.readStream.schema(
+        "key long, ts timestamp, event_id long"
+    ).option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "L"))
+    rs = spark.readStream.schema(
+        "key long, ts timestamp, snap_id long, snap_value double"
+    ).option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "R"))
+    joined = watermark_asof_stream(ls, rs, watermark="2 hours")
+    q = (
+        joined.writeStream.format("memory").queryName("asof_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    try:
+        q.processAllAvailable()
+        # far-future sentinel rights advance the watermark past all
+        # data; the SECOND one triggers the batch in which the (now
+        # expired) event-time timeouts flush every pending key
+        for n, hours in (("s1", 10), ("s2", 20)):
+            pd.DataFrame({
+                "key": [1],
+                "ts": pd.to_datetime([t0 + dt.timedelta(hours=hours)]
+                                     ).astype("datetime64[us]"),
+                "snap_id": [999], "snap_value": [9.9],
+            }).to_parquet(tmp_path / "R" / f"{n}.parquet", index=False)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["event_id"], r["snap_id"], r["snap_value"])
+        for r in spark.table("asof_wm").collect()
+    }
+    want = {
+        (r["event_id"], r["snap_id"], r["snap_value"])
+        for r in asof_join(
+            spark.createDataFrame(lefts), spark.createDataFrame(rights),
+            "key",
+        ).collect()
+    }
+    assert got == want and len(got) == 40
