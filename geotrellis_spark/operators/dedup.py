@@ -668,6 +668,70 @@ def band_rows(
     ).select(id_col, "bk.band", "bk.bval")
 
 
+PAIR_STORE_PARTS = 64
+PB_EXPR = f"pmod(hash(band, bval), {PAIR_STORE_PARTS})"
+
+
+def capped_bucket_pairs(
+    bands: DataFrame, id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate pairs PER BUCKET with ``minhash_candidates``' cap
+    semantics, keyed by the pair store's hash partition ``pb`` =
+    pmod(hash(band, bval), PAIR_STORE_PARTS): the ``max_bucket``
+    smallest ids per (band, bval) pair fully, overflow docs pair with
+    the bucket's smallest-id representative. ``SELECT DISTINCT doc_a,
+    doc_b`` over the output equals ``minhash_candidates(...,
+    max_bucket=...)`` exactly — which is what lets a streaming store
+    REGENERATE the partitions its batch touched (bucket-delta
+    replacement) instead of appending monotonically: under a cap the
+    pair set is NOT monotone (a new small-id doc displaces a
+    representative), so touched partitions are rewritten from current
+    bucket membership via dynamic partition overwrite.
+
+    Input must be DISTINCT (id, band, bval) rows — replayed duplicate
+    band rows would consume cap slots twice. Returns
+    (pb, doc_a, doc_b) rows, doc_a < doc_b, distinct per partition."""
+    banded = bands.selectExpr(id_col, "band", "bval", f"{PB_EXPR} as pb")
+    tail_pairs = None
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bval").orderBy(F.col(id_col).asc())
+        ranked = banded.withColumn("_rk", F.row_number().over(w))
+        rep = ranked.where("_rk = 1").select(
+            "band", "bval", F.col(id_col).alias("_rep")
+        )
+        tail_pairs = (
+            ranked.where(F.col("_rk") > max_bucket)
+            .join(rep, ["band", "bval"])
+            .select(
+                "pb",
+                F.col("_rep").alias("doc_a"),
+                F.col(id_col).alias("doc_b"),
+            )
+        )
+        banded = ranked.where(F.col("_rk") <= max_bucket).drop("_rk")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col("a.pb").alias("pb"),
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+    )
+    if tail_pairs is not None:
+        pairs = pairs.unionByName(tail_pairs)
+    return pairs.distinct()
+
+
 def incremental_pairs(
     new_bands: DataFrame, all_bands: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -35,8 +35,17 @@ import os
 
 from pyspark.sql import DataFrame
 
+from pyspark.sql import functions as F
+
 from ..operators.curation import curate
-from ..operators.dedup import band_rows, incremental_pairs, minhash_signatures
+from ..operators.text import quality_score
+from ..operators.dedup import (
+    PB_EXPR,
+    band_rows,
+    capped_bucket_pairs,
+    incremental_pairs,
+    minhash_signatures,
+)
 
 
 def recurate(
@@ -63,10 +72,13 @@ def recurate(
     docs = spark.read.parquet(staging).dropDuplicates(["doc_id"])
     if use_pair_store:
         # fail-loud coverage guard (mirrors the signature path's): a
-        # band store missing staged docs means their near-dups were
-        # never paired — duplicates would silently survive curation
+        # band store missing QUALITY-GATED staged docs means their
+        # near-dups were never paired — duplicates would silently
+        # survive curation. (The store is built over gated docs only:
+        # a low-quality bucket representative would otherwise strand
+        # its capped tail pairs at recuration.)
         bands = spark.read.parquet(os.path.join(out_dir, "staging_bands"))
-        n_docs = docs.count()
+        n_docs = quality_score(docs).where("is_quality").count()
         n_banded = bands.select("doc_id").distinct().count()
         if n_banded < n_docs:
             raise ValueError(
@@ -77,7 +89,7 @@ def recurate(
             )
         pairs = spark.read.parquet(
             os.path.join(out_dir, "staging_pairs")
-        ).distinct()
+        ).select("doc_a", "doc_b").distinct()
         curated, stats = curate(spark, docs, per_stratum, salt, pairs=pairs)
     else:
         sigs = spark.read.parquet(sig_store).dropDuplicates(["doc_id"])
@@ -102,6 +114,7 @@ def curate_stream(
     recurate_every: int = 1,
     trigger_sec: int | None = None,
     pair_store: bool = False,
+    max_bucket: int | None = None,
 ):
     """Start the streaming curation. ``docs_stream`` must carry the
     documents columns plus an event-time ``ts`` timestamp column.
@@ -110,15 +123,27 @@ def curate_stream(
     at ``out_dir/staging``.
 
     ``pair_store=True`` additionally maintains band membership and an
-    incrementally-grown candidate-pair store: each batch joins only its
-    NEW docs against the buckets they touch (pair sets are monotone
-    under an append-only corpus, so old pairs never need recomputing),
-    and recuration reads the stored pairs instead of re-running the
-    corpus-wide banding self-join — per-batch cost is proportional to
-    the touched buckets' membership, recuration's near-dup stage to
-    the pair-store size. The curated snapshot is still identical to
-    the batch job (pairs filter to exact-dedup survivors at
-    recuration; components are cap-invariant)."""
+    incrementally-grown candidate-pair store over the QUALITY-GATED
+    docs: each batch joins only its NEW docs against the buckets they
+    touch (pair sets are monotone under an append-only corpus, so old
+    pairs never need recomputing), and recuration reads the stored
+    pairs instead of re-running the corpus-wide banding self-join —
+    per-batch cost is proportional to the touched buckets' membership,
+    recuration's near-dup stage to the pair-store size. The curated
+    snapshot is still identical to the batch job (pairs filter to
+    exact-dedup survivors at recuration; components are
+    cap-invariant).
+
+    ``max_bucket`` switches the store to CAPPED pair maintenance —
+    the 100 TB shape, where the store itself stays bounded: capped
+    pair sets are NOT monotone (a late-arriving small-id doc displaces
+    a bucket representative), so instead of appending, each batch
+    REGENERATES the hash partitions its buckets live in from current
+    membership (``capped_bucket_pairs`` + dynamic partition
+    overwrite). The stored pair set is proven equal to the batch
+    ``minhash_candidates(gated, max_bucket=...)`` enumeration e2e,
+    including bucket-overflow and representative-displacement
+    batches."""
     staging = os.path.join(out_dir, "staging")
     sig_store = os.path.join(out_dir, "staging_sigs")
     band_store = os.path.join(out_dir, "staging_bands")
@@ -142,17 +167,60 @@ def curate_stream(
         sigs_new = minhash_signatures(rows).localCheckpoint()
         sigs_new.write.mode("append").parquet(sig_store)
         if pair_store:
-            bands_new = band_rows(sigs_new).localCheckpoint()
-            bands_new.write.mode("append").parquet(band_store)
-            # all bands INCLUDING this batch (just appended). NO
-            # dedupe here: replayed duplicate band rows only produce
-            # duplicate pairs, absorbed by incremental_pairs' distinct
-            # — a dropDuplicates would shuffle the whole corpus store
-            # every batch, defeating the touched-buckets cost model
-            all_bands = spark.read.parquet(band_store)
-            incremental_pairs(bands_new, all_bands).write.mode(
-                "append"
-            ).parquet(pairs_store)
+            # band/pair store over QUALITY-GATED docs only (the gate
+            # is a pure per-doc function, so the stream applies it per
+            # batch): under a cap, a low-quality doc must not become a
+            # bucket representative — its tail pairs would filter away
+            # at recuration and disconnect the tails, diverging from
+            # the batch enumeration (which never sees gated-out docs)
+            gated_ids = quality_score(rows).where("is_quality").select(
+                "doc_id"
+            )
+            sigs_gated = sigs_new.join(gated_ids, "doc_id")
+            bands_new = band_rows(sigs_gated).selectExpr(
+                "doc_id", "band", "bval", f"{PB_EXPR} as pb"
+            ).localCheckpoint()
+            bands_new.write.mode("append").partitionBy("pb").parquet(
+                band_store
+            )
+            if max_bucket is None:
+                # UNCAPPED: pair sets are monotone under append-only
+                # corpora, so new pairs simply append. NO dedupe here:
+                # replayed duplicate band rows only produce duplicate
+                # pairs, absorbed by incremental_pairs' distinct — a
+                # dropDuplicates would shuffle the whole corpus store
+                # every batch, defeating the touched-buckets cost model
+                all_bands = spark.read.parquet(band_store)
+                incremental_pairs(bands_new, all_bands).write.mode(
+                    "append"
+                ).parquet(pairs_store)
+            else:
+                # CAPPED: NOT monotone — a new small-id doc displaces
+                # a bucket representative, invalidating stored pairs.
+                # Bucket-delta REPLACEMENT: regenerate the hash
+                # partitions the batch's buckets live in from current
+                # membership and dynamic-partition-overwrite exactly
+                # those; untouched partitions' membership is unchanged
+                # so their stored pairs stay valid. Cost per batch is
+                # proportional to the touched partitions' membership,
+                # not the corpus. The dropDuplicates here is bounded
+                # the same way (replays would double-consume cap
+                # slots otherwise).
+                touched = [
+                    int(r["pb"])
+                    for r in bands_new.select("pb").distinct().collect()
+                ]
+                members = (
+                    spark.read.parquet(band_store)
+                    .where(F.col("pb").isin(touched))
+                    .dropDuplicates(["doc_id", "band", "bval"])
+                )
+                regen = capped_bucket_pairs(members, max_bucket=max_bucket)
+                (
+                    regen.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("pb").parquet(pairs_store)
+                )
         # cadence keyed on the CHECKPOINTED batch_id (monotone across
         # restarts), not an in-memory counter that resets. With
         # recurate_every > 1 the snapshot may trail by up to

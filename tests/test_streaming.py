@@ -543,3 +543,99 @@ def test_watermark_asof_stream_out_of_order(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 40
+
+
+def test_streaming_capped_pair_store_equals_batch(spark, tmp_path):
+    """CAPPED pair store (max_bucket): pair sets are NOT monotone — a
+    late-arriving small-id doc displaces a bucket representative, so
+    the stream must REPLACE the touched partitions, not append. After
+    streaming a corpus with a bucket-overflow batch (20 identical
+    boilerplate docs >> cap=4) whose smallest id arrives LAST, the
+    stored pair set equals batch minhash_candidates(max_bucket=4)
+    exactly, and the curated snapshot equals the batch job."""
+    import pandas as pd
+
+    from geotrellis_spark.operators import dedup
+    from geotrellis_spark.operators.curation import curate
+    from geotrellis_spark.streaming.curate_stream import curate_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    # 25 words, 7 stopwords: PASSES the quality gate (n_words >= 20,
+    # stop*10 >= words) so the hot docs reach the band store
+    hot_text = (
+        "the same exact boilerplate paragraph is repeated verbatim in "
+        "each and every one of these documents so that it will "
+        "overflow a single lsh bucket"
+    )
+    tmpl = base.iloc[0]
+    hot = pd.DataFrame([
+        {**{c: tmpl[c] for c in base.columns},
+         "doc_id": i, "text": hot_text}
+        for i in [9999] + list(range(10001, 10020))
+    ])[list(base.columns)]
+    all_docs = pd.concat([base, hot], ignore_index=True)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batches: base third + some hot each; the smallest hot id (9999,
+    # the final representative) arrives in the LAST batch
+    b0 = pd.concat([base.iloc[0::3], hot.iloc[1:8]])
+    b1 = pd.concat([base.iloc[1::3], hot.iloc[8:20]])
+    b2 = pd.concat([base.iloc[2::3], hot.iloc[0:1]])  # 9999 last
+    for i, b in enumerate((b0, b1, b2)):
+        b.to_parquet(src / f"b{i}.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .selectExpr(
+            "*",
+            # bounded event times: the raw hot ids (9999+) as seconds
+            # would advance the dedup watermark hours past the base
+            # docs and drop later batches as late
+            "timestamp'2026-01-01'"
+            " + make_interval(0,0,0,0,0,0,pmod(doc_id, 1000)) as ts",
+        )
+    )
+    out = tmp_path / "out"
+    q = curate_stream(
+        stream, out_dir=str(out), checkpoint_dir=str(tmp_path / "ckpt"),
+        per_stratum=20, pair_store=True, max_bucket=4,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_df = spark.createDataFrame(all_docs, schema=docs.schema)
+    # the store is built over quality-gated docs (see curate_stream);
+    # the batch twin is the capped enumeration over the same gated set
+    from geotrellis_spark.operators.text import quality_score
+
+    gated = all_df.join(
+        quality_score(all_df).where("is_quality").select("doc_id"),
+        "doc_id",
+    )
+    want_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidates(gated, max_bucket=4).collect()
+    }
+    got_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(str(out / "staging_pairs"))
+        .select("doc_a", "doc_b").distinct().collect()
+    }
+    assert got_pairs == want_pairs and got_pairs
+    # the displaced representative is real: 9999 pairs as doc_a with
+    # every other hot doc (cap tails pair with the bucket MINIMUM)
+    assert {(9999, i) for i in range(10001, 10020)} <= got_pairs
+    # and the curated snapshot still equals the batch job (components
+    # are cap-invariant)
+    got = sorted(
+        spark.read.parquet(str(out / "docs")).toPandas()["doc_id"]
+    )
+    want_df, _ = curate(spark, all_df, per_stratum=20)
+    want = sorted(want_df.toPandas()["doc_id"])
+    assert got == want and got
