@@ -313,6 +313,40 @@ def minhash_candidates_sql(source_sql: str = "documents") -> str:
     """
 
 
+def minhash_capped_sql(
+    source_sql: str = "documents", max_bucket: int = 4
+) -> str:
+    """DuckDB twin of ``minhash_candidates(..., max_bucket=...)`` —
+    the hot-bucket cap ITSELF oracle-gated: row_number over
+    (band, bval) ordered by doc_id, kept-clique pairs for rank <=
+    cap, overflow rows pair with the rank-1 representative."""
+    base = minhash_candidates_sql(source_sql)
+    # reuse the shingle/sig/banded CTE stack, replace the final join
+    head = base[: base.index("SELECT DISTINCT")].rstrip()
+    return f"""{head},
+    ranked AS (
+      SELECT doc_id, band, bval,
+             row_number() OVER (PARTITION BY band, bval
+                                ORDER BY doc_id) AS rk
+      FROM banded
+    ),
+    rep AS (SELECT band, bval, doc_id AS rep_id FROM ranked WHERE rk = 1),
+    kept AS (SELECT * FROM ranked WHERE rk <= {max_bucket}),
+    kp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    ),
+    tails AS (
+      SELECT r.rep_id AS doc_a, t.doc_id AS doc_b
+      FROM ranked t JOIN rep r ON t.band = r.band AND t.bval = r.bval
+      WHERE t.rk > {max_bucket}
+    )
+    SELECT DISTINCT doc_a, doc_b
+    FROM (SELECT * FROM kp UNION ALL SELECT * FROM tails)
+    """
+
+
 def simhash_sql(source_sql: str = "documents") -> str:
     bits = SIMHASH_BITS
     sums = ", ".join(

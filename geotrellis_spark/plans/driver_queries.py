@@ -529,6 +529,22 @@ def sql_minhash_lsh() -> str:
     return dedup.minhash_candidates_sql(_DOUBLED)
 
 
+def q_minhash_capped(spark, sf_dir) -> DataFrame:
+    """Hot-bucket-CAPPED MinHash candidates (max_bucket=4) — the 100 TB
+    production semantic itself oracle-gated: rank-<=4 bucket members
+    pair fully, overflow members pair with the rank-1 representative
+    (dedup.minhash_candidates max_bucket path vs a DuckDB row_number
+    re-derivation). The documents corpus has buckets well over the cap,
+    so the truncation branch is genuinely exercised."""
+    return dedup.minhash_candidates(
+        _t(spark, sf_dir, "documents"), max_bucket=4
+    )
+
+
+def sql_minhash_capped() -> str:
+    return dedup.minhash_capped_sql("documents", max_bucket=4)
+
+
 def q_simhash(spark, sf_dir) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
@@ -1556,6 +1572,7 @@ QUERIES = {
     "rolling_window": (q_rolling_window, sql_rolling_window),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
+    "minhash_capped": (q_minhash_capped, sql_minhash_capped),
     "dedup_cluster": (q_dedup_cluster, sql_dedup_cluster),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
     "resample_ffill": (q_resample_ffill, sql_resample_ffill),
@@ -1567,10 +1584,10 @@ QUERIES = {
     "lang_id": (q_lang_id, sql_lang_id),
     "quality_score": (q_quality, sql_quality),
     "doc_fingerprint": (q_fingerprint, sql_fingerprint),
-    "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
     "spacetime_join": (q_spacetime_join, sql_spacetime_join),
     "class_breaks": (q_class_breaks, sql_class_breaks),
     # ---- tail: redundant variants (machinery covered above) ----
+    "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
     "ann_topk": (q_ann_topk, sql_ann_topk),
     "embedding_lsh": (q_embedding_lsh, sql_embedding_lsh),
     "ann_bucketed": (q_ann_bucketed, sql_ann_bucketed),
