@@ -619,6 +619,47 @@ def phash_neardup_sql(
     """
 
 
+def phash_capped_sql(
+    source_sql: str, id_col: str = "image_id", hash_col: str = "phash",
+    max_hamming: int = 6, max_bucket: int = 4,
+) -> str:
+    """DuckDB twin of ``phash_neardup(..., max_bucket=...)`` — the
+    cap + hamming-refine interaction oracle-gated: rank-<=cap members
+    pair fully, overflow members pair only with the rank-1
+    representative, and ALL pairs (tail ones included) pass the exact
+    bit_count refine."""
+    return f"""
+    WITH banded AS (
+      SELECT {id_col} AS _id, CAST({hash_col} AS BIGINT) AS _ph,
+             band, (CAST({hash_col} AS BIGINT) >> (band * 16)) & 65535 AS bval
+      FROM {source_sql}, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    ranked AS (
+      SELECT _id, _ph, band, bval,
+             row_number() OVER (PARTITION BY band, bval ORDER BY _id) AS rk
+      FROM banded
+    ),
+    rep AS (SELECT band, bval, _id AS rid, _ph AS rph
+            FROM ranked WHERE rk = 1),
+    kept AS (SELECT * FROM ranked WHERE rk <= {max_bucket}),
+    kp AS (
+      SELECT a._id AS img_a, b._id AS img_b,
+             CAST(bit_count(xor(a._ph, b._ph)) AS BIGINT) AS hamming
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bval = b.bval AND a._id < b._id
+    ),
+    tails AS (
+      SELECT r.rid AS img_a, t._id AS img_b,
+             CAST(bit_count(xor(r.rph, t._ph)) AS BIGINT) AS hamming
+      FROM ranked t JOIN rep r ON t.band = r.band AND t.bval = r.bval
+      WHERE t.rk > {max_bucket}
+    )
+    SELECT DISTINCT img_a, img_b, hamming
+    FROM (SELECT * FROM kp UNION ALL SELECT * FROM tails)
+    WHERE hamming <= {max_hamming}
+    """
+
+
 # ---------------------------------------------------- cross-modal dedup
 
 def crossmodal_dedup(

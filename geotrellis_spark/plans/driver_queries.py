@@ -1343,6 +1343,31 @@ def sql_phash_neardup() -> str:
     return dedup.phash_neardup_sql(src, max_hamming=3)
 
 
+def q_phash_capped(spark, sf_dir) -> DataFrame:
+    """Hot-bucket-CAPPED phash near-dup (max_bucket=2, max_hamming=6)
+    — the cap + hamming-refine interaction oracle-gated against a
+    DuckDB row_number re-derivation: rank-<=2 bucket members pair
+    fully, overflow members pair only with the rank-1 representative,
+    tail pairs still pass the exact bit_count refine. max_bucket=2 on
+    the 300-image synth corpus genuinely exercises the truncation."""
+    from ..operators import dedup
+
+    images = synth.synth_images(spark, 300, partitions=8)
+    return dedup.phash_neardup(
+        images, max_hamming=6, max_bucket=2
+    )
+
+
+def sql_phash_capped() -> str:
+    from ..operators import dedup
+
+    vals = ", ".join(
+        f"('img{i:012d}', {synth.make_row(i)['phash']})" for i in range(300)
+    )
+    src = f"(SELECT * FROM (VALUES {vals}) t(image_id, phash))"
+    return dedup.phash_capped_sql(src, max_hamming=6, max_bucket=2)
+
+
 def q_retention(spark, sf_dir) -> DataFrame:
     """Cohort retention (users active per (first-week cohort, weeks
     since)) — integer epoch math, three hash-aggs + one user_id
@@ -1573,6 +1598,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
     "minhash_capped": (q_minhash_capped, sql_minhash_capped),
+    "phash_capped": (q_phash_capped, sql_phash_capped),
     "dedup_cluster": (q_dedup_cluster, sql_dedup_cluster),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
     "resample_ffill": (q_resample_ffill, sql_resample_ffill),
@@ -1583,10 +1609,11 @@ QUERIES = {
     "bm25": (q_bm25, sql_bm25),
     "lang_id": (q_lang_id, sql_lang_id),
     "quality_score": (q_quality, sql_quality),
-    "doc_fingerprint": (q_fingerprint, sql_fingerprint),
     "spacetime_join": (q_spacetime_join, sql_spacetime_join),
     "class_breaks": (q_class_breaks, sql_class_breaks),
-    # ---- tail: redundant variants (machinery covered above) ----
+    # ---- tail: redundant variants (machinery covered above; the
+    # rolling-hash fingerprint is a pure narrow expression) ----
+    "doc_fingerprint": (q_fingerprint, sql_fingerprint),
     "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
     "ann_topk": (q_ann_topk, sql_ann_topk),
     "embedding_lsh": (q_embedding_lsh, sql_embedding_lsh),
