@@ -525,6 +525,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         raise ValueError("no SOF0")
     if scan_start is None:
         raise ValueError("no SOS marker (truncated JPEG)")
+    if len(scan_order) < len(comps):
+        raise ValueError(
+            "multi-scan (non-interleaved multi-component) JPEG unsupported"
+        )
     if set(scan_order) != {c[0] for c in comps}:
         raise ValueError("SOS components do not match SOF0")
     for _, hs, vs, _ in comps:
@@ -533,15 +537,28 @@ def jpeg_decode(data: bytes) -> np.ndarray:
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    n_mcus = mcus_x * mcus_y
+    interleaved = len(scan_order) > 1
     by_cid = {c[0]: c for c in comps}
-    # per-component zigzag block planes (block-grid indexed)
-    planes = {
-        cid: np.zeros((mcus_y * vs, mcus_x * hs, 64), np.int32)
-        for cid, hs, vs, _ in comps
-    }
+    if interleaved:
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        # per-component zigzag block planes (block-grid indexed)
+        planes = {
+            cid: np.zeros((mcus_y * vs, mcus_x * hs, 64), np.int32)
+            for cid, hs, vs, _ in comps
+        }
+    else:
+        # T.81 A.2: a single-component scan is NON-interleaved — one
+        # data unit per MCU over the component's OWN block grid
+        # (ceil(comp dims / 8)), regardless of declared sampling
+        # factors; restart intervals count data units
+        cid0, hs0, vs0, _ = by_cid[scan_order[0]]
+        comp_w = -(-(w * hs0) // hmax)
+        comp_h = -(-(h * vs0) // vmax)
+        mcus_x = -(-comp_w // 8)
+        mcus_y = -(-comp_h // 8)
+        planes = {cid0: np.zeros((mcus_y, mcus_x, 64), np.int32)}
+    n_mcus = mcus_x * mcus_y
     luts = {}
     for cid in scan_order:
         td, ta = scan_sel[cid]
@@ -581,14 +598,20 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         while mi < limit:
             my, mx = divmod(mi, mcus_x)
             for cid in scan_order:
-                _, hs, vs, _ = by_cid[cid]
                 dc_lut, ac_lut = luts[cid]
-                for v in range(vs):
-                    for u in range(hs):
-                        blk, prev[cid] = _decode_one_block(
-                            br, dc_lut, ac_lut, prev[cid]
-                        )
-                        planes[cid][my * vs + v, mx * hs + u] = blk
+                if interleaved:
+                    _, hs, vs, _ = by_cid[cid]
+                    for v in range(vs):
+                        for u in range(hs):
+                            blk, prev[cid] = _decode_one_block(
+                                br, dc_lut, ac_lut, prev[cid]
+                            )
+                            planes[cid][my * vs + v, mx * hs + u] = blk
+                else:
+                    blk, prev[cid] = _decode_one_block(
+                        br, dc_lut, ac_lut, prev[cid]
+                    )
+                    planes[cid][my, mx] = blk
             mi += 1
 
     out_planes = {}

@@ -115,9 +115,18 @@ def encode_image_multiband(
     px: np.ndarray, fmt: str, quality: int = 85, subsampling: str = "420"
 ) -> bytes:
     """Encode uint16 (bands, h, w) pixels: 'raw16' plane-sequential,
-    or 'jpeg' for 3-band (high bytes -> color JPEG)."""
+    or 'jpeg' for 3-band (high bytes -> color JPEG); single-band rows
+    take the grayscale codecs (jpeg/dct honor ``quality``)."""
     bands = px.shape[0]
     if bands == 1:
+        if fmt == "jpeg":
+            from ..core import jpeg
+
+            return jpeg.jpeg_encode_gray(
+                (px[0] >> 8).astype(np.uint8), quality
+            )
+        if fmt == "dct":
+            return codecs.dct_encode_gray(px[0], quality)
         return codecs.encode_tile(px[0], fmt)
     if fmt == "raw16":
         return np.ascontiguousarray(px, dtype="<u2").tobytes()

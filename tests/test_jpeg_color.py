@@ -146,3 +146,44 @@ def test_spark_multiband_transcode(spark):
         bytes(got["img0"]["img"]), 64, 48, "jpeg", 3
     )
     assert np.array_equal(dec0, jdec0)
+
+
+def test_noninterleaved_gray_scan_ignores_sampling_factors():
+    """T.81 A.2: a single-component scan is non-interleaved — one data
+    unit per MCU over the component's own block grid, regardless of
+    the SOF0 sampling factors. Patching a grayscale file's sampling
+    byte from 0x11 to 0x22 must not change the decode."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (24, 40), np.uint8)
+    data = bytearray(J.jpeg_encode_gray(img, quality=90))
+    base = J.jpeg_decode(bytes(data))
+    # locate SOF0 and patch the component sampling byte
+    pos = 2
+    while True:
+        marker = data[pos + 1]
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        if marker == 0xC0:
+            assert data[pos + 4 + 7] == 0x11
+            data[pos + 4 + 7] = 0x22
+            break
+        pos += 2 + ln
+    patched = J.jpeg_decode(bytes(data))
+    assert np.array_equal(patched, base)
+
+
+def test_multiband_single_band_jpeg_transcode(spark):
+    """bands==1 rows through the multiband transcode take the
+    grayscale JPEG path (regression: encode_tile has no jpeg branch)."""
+    from geotrellis_spark.operators import multimodal as M
+
+    g = (synth_pixels(7, 48, 32)).astype(np.uint16)
+    df = spark.createDataFrame(
+        [("g0", g.tobytes(), 48, 32, "raw16", 1)],
+        "image_id string, img binary, w int, h int, fmt string, bands int",
+    )
+    out = M.transcode_image_multiband(df, "jpeg", quality=95).collect()[0]
+    assert out["fmt"] == "jpeg" and out["bands"] == 1
+    dec = M.decode_image_multiband(bytes(out["img"]), 48, 32, "jpeg", 1)
+    assert dec.shape == (1, 32, 48)
+    assert psnr((g >> 8).astype(np.uint8),
+                (dec[0] >> 8).astype(np.uint8), peak=255.0) >= 30.0
