@@ -96,7 +96,12 @@ def main():
             failures += 1
             continue
         print(f"ok   {name}: {len(sm)} rows exact ({time.time() - t0:.1f}s)")
-    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    # assert against len(QUERIES), never a hardcoded count — a gate
+    # that checks a stale number silently skips the newest queries
+    n_expected = len(qs) if not only else len(only & set(qs))
+    print(f"\nchecked vs registry: {len(qs)} registered queries, "
+          f"{n_expected} selected")
+    print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
 
