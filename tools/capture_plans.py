@@ -151,6 +151,34 @@ def main() -> None:
         dq.q_hll_sketch(spark, "/root/testdata/sf0.01"),
     )
 
+    cap(
+        "minhash_capped: hot-bucket cap — rank window partitioned by "
+        "(band,bval) (bounded by band rows, 4 per doc), kept-clique "
+        "equi-join + tail->representative equi-join union; the "
+        "self-join input is CAPPED at max_bucket rows per bucket, so "
+        "no bucket can go quadratic",
+        dq.q_minhash_capped(spark, "/root/testdata/sf0.01"),
+    )
+
+    cap(
+        "phash_capped: same cap shape over phash bands + bit_count "
+        "hamming refine applied to kept AND tail pairs",
+        dq.q_phash_capped(spark, "/root/testdata/sf0.01"),
+    )
+
+    from geotrellis_spark.operators import similarity as S
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = emb.where("vec_id % 61 = 0").selectExpr(
+        "vec_id as cent_id", "embedding as c_vec"
+    )
+    cap(
+        "ivf_assignments (index build): argmax as a partial_max_by "
+        "hash-style aggregate — NO row_number Window, the exchange "
+        "carries ~n pre-aggregated rows instead of the n x k scored "
+        "cross",
+        S.ivf_assignments(emb, cents),
+    )
+
     hdr = """# PLANS — physical-plan evidence
 
 `.explain("formatted")` captures showing the engine gets the plans a
