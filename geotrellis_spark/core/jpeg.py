@@ -142,6 +142,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
         return bytes(self.buf)
 
+    def restart(self, m: int) -> None:
+        """Pad to a byte boundary and emit RSTm (markers are raw —
+        never byte-stuffed)."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        self.buf.append(0xFF)
+        self.buf.append(0xD0 + (m % 8))
+
 
 def _category(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
@@ -195,8 +204,15 @@ def _plane_zz(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     return q.reshape(nby, nbx, 64)[:, :, ZIGZAG]
 
 
-def jpeg_encode_gray(arr: np.ndarray, quality: int = 85) -> bytes:
-    """Encode a 2-D uint8 array as a baseline JFIF grayscale JPEG."""
+def jpeg_encode_gray(
+    arr: np.ndarray, quality: int = 85,
+    restart_interval: int | None = None,
+) -> bytes:
+    """Encode a 2-D uint8 array as a baseline JFIF grayscale JPEG.
+    ``restart_interval`` (in MCUs = blocks) emits a DRI segment and
+    RSTm markers: each restart interval is independently decodable
+    (DC predictor resets), the property a parallel or fault-tolerant
+    decoder shards on."""
     a = np.asarray(arr)
     if a.dtype != np.uint8 or a.ndim != 2:
         raise ValueError("jpeg_encode_gray expects 2-D uint8")
@@ -208,13 +224,18 @@ def jpeg_encode_gray(arr: np.ndarray, quality: int = 85) -> bytes:
 
     bw = _BitWriter()
     prev_dc = 0
-    for blk in zz:
+    for bi, blk in enumerate(zz):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.restart(bi // restart_interval - 1)
+            prev_dc = 0
         prev_dc = _encode_block(bw, blk, prev_dc, _DC_ENC, _AC_ENC)
     scan = bw.flush()
 
     out = b"\xff\xd8"  # SOI
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _seg(0xFFDB, b"\x00" + bytes(int(x) for x in qt.ravel()[ZIGZAG]))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(
         0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
     )
@@ -268,7 +289,8 @@ _AC_C_ENC = _canonical_codes(AC_C_BITS, AC_C_VALS)
 
 
 def jpeg_encode_rgb(
-    arr: np.ndarray, quality: int = 85, subsampling: str = "420"
+    arr: np.ndarray, quality: int = 85, subsampling: str = "420",
+    restart_interval: int | None = None,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF color
     JPEG: YCbCr transform, 4:2:0 chroma subsampling (2x2 box mean; or
@@ -301,8 +323,13 @@ def jpeg_encode_rgb(
     bw = _BitWriter()
     dc_y = dc_cb = dc_cr = 0
     mcus_y, mcus_x = zz_cb.shape[0], zz_cb.shape[1]
+    mi = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mi and mi % restart_interval == 0:
+                bw.restart(mi // restart_interval - 1)
+                dc_y = dc_cb = dc_cr = 0
+            mi += 1
             for v in range(sub):
                 for u in range(sub):
                     dc_y = _encode_block(
@@ -325,6 +352,8 @@ def jpeg_encode_rgb(
         b"\x00" + bytes(int(x) for x in qt_l.ravel()[ZIGZAG])
         + b"\x01" + bytes(int(x) for x in qt_c.ravel()[ZIGZAG]),
     )
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)

@@ -187,3 +187,22 @@ def test_multiband_single_band_jpeg_transcode(spark):
     assert dec.shape == (1, 32, 48)
     assert psnr((g >> 8).astype(np.uint8),
                 (dec[0] >> 8).astype(np.uint8), peak=255.0) >= 30.0
+
+
+def test_restart_markers_roundtrip_gray_and_color():
+    """DRI emission: encoders with restart_interval produce RSTm-
+    segmented scans (independently decodable intervals, per-component
+    DC reset) that decode IDENTICALLY to the no-DRI stream."""
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 256, (40, 56), np.uint8)
+    plain = J.jpeg_decode(J.jpeg_encode_gray(g, quality=90))
+    dri = J.jpeg_encode_gray(g, quality=90, restart_interval=3)
+    assert b"\xff\xdd" in dri                      # DRI segment
+    assert any(bytes([0xFF, 0xD0 + m]) in dri for m in range(8))
+    assert np.array_equal(J.jpeg_decode(dri), plain)
+
+    px = _natural_rgb(2)
+    plain_c = J.jpeg_decode(J.jpeg_encode_rgb(px, quality=90))
+    dri_c = J.jpeg_encode_rgb(px, quality=90, restart_interval=2)
+    assert b"\xff\xdd" in dri_c
+    assert np.array_equal(J.jpeg_decode(dri_c), plain_c)
