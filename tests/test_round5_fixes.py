@@ -136,3 +136,90 @@ def test_group_percentiles_grid_bounds_domain(spark):
     got = olap.group_percentiles(ev, grid_cents=1000).collect()[0]
     assert (got["n"], got["p50_cents"], got["p95_cents"],
             got["p99_cents"]) == (want[1], want[2], want[3], want[4])
+
+
+def test_cap_cluster_invariance_random_corpora(spark):
+    """Property over random duplicate-heavy corpora: for every cap
+    level, minhash_candidates' capped pair set yields EXACTLY the
+    connected components of the uncapped enumeration (caps truncate
+    pairs, never components). Random texts with planted duplicate
+    groups of varying size, several caps."""
+    import random
+
+    from geotrellis_spark.operators import dedup
+
+    rng = random.Random(17)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    rows = []
+    doc_id = 0
+    for g in range(12):
+        base = " ".join(rng.choices(words, k=rng.randint(8, 20)))
+        for _ in range(rng.randint(1, 9)):  # duplicate group size
+            rows.append((doc_id, base))
+            doc_id += 1
+    rng.shuffle(rows)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = dedup.minhash_candidates(docs)
+    want = {(r["doc_id"], r["cluster"])
+            for r in dedup.dedup_clusters(full).collect()}
+    for cap in (1, 2, 5):
+        capped = dedup.minhash_candidates(docs, max_bucket=cap)
+        got = {(r["doc_id"], r["cluster"])
+               for r in dedup.dedup_clusters(capped).collect()}
+        assert got == want, cap
+        assert capped.count() <= full.count()
+
+
+def test_jpeg_decode_rejects_malformed():
+    """Negative decode paths: 16-bit quant tables, progressive SOF,
+    multi-scan color, and truncated streams fail loudly instead of
+    returning garbage."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from geotrellis_spark.core import jpeg as J
+
+    img = np.full((16, 16), 128, np.uint8)
+    data = bytearray(J.jpeg_encode_gray(img))
+
+    # 16-bit DQT (Pq=1)
+    bad = bytearray(data)
+    pos = 2
+    while bad[pos + 1] != 0xDB:
+        (ln,) = struct.unpack_from(">H", bad, pos + 2)
+        pos += 2 + ln
+    bad[pos + 4] = 0x10
+    with pytest.raises(ValueError, match="16-bit"):
+        J.jpeg_decode(bytes(bad))
+
+    # progressive SOF2
+    bad = bytearray(data)
+    pos = 2
+    while bad[pos + 1] != 0xC0:
+        (ln,) = struct.unpack_from(">H", bad, pos + 2)
+        pos += 2 + ln
+    bad[pos + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF0"):
+        J.jpeg_decode(bytes(bad))
+
+    # truncated before SOS
+    with pytest.raises(ValueError):
+        J.jpeg_decode(bytes(data[:20]))
+
+    # multi-scan color: SOS listing fewer components than SOF0
+    px = np.zeros((16, 16, 3), np.uint8)
+    cdata = bytearray(J.jpeg_encode_rgb(px))
+    pos = 2
+    while cdata[pos + 1] != 0xDA:
+        (ln,) = struct.unpack_from(">H", cdata, pos + 2)
+        pos += 2 + ln
+    # rewrite SOS header to a single-component scan (ns=1)
+    (ln,) = struct.unpack_from(">H", cdata, pos + 2)
+    new_sos = struct.pack(">HH", 0xFFDA, 8) + bytes([1, 1, 0x00, 0, 0x3F, 0])
+    cdata[pos : pos + 2 + ln] = new_sos
+    with pytest.raises(ValueError, match="multi-scan"):
+        J.jpeg_decode(bytes(cdata))
