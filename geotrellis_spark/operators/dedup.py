@@ -875,3 +875,61 @@ def simhash_neardup_sql(
       ON a.band = b.band AND a.bval = b.bval AND a._id < b._id
     WHERE bit_count(xor(a._fp, b._fp)) <= {max_hamming}
     """
+
+
+# ----------------------------------------------------- decontamination
+
+def contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Train/eval DECONTAMINATION — flag training docs that overlap a
+    benchmark set (the leakage check every serious curation pipeline
+    runs before training): a doc is contaminated by a benchmark doc
+    when they share >= ``min_shared`` distinct character k-shingles.
+
+    100 TB shape: the benchmark side is SMALL by construction (eval
+    sets are thousands of docs) — its distinct shingle set broadcasts,
+    so the corpus NEVER shuffles: one narrow shingle explode, one
+    broadcast-hash-join, one hash-agg keyed by (doc, bench_doc).
+    All-integer md5 shingle hashes, bit-exact vs the DuckDB twin.
+
+    Returns (doc_id, bench_id, n_shared), n_shared >= min_shared."""
+    d = shingle_hashes(docs, id_col, text_col, k).distinct()
+    b = (
+        shingle_hashes(bench, id_col, text_col, k)
+        .distinct()
+        .selectExpr(f"{id_col} as bench_id", "h")
+    )
+    return (
+        d.join(F.broadcast(b), "h")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def contamination_sql(
+    docs_sql: str, bench_sql: str, k: int = SHINGLE_K, min_shared: int = 3
+) -> str:
+    h = hex2int_duckdb(f"substr(text, pos, {k})")
+    sh = f"""
+      SELECT DISTINCT doc_id, {h} % {PRIME} AS h
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - {k - 1}, 1))) AS pos
+        FROM {{src}}
+      )
+    """
+    return f"""
+    WITH d AS ({sh.format(src=docs_sql)}),
+    b AS (SELECT doc_id AS bench_id, h FROM ({sh.format(src=bench_sql)}))
+    SELECT d.doc_id, b.bench_id, count(*) AS n_shared
+    FROM d JOIN b USING (h)
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_shared}
+    """

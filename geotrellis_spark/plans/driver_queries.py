@@ -545,6 +545,27 @@ def sql_minhash_capped() -> str:
     return dedup.minhash_capped_sql("documents", max_bucket=4)
 
 
+def q_contamination(spark, sf_dir) -> DataFrame:
+    """Train/eval decontamination (dedup.contamination): docs sharing
+    >= 25 distinct 8-shingles with the benchmark slice (doc_id % 97 =
+    0) are flagged as leakage (25 shared shingles ~ a copied clause,
+    not incidental phrase overlap). 100 TB shape: the benchmark
+    shingle set BROADCASTS (eval sets are small by construction) —
+    the corpus never shuffles; one narrow explode + BHJ + hash-agg."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where("doc_id % 97 = 0")
+    corpus = docs.where("doc_id % 97 <> 0")
+    return dedup.contamination(corpus, bench, min_shared=25)
+
+
+def sql_contamination() -> str:
+    return dedup.contamination_sql(
+        "(SELECT * FROM documents WHERE doc_id % 97 <> 0)",
+        "(SELECT * FROM documents WHERE doc_id % 97 = 0)",
+        min_shared=25,
+    )
+
+
 def q_simhash(spark, sf_dir) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
@@ -1601,6 +1622,7 @@ QUERIES = {
     "minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
     "minhash_capped": (q_minhash_capped, sql_minhash_capped),
     "phash_capped": (q_phash_capped, sql_phash_capped),
+    "contamination": (q_contamination, sql_contamination),
     "dedup_cluster": (q_dedup_cluster, sql_dedup_cluster),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
     "resample_ffill": (q_resample_ffill, sql_resample_ffill),

@@ -223,3 +223,39 @@ def test_jpeg_decode_rejects_malformed():
     cdata[pos : pos + 2 + ln] = new_sos
     with pytest.raises(ValueError, match="multi-scan"):
         J.jpeg_decode(bytes(cdata))
+
+
+def test_contamination_broadcast_plan_and_semantics(spark):
+    """Decontamination: the benchmark side broadcasts (BHJ in the
+    physical plan — the corpus never shuffles before the join), exact
+    duplicates of a bench doc are flagged with the full shingle
+    count, and unrelated docs are not flagged."""
+    import contextlib
+    import io
+
+    from geotrellis_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated words about weather and xylophones"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.contamination(docs, bench, min_shared=3)
+    rows = {(r["doc_id"], r["bench_id"]): r["n_shared"]
+            for r in out.collect()}
+    assert set(rows) == {(1, 1000)}
+    # doc 1 is an exact copy: every distinct shingle is shared
+    n_sh = dedup.shingle_hashes(bench).distinct().count()
+    assert rows[(1, 1000)] == n_sh
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(True)
+    physical = buf.getvalue().split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in physical, physical
