@@ -1611,7 +1611,6 @@ QUERIES = {
     "range_query": (q_range_query, sql_range_query),
     "spacetime_cell": (q_spacetime_cell, sql_spacetime_cell),
     "pip_grid": (q_pip_grid, sql_pip_grid),
-    "pip_diamond": (q_pip_diamond, sql_pip_diamond),
     "vector_join": (q_vector_join, sql_vector_join),
     "knn": (q_knn, sql_knn),
     "zonal_stats": (q_zonal_stats, sql_zonal_stats),
@@ -1636,7 +1635,10 @@ QUERIES = {
     "spacetime_join": (q_spacetime_join, sql_spacetime_join),
     "class_breaks": (q_class_breaks, sql_class_breaks),
     # ---- tail: redundant variants (machinery covered above; the
-    # rolling-hash fingerprint is a pure narrow expression) ----
+    # rolling-hash fingerprint is a pure narrow expression;
+    # pip_diamond is the same PIP operator as pip_grid over a second
+    # polygon family) ----
+    "pip_diamond": (q_pip_diamond, sql_pip_diamond),
     "doc_fingerprint": (q_fingerprint, sql_fingerprint),
     "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
     "ann_topk": (q_ann_topk, sql_ann_topk),
