@@ -20,7 +20,8 @@ from . import dedup, sampling, text
 
 
 def curate(spark, docs, per_stratum: int, salt: int = 42,
-           metrics=None, signatures=None, pairs=None) -> "tuple":
+           metrics=None, signatures=None, pairs=None,
+           bench=None, min_shared: int = 25) -> "tuple":
     """Run the 4-stage curation over a documents DataFrame. Returns
     (curated_df, stats dict). ``metrics``: optional (base, job_id)
     tuple to persist per-stage counts. ``signatures``: optional
@@ -34,7 +35,13 @@ def curate(spark, docs, per_stratum: int, salt: int = 42,
     the exact-dedup stage — bucket membership is per-doc deterministic,
     so the filtered set has exactly the batch enumeration's connected
     components (caps only ever truncate pairs, never components), and
-    the curated output is identical."""
+    the curated output is identical.
+
+    ``bench``: optional benchmark/eval documents DataFrame — adds a
+    DECONTAMINATION stage after the quality gate: docs sharing >=
+    ``min_shared`` distinct shingles with any benchmark doc are
+    dropped as train/eval leakage (``dedup.contamination`` — the
+    benchmark shingle set broadcasts, the corpus never shuffles)."""
     stats = {"input": docs.count()}
 
     def metric(stage, name, value):
@@ -47,6 +54,16 @@ def curate(spark, docs, per_stratum: int, salt: int = 42,
     gated = docs.join(q, "doc_id")
     gated = gated.localCheckpoint()  # reused by three stages below
     metric("quality", "kept", gated.count())
+
+    # 1.5 (optional): train/eval decontamination — leakage drops here,
+    # BEFORE dedup, so a contaminated doc can't become the kept
+    # representative of an otherwise-clean duplicate cluster
+    if bench is not None:
+        flagged = dedup.contamination(
+            gated, bench, min_shared=min_shared
+        ).select("doc_id").distinct()
+        gated = gated.join(flagged, "doc_id", "left_anti").localCheckpoint()
+        metric("decontaminate", "kept", gated.count())
 
     # 2. exact dedup: keep each md5 group's min doc id
     keep_exact = (

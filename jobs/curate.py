@@ -44,15 +44,22 @@ def main() -> None:
     ap.add_argument("--per-stratum", type=int, default=100)
     ap.add_argument("--salt", type=int, default=42)
     ap.add_argument("--job-id", default=None)
+    ap.add_argument("--bench-path", default=None,
+                    help="benchmark/eval docs parquet: adds the "
+                         "decontamination stage (drop train/eval leakage)")
+    ap.add_argument("--min-shared", type=int, default=25)
     args = ap.parse_args()
     job_id = args.job_id or f"curate-{os.path.basename(args.out)}"
 
     spark = get_spark("curate")
     t0 = time.time()
     docs = spark.read.parquet(args.docs_path)
+    bench = (spark.read.parquet(args.bench_path)
+             if args.bench_path else None)
     curated, stats = curate(
         spark, docs, args.per_stratum, args.salt,
         metrics=(os.path.join(args.out, "_jobs"), job_id),
+        bench=bench, min_shared=args.min_shared,
     )
     curated.write.mode("overwrite").parquet(os.path.join(args.out, "docs"))
     stats["wall_s"] = round(time.time() - t0, 2)

@@ -259,3 +259,28 @@ def test_contamination_broadcast_plan_and_semantics(spark):
         out.explain(True)
     physical = buf.getvalue().split("== Physical Plan ==")[-1]
     assert "BroadcastHashJoin" in physical, physical
+
+
+def test_curate_decontamination_stage(spark):
+    """curate(bench=...) drops quality-passing docs that leak a
+    benchmark doc's content, BEFORE dedup — so a contaminated doc can
+    never survive as a cluster representative. Clean docs curate as
+    without the stage."""
+    from geotrellis_spark.operators.curation import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where("doc_id % 50 = 0").selectExpr(
+        "doc_id + 1000000 as doc_id", "text"
+    )
+    with_b, stats_b = curate(spark, docs, per_stratum=20, bench=bench)
+    plain, stats_p = curate(spark, docs, per_stratum=20)
+    kept_b = {r["doc_id"] for r in with_b.select("doc_id").collect()}
+    kept_p = {r["doc_id"] for r in plain.select("doc_id").collect()}
+    # the benchmark set copies every 50th doc's text: those docs (and
+    # their exact/near duplicates) must be gone from the curated set
+    assert stats_b["decontaminate.kept"] < stats_b["quality.kept"]
+    leaked = kept_b & {r["doc_id"] for r in docs.where(
+        "doc_id % 50 = 0").select("doc_id").collect()}
+    assert not leaked
+    # decontamination only ever REMOVES docs
+    assert kept_b <= kept_p
