@@ -55,6 +55,8 @@ def recurate(
     salt: int = 42,
     batch_id: int | None = None,
     use_pair_store: bool = False,
+    bench=None,
+    min_shared: int = 25,
 ) -> dict:
     """Fold everything staged so far into the curated snapshot. Called
     by the stream on its recuration cadence, and callable standalone
@@ -90,11 +92,15 @@ def recurate(
         pairs = spark.read.parquet(
             os.path.join(out_dir, "staging_pairs")
         ).select("doc_a", "doc_b").distinct()
-        curated, stats = curate(spark, docs, per_stratum, salt, pairs=pairs)
+        curated, stats = curate(
+            spark, docs, per_stratum, salt, pairs=pairs,
+            bench=bench, min_shared=min_shared,
+        )
     else:
         sigs = spark.read.parquet(sig_store).dropDuplicates(["doc_id"])
         curated, stats = curate(
-            spark, docs, per_stratum, salt, signatures=sigs
+            spark, docs, per_stratum, salt, signatures=sigs,
+            bench=bench, min_shared=min_shared,
         )
     curated.write.mode("overwrite").parquet(snap)
     tag = "final" if batch_id is None else str(batch_id)
@@ -115,6 +121,8 @@ def curate_stream(
     trigger_sec: int | None = None,
     pair_store: bool = False,
     max_bucket: int | None = None,
+    bench=None,
+    min_shared: int = 25,
 ):
     """Start the streaming curation. ``docs_stream`` must carry the
     documents columns plus an event-time ``ts`` timestamp column.
@@ -133,6 +141,10 @@ def curate_stream(
     snapshot is still identical to the batch job (pairs filter to
     exact-dedup survivors at recuration; components are
     cap-invariant).
+
+    ``bench`` (optional benchmark/eval docs DataFrame) adds the
+    decontamination stage to every recuration — the snapshot equals
+    the batch ``curate(bench=...)`` job over all staged rows.
 
     ``max_bucket`` switches the store to CAPPED pair maintenance —
     the 100 TB shape, where the store itself stays bounded: capped
@@ -155,6 +167,11 @@ def curate_stream(
     deduped = docs_stream.withWatermark(
         "ts", watermark
     ).dropDuplicatesWithinWatermark(["doc_id"])
+
+    if bench is not None:
+        # pin the benchmark set once: it is static for the stream's
+        # lifetime and re-broadcasts per recuration otherwise
+        bench = bench.localCheckpoint()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -231,7 +248,7 @@ def curate_stream(
             return
         recurate(
             spark, out_dir, per_stratum, salt, batch_id=int(batch_id),
-            use_pair_store=pair_store,
+            use_pair_store=pair_store, bench=bench, min_shared=min_shared,
         )
 
     writer = deduped.writeStream.foreachBatch(process).option(

@@ -639,3 +639,46 @@ def test_streaming_capped_pair_store_equals_batch(spark, tmp_path):
     want_df, _ = curate(spark, all_df, per_stratum=20)
     want = sorted(want_df.toPandas()["doc_id"])
     assert got == want and got
+
+
+def test_streaming_curation_with_decontamination(spark, tmp_path):
+    """curate_stream(bench=...): the streamed snapshot equals the
+    batch curate(bench=...) job — decontamination included in every
+    recuration."""
+    from geotrellis_spark.operators.curation import curate
+    from geotrellis_spark.streaming.curate_stream import curate_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where("doc_id % 50 = 0").selectExpr(
+        "doc_id + 1000000 as doc_id", "text"
+    )
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(2):
+        pdf.iloc[i::2].to_parquet(src / f"b{i}.parquet", index=False)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .selectExpr(
+            "*",
+            "timestamp'2026-01-01' + make_interval(0,0,0,0,0,0,doc_id) as ts",
+        )
+    )
+    out = tmp_path / "out"
+    q = curate_stream(
+        stream, out_dir=str(out), checkpoint_dir=str(tmp_path / "ckpt"),
+        per_stratum=20, bench=bench,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        spark.read.parquet(str(out / "docs")).toPandas()["doc_id"]
+    )
+    want_df, _ = curate(spark, docs, per_stratum=20, bench=bench)
+    want = sorted(want_df.toPandas()["doc_id"])
+    assert got == want and got
+    assert not any(d % 50 == 0 for d in got)  # leaked docs gone
