@@ -371,12 +371,24 @@ def jpeg_encode_rgb(
     return out
 
 
-def jpeg_encode(arr: np.ndarray, quality: int = 85, **kw) -> bytes:
-    """Dispatch: 2-D uint8 -> grayscale, (h, w, 3) uint8 -> color."""
+def jpeg_encode(
+    arr: np.ndarray, quality: int = 85,
+    restart_interval: int | None = None, **kw,
+) -> bytes:
+    """Dispatch: 2-D uint8 -> grayscale, (h, w, 3) uint8 -> color.
+    ``restart_interval`` forwards to BOTH paths; remaining keywords
+    (``subsampling``) are color-only and REJECTED for grayscale input
+    rather than silently dropped."""
     a = np.asarray(arr)
     if a.ndim == 2:
-        return jpeg_encode_gray(a, quality)
-    return jpeg_encode_rgb(a, quality, **kw)
+        if kw:
+            raise TypeError(
+                f"grayscale input does not accept {sorted(kw)}"
+            )
+        return jpeg_encode_gray(a, quality, restart_interval)
+    return jpeg_encode_rgb(
+        a, quality, restart_interval=restart_interval, **kw
+    )
 
 
 class _BitReader:

@@ -21,7 +21,8 @@ from . import dedup, sampling, text
 
 def curate(spark, docs, per_stratum: int, salt: int = 42,
            metrics=None, signatures=None, pairs=None,
-           bench=None, min_shared: int = 25) -> "tuple":
+           bench=None, min_shared: int = 25,
+           contaminated=None) -> "tuple":
     """Run the 4-stage curation over a documents DataFrame. Returns
     (curated_df, stats dict). ``metrics``: optional (base, job_id)
     tuple to persist per-stage counts. ``signatures``: optional
@@ -41,7 +42,12 @@ def curate(spark, docs, per_stratum: int, salt: int = 42,
     DECONTAMINATION stage after the quality gate: docs sharing >=
     ``min_shared`` distinct shingles with any benchmark doc are
     dropped as train/eval leakage (``dedup.contamination`` — the
-    benchmark shingle set broadcasts, the corpus never shuffles)."""
+    benchmark shingle set broadcasts, the corpus never shuffles).
+    ``contaminated``: optional PRECOMPUTED flagged doc_ids (the
+    streaming path's contamination store — flags are a pure per-doc
+    function of (text, static bench), so the stream computes them
+    once per arriving doc and recuration skips re-shingling the
+    corpus); when given, ``bench`` is not re-evaluated."""
     stats = {"input": docs.count()}
 
     def metric(stage, name, value):
@@ -58,10 +64,13 @@ def curate(spark, docs, per_stratum: int, salt: int = 42,
     # 1.5 (optional): train/eval decontamination — leakage drops here,
     # BEFORE dedup, so a contaminated doc can't become the kept
     # representative of an otherwise-clean duplicate cluster
-    if bench is not None:
-        flagged = dedup.contamination(
-            gated, bench, min_shared=min_shared
-        ).select("doc_id").distinct()
+    if bench is not None or contaminated is not None:
+        if contaminated is not None:
+            flagged = contaminated.select("doc_id").distinct()
+        else:
+            flagged = dedup.contamination(
+                gated, bench, min_shared=min_shared
+            ).select("doc_id").distinct()
         gated = gated.join(flagged, "doc_id", "left_anti").localCheckpoint()
         metric("decontaminate", "kept", gated.count())
 

@@ -894,22 +894,33 @@ def contamination(
 
     100 TB shape: the benchmark side is SMALL by construction (eval
     sets are thousands of docs) — its distinct shingle set broadcasts,
-    so the corpus NEVER shuffles: one narrow shingle explode, one
-    broadcast-hash-join, one hash-agg keyed by (doc, bench_doc).
-    All-integer md5 shingle hashes, bit-exact vs the DuckDB twin.
+    so the corpus NEVER shuffles before the join: one narrow shingle
+    explode (NO corpus-side distinct — that would shuffle the whole
+    corpus' shingle multiset), one broadcast-hash-join, then a
+    count-DISTINCT agg over the MATCHED rows only (tiny relative to
+    the corpus). All-integer md5 shingle hashes, bit-exact vs the
+    DuckDB twin.
 
-    Returns (doc_id, bench_id, n_shared), n_shared >= min_shared."""
-    d = shingle_hashes(docs, id_col, text_col, k).distinct()
-    b = (
-        shingle_hashes(bench, id_col, text_col, k)
-        .distinct()
-        .selectExpr(f"{id_col} as bench_id", "h")
-    )
+    A short benchmark doc with fewer than ``min_shared`` distinct
+    shingles uses its own shingle count as the threshold instead —
+    otherwise a verbatim copy of a short eval item could never be
+    flagged.
+
+    Returns (doc_id, bench_id, n_shared),
+    n_shared >= least(min_shared, bench doc's distinct shingles)."""
+    d = shingle_hashes(docs, id_col, text_col, k)
+    bsh = shingle_hashes(bench, id_col, text_col, k).distinct()
+    b = bsh.selectExpr(f"{id_col} as bench_id", "h")
+    btot = bsh.groupBy(id_col).agg(
+        F.count("*").alias("_btot")
+    ).selectExpr(f"{id_col} as bench_id", "_btot")
     return (
         d.join(F.broadcast(b), "h")
         .groupBy(id_col, "bench_id")
-        .agg(F.count("*").alias("n_shared"))
-        .where(F.col("n_shared") >= min_shared)
+        .agg(F.countDistinct("h").alias("n_shared"))
+        .join(F.broadcast(btot), "bench_id")
+        .where(F.expr(f"n_shared >= least({min_shared}, _btot)"))
+        .select(id_col, "bench_id", "n_shared")
     )
 
 
@@ -927,9 +938,10 @@ def contamination_sql(
     """
     return f"""
     WITH d AS ({sh.format(src=docs_sql)}),
-    b AS (SELECT doc_id AS bench_id, h FROM ({sh.format(src=bench_sql)}))
-    SELECT d.doc_id, b.bench_id, count(*) AS n_shared
-    FROM d JOIN b USING (h)
-    GROUP BY 1, 2
-    HAVING count(*) >= {min_shared}
+    b AS (SELECT doc_id AS bench_id, h FROM ({sh.format(src=bench_sql)})),
+    btot AS (SELECT bench_id, count(*) AS _btot FROM b GROUP BY 1)
+    SELECT d.doc_id, b.bench_id, count(DISTINCT d.h) AS n_shared
+    FROM d JOIN b USING (h) JOIN btot ON b.bench_id = btot.bench_id
+    GROUP BY 1, 2, btot._btot
+    HAVING count(DISTINCT d.h) >= least({min_shared}, btot._btot)
     """

@@ -43,6 +43,7 @@ from ..operators.dedup import (
     PB_EXPR,
     band_rows,
     capped_bucket_pairs,
+    contamination,
     incremental_pairs,
     minhash_signatures,
 )
@@ -68,10 +69,20 @@ def recurate(
     idempotent."""
     staging = os.path.join(out_dir, "staging")
     sig_store = os.path.join(out_dir, "staging_sigs")
+    contam_store = os.path.join(out_dir, "staging_contam")
     snap = os.path.join(out_dir, "docs")
     metrics_dir = os.path.join(out_dir, "_metrics")
     os.makedirs(metrics_dir, exist_ok=True)
     docs = spark.read.parquet(staging).dropDuplicates(["doc_id"])
+    # flags are a pure per-doc function of (text, static bench): the
+    # stream computes them once per arriving doc; recuration reads the
+    # store instead of re-shingling the whole staged corpus
+    contaminated = None
+    if os.path.exists(contam_store):
+        contaminated = spark.read.parquet(contam_store).dropDuplicates(
+            ["doc_id"]
+        )
+        bench = None  # precomputed flags supersede inline evaluation
     if use_pair_store:
         # fail-loud coverage guard (mirrors the signature path's): a
         # band store missing QUALITY-GATED staged docs means their
@@ -79,9 +90,24 @@ def recurate(
         # survive curation. (The store is built over gated docs only:
         # a low-quality bucket representative would otherwise strand
         # its capped tail pairs at recuration.)
-        bands = spark.read.parquet(os.path.join(out_dir, "staging_bands"))
-        n_docs = quality_score(docs).where("is_quality").count()
-        n_banded = bands.select("doc_id").distinct().count()
+        from pyspark.errors import AnalysisException
+
+        try:
+            bands = spark.read.parquet(
+                os.path.join(out_dir, "staging_bands")
+            )
+            n_banded = bands.select("doc_id").distinct().count()
+        except AnalysisException:
+            # no band files yet (every batch so far gated/flagged out
+            # entirely): an empty partitioned append writes nothing
+            n_banded = 0
+        eligible = docs.join(
+            quality_score(docs).where("is_quality").select("doc_id"),
+            "doc_id",
+        )
+        if contaminated is not None:
+            eligible = eligible.join(contaminated, "doc_id", "left_anti")
+        n_docs = eligible.count()
         if n_banded < n_docs:
             raise ValueError(
                 f"band store covers {n_banded} of {n_docs} staged docs"
@@ -89,18 +115,26 @@ def recurate(
                 " off for part of the stream?); rebuild it or recurate"
                 " with use_pair_store=False"
             )
-        pairs = spark.read.parquet(
-            os.path.join(out_dir, "staging_pairs")
-        ).select("doc_a", "doc_b").distinct()
+        from pyspark.errors import AnalysisException
+
+        try:
+            pairs = spark.read.parquet(
+                os.path.join(out_dir, "staging_pairs")
+            ).select("doc_a", "doc_b").distinct()
+        except AnalysisException:
+            # a batch whose regeneration produced ZERO pairs writes no
+            # parquet files (dynamic partition overwrite of an empty
+            # frame) — schema inference then fails on the bare dir
+            pairs = spark.createDataFrame([], "doc_a long, doc_b long")
         curated, stats = curate(
             spark, docs, per_stratum, salt, pairs=pairs,
-            bench=bench, min_shared=min_shared,
+            bench=bench, min_shared=min_shared, contaminated=contaminated,
         )
     else:
         sigs = spark.read.parquet(sig_store).dropDuplicates(["doc_id"])
         curated, stats = curate(
             spark, docs, per_stratum, salt, signatures=sigs,
-            bench=bench, min_shared=min_shared,
+            bench=bench, min_shared=min_shared, contaminated=contaminated,
         )
     curated.write.mode("overwrite").parquet(snap)
     tag = "final" if batch_id is None else str(batch_id)
@@ -183,6 +217,20 @@ def curate_stream(
         # the micro-batch it arrives in
         sigs_new = minhash_signatures(rows).localCheckpoint()
         sigs_new.write.mode("append").parquet(sig_store)
+        flagged_new = None
+        if bench is not None:
+            # contamination flags, once per arriving doc (pure per-doc
+            # function of text x the static bench set) — recuration
+            # reads the store instead of re-shingling the corpus
+            q_ids = quality_score(rows).where("is_quality").select(
+                "doc_id"
+            )
+            flagged_new = contamination(
+                rows.join(q_ids, "doc_id"), bench, min_shared=min_shared
+            ).select("doc_id").distinct().localCheckpoint()
+            flagged_new.write.mode("append").parquet(
+                os.path.join(out_dir, "staging_contam")
+            )
         if pair_store:
             # band/pair store over QUALITY-GATED docs only (the gate
             # is a pure per-doc function, so the stream applies it per
@@ -193,10 +241,31 @@ def curate_stream(
             gated_ids = quality_score(rows).where("is_quality").select(
                 "doc_id"
             )
+            if flagged_new is not None:
+                # decontaminated docs must not reach the band store
+                # either: under a cap, a later-dropped representative
+                # would strand its tail pairs at recuration (the same
+                # hazard the quality gate above guards against)
+                gated_ids = gated_ids.join(
+                    flagged_new, "doc_id", "left_anti"
+                )
             sigs_gated = sigs_new.join(gated_ids, "doc_id")
             bands_new = band_rows(sigs_gated).selectExpr(
                 "doc_id", "band", "bval", f"{PB_EXPR} as pb"
             ).localCheckpoint()
+            if bands_new.isEmpty():
+                # every doc in this batch was gated/flagged out: no
+                # bucket membership changed, nothing to (re)pair —
+                # and an empty partitioned append writes no files,
+                # which would break the store read below
+                if batch_id % recurate_every == 0:
+                    recurate(
+                        spark, out_dir, per_stratum, salt,
+                        batch_id=int(batch_id),
+                        use_pair_store=pair_store, bench=bench,
+                        min_shared=min_shared,
+                    )
+                return
             bands_new.write.mode("append").partitionBy("pb").parquet(
                 band_store
             )

@@ -648,8 +648,20 @@ def test_streaming_curation_with_decontamination(spark, tmp_path):
     from geotrellis_spark.operators.curation import curate
     from geotrellis_spark.streaming.curate_stream import curate_stream
 
+    import pyspark.sql.functions as F
+
+    from geotrellis_spark.operators.text import quality_score
+
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    bench = docs.where("doc_id % 50 = 0").selectExpr(
+    # benchmark = copies of QUALITY-GATED corpus docs (short synthetic
+    # texts: only quality docs can be flagged, and only near-copies
+    # clear the selective threshold below)
+    qdocs = docs.join(
+        quality_score(docs).where("is_quality").select("doc_id"), "doc_id"
+    )
+    bench_src = {r["doc_id"] for r in qdocs.select("doc_id").collect()
+                 if r["doc_id"] % 3 == 0}
+    bench = qdocs.where(F.col("doc_id").isin(list(bench_src))).selectExpr(
         "doc_id + 1000000 as doc_id", "text"
     )
     pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
@@ -669,7 +681,7 @@ def test_streaming_curation_with_decontamination(spark, tmp_path):
     out = tmp_path / "out"
     q = curate_stream(
         stream, out_dir=str(out), checkpoint_dir=str(tmp_path / "ckpt"),
-        per_stratum=20, bench=bench,
+        per_stratum=20, bench=bench, min_shared=75,
     )
     try:
         q.processAllAvailable()
@@ -678,7 +690,96 @@ def test_streaming_curation_with_decontamination(spark, tmp_path):
     got = sorted(
         spark.read.parquet(str(out / "docs")).toPandas()["doc_id"]
     )
-    want_df, _ = curate(spark, docs, per_stratum=20, bench=bench)
+    want_df, stats = curate(
+        spark, docs, per_stratum=20, bench=bench, min_shared=75
+    )
     want = sorted(want_df.toPandas()["doc_id"])
     assert got == want and got
-    assert not any(d % 50 == 0 for d in got)  # leaked docs gone
+    # selective: the stage dropped SOME but not all quality docs
+    assert 0 < stats["decontaminate.kept"] < stats["quality.kept"]
+    assert not (set(got) & bench_src)  # leaked docs gone
+
+
+def test_streaming_capped_pair_store_with_decontamination(spark, tmp_path):
+    """bench= x pair_store=True x max_bucket: contaminated docs are
+    excluded from the band store per batch (a later-dropped bucket
+    representative would strand its capped tail pairs), the stored
+    pair set equals the batch capped enumeration over the
+    quality-gated AND decontaminated corpus, and the snapshot equals
+    the batch curate(bench=...) job."""
+    from geotrellis_spark.operators import dedup
+    from geotrellis_spark.operators.curation import curate
+    from geotrellis_spark.operators.text import quality_score
+    from geotrellis_spark.streaming.curate_stream import curate_stream
+
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # bench = copies of a slice of the QUALITY-GATED docs: their
+    # exact/near duplicates get flagged at the selective threshold;
+    # other members of the same LSH buckets stay clean — flags can
+    # split buckets, the exact hazard this test pins down
+    qdocs = docs.join(
+        quality_score(docs).where("is_quality").select("doc_id"), "doc_id"
+    )
+    bench_src = {r["doc_id"] for r in qdocs.select("doc_id").collect()
+                 if r["doc_id"] % 3 == 0}
+    bench = qdocs.where(F.col("doc_id").isin(list(bench_src))).selectExpr(
+        "doc_id + 1000000 as doc_id", "text"
+    )
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        pdf.iloc[i::3].to_parquet(src / f"b{i}.parquet", index=False)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .selectExpr(
+            "*",
+            "timestamp'2026-01-01' + make_interval(0,0,0,0,0,0,doc_id) as ts",
+        )
+    )
+    out = tmp_path / "out"
+    q = curate_stream(
+        stream, out_dir=str(out), checkpoint_dir=str(tmp_path / "ckpt"),
+        per_stratum=20, pair_store=True, max_bucket=4, bench=bench,
+        min_shared=75,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    flagged = dedup.contamination(
+        docs.join(
+            quality_score(docs).where("is_quality").select("doc_id"),
+            "doc_id",
+        ),
+        bench,
+        min_shared=75,
+    ).select("doc_id").distinct()
+    eligible = docs.join(
+        quality_score(docs).where("is_quality").select("doc_id"), "doc_id"
+    ).join(flagged, "doc_id", "left_anti")
+    assert flagged.count() > 0  # the stage is actually exercised
+    want_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidates(eligible, max_bucket=4).collect()
+    }
+    got_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(str(out / "staging_pairs"))
+        .select("doc_a", "doc_b").distinct().collect()
+    }
+    assert got_pairs == want_pairs and got_pairs
+
+    got = sorted(
+        spark.read.parquet(str(out / "docs")).toPandas()["doc_id"]
+    )
+    want_df, _ = curate(
+        spark, docs, per_stratum=20, bench=bench, min_shared=75
+    )
+    want = sorted(want_df.toPandas()["doc_id"])
+    assert got == want and got

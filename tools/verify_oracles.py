@@ -53,9 +53,11 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -97,10 +99,18 @@ def main():
             continue
         print(f"ok   {name}: {len(sm)} rows exact ({time.time() - t0:.1f}s)")
     # assert against len(QUERIES), never a hardcoded count — a gate
-    # that checks a stale number silently skips the newest queries
+    # that checks a stale number (or a typo'd selection) must FAIL,
+    # not report ALL OK having verified nothing
     n_expected = len(qs) if not only else len(only & set(qs))
     print(f"\nchecked vs registry: {len(qs)} registered queries, "
-          f"{n_expected} selected")
+          f"{n_expected} selected, {n_checked} checked")
+    if n_checked != n_expected or n_checked == 0:
+        print(f"GATE ERROR: checked {n_checked} != selected {n_expected}"
+              " (typo'd query name, or the loop skipped entries)")
+        failures += 1
+    if only - set(qs):
+        print(f"GATE ERROR: unknown query names {sorted(only - set(qs))}")
+        failures += 1
     print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
