@@ -945,3 +945,103 @@ def contamination_sql(
     GROUP BY 1, 2, btot._btot
     HAVING count(DISTINCT d.h) >= least({min_shared}, btot._btot)
     """
+
+
+def word_span_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    w: int = 8,
+) -> DataFrame:
+    """Word ``w``-gram spans -> 60-bit md5 hashes, one row per span
+    POSITION (occurrences are kept, unlike the distinct'd shingle
+    sets). A doc shorter than ``w`` words contributes its whole text
+    as a single span. Narrow op: split + in-row sequence explode, no
+    shuffle. The span key is a 128->60-bit md5 prefix of the joined
+    words — the same engine-identical hash family every other dedup
+    op here uses (full 60 bits, no mod-PRIME reduction: span streams
+    are larger than shingle sets and birthday collisions at 1e9 would
+    show up at corpus scale)."""
+    return docs.selectExpr(
+        id_col, f"split({text_col}, ' ') as _w"
+    ).selectExpr(
+        id_col,
+        f"explode(sequence(1, greatest(size(_w) - {w - 1}, 1))) as pos",
+        "_w",
+    ).selectExpr(
+        id_col,
+        hex2int_spark(f"array_join(slice(_w, pos, {w}), ' ')") + " as h",
+    )
+
+
+def dup_spans(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    w: int = 8, flag_milli: int = 500,
+) -> DataFrame:
+    """Cross-document duplicated-span detection — the map-reduce
+    relaxation of exact-substring dedup (ExactSubstr, Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"):
+    instead of a suffix array over the concatenated corpus, every
+    word ``w``-gram occurrence is a span, and a span is DUPLICATED
+    when it occurs in >= 2 distinct docs. Per doc: total spans,
+    duplicated spans, the duplicated fraction (exact milli integer),
+    and a flag at ``flag_milli``.
+
+    Complements minhash (doc-level resemblance) and rep_filter
+    (intra-doc repetition): this finds verbatim cross-doc boilerplate
+    even when the containing docs are globally dissimilar.
+
+    100 TB shape: one narrow span explode, one hash-agg on
+    (h, doc) — map-side combine absorbs intra-doc repeats — one
+    hash-agg on h for the doc count, an equi-join back on h (AQE
+    reuses the exchange), and a final hash-agg by doc. The span
+    stream shuffles on h exactly once; that shuffle IS the operator
+    (cross-doc equality cannot be decided locally). No windows, no
+    Python, no driver state."""
+    sp = word_span_hashes(docs, id_col, text_col, w)
+    hd = sp.groupBy("h", id_col).agg(F.count("*").alias("cnt"))
+    hdocs = hd.groupBy("h").agg(F.count("*").alias("n_docs"))
+    return (
+        hd.join(hdocs, "h")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_spans"),
+            F.sum(F.expr("if(n_docs >= 2, cnt, 0)")).alias("n_dup_spans"),
+        )
+        .selectExpr(
+            id_col,
+            "cast(n_spans as bigint) as n_spans",
+            "cast(n_dup_spans as bigint) as n_dup_spans",
+            "cast(n_dup_spans * 1000 / n_spans as bigint) as dup_milli",
+            f"n_dup_spans * 1000 >= {flag_milli} * n_spans as flagged",
+        )
+    )
+
+
+def dup_spans_sql(
+    source_sql: str = "documents", w: int = 8, flag_milli: int = 500,
+) -> str:
+    h = hex2int_duckdb(f"array_to_string(_w[pos:pos + {w - 1}], ' ')")
+    return f"""
+    WITH sp AS (
+      SELECT doc_id, {h} AS h
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS _w,
+               unnest(generate_series(
+                 1, greatest(length(string_split(text, ' ')) - {w - 1}, 1)
+               )) AS pos
+        FROM {source_sql}
+      )
+    ),
+    hd AS (SELECT h, doc_id, count(*) AS cnt FROM sp GROUP BY 1, 2),
+    hh AS (SELECT h, count(*) AS n_docs FROM hd GROUP BY 1),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_dup_spans
+      FROM hd JOIN hh USING (h) GROUP BY 1
+    )
+    SELECT doc_id, n_spans, n_dup_spans,
+           CAST(floor(n_dup_spans * 1000.0 / n_spans) AS BIGINT) AS dup_milli,
+           n_dup_spans * 1000 >= {flag_milli} * n_spans AS flagged
+    FROM agg
+    """

@@ -472,3 +472,132 @@ def bm25_topk_sql(
       FROM per_doc
     ) WHERE brank <= {k}
     """
+
+
+def rep_filter(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, top_milli: int = 200, dup_milli: int = 300,
+) -> DataFrame:
+    """Intra-document repetition filter — the Gopher-rules repetition
+    family (Rae et al. 2021, "Scaling Language Models", Table A1)
+    re-expressed as exact integer fractions over word ``n``-gram
+    OCCURRENCES:
+
+    - ``dup_word_milli``: repeated-word fraction
+      ``(n_words - n_distinct_words) / n_words`` (narrow:
+      ``array_distinct``, no shuffle).
+    - ``top_gram_milli``: char fraction of the most frequent n-gram's
+      occurrences (ties broken toward more chars — ``max(struct(cnt,
+      chars))`` is lexicographic in BOTH engines).
+    - ``dup_gram_milli``: char fraction of all occurrences of n-grams
+      appearing >= 2 times in the doc.
+
+    Char fractions are over total n-gram-occurrence chars (not raw doc
+    chars): overlapping occurrences make Gopher's span-union
+    denominator non-relational, and the occurrence base preserves the
+    signal ordering while staying exact-integer in both engines.
+    Complements dup_spans (CROSS-doc boilerplate): a doc repeating its
+    own sentence flags here and not there.
+
+    Docs shorter than ``n`` words have no n-gram: gram metrics 0,
+    never flagged by the gram gates.
+
+    100 TB shape: one narrow word-stats pass, one bounded in-row gram
+    explode, two hash-aggs — (doc, gram) then doc, map-side combine
+    absorbing intra-doc repeats — and one doc_id equi-join back onto
+    the narrow stats. No windows, no Python, nothing quadratic in doc
+    length."""
+    words = docs.selectExpr(
+        id_col, f"split({text_col}, ' ') as _w"
+    ).selectExpr(
+        id_col,
+        "size(_w) as n_words",
+        "size(array_distinct(_w)) as n_distinct",
+        "_w",
+    )
+    grams = words.selectExpr(
+        id_col,
+        # sequence(1, 0) DESCENDS in Spark — short docs need an
+        # explicit empty gram list, not a greatest() floor
+        f"explode(transform(if(size(_w) >= {n},"
+        f" sequence(1, size(_w) - {n - 1}), array()),"
+        f" p -> array_join(slice(_w, p, {n}), ' '))) as g",
+    )
+    gd = grams.groupBy(id_col, "g").agg(
+        F.count("*").alias("cnt")
+    ).selectExpr(id_col, "cnt", "cast(length(g) as bigint) as glen")
+    per_doc = gd.groupBy(id_col).agg(
+        F.expr("sum(cnt * glen)").alias("tot_chars"),
+        F.expr(
+            "max(named_struct('cnt', cnt, 'chars', cnt * glen)).chars"
+        ).alias("top_chars"),
+        F.expr("sum(if(cnt >= 2, cnt * glen, 0))").alias("dup_chars"),
+    )
+    return (
+        words.drop("_w")
+        .join(per_doc, id_col, "left")
+        .selectExpr(
+            id_col,
+            "cast(n_words as bigint) as n_words",
+            "cast(cast(n_words - n_distinct as bigint) * 1000 / n_words"
+            " as bigint) as dup_word_milli",
+            "cast(coalesce(top_chars * 1000 / tot_chars, 0) as bigint)"
+            " as top_gram_milli",
+            "cast(coalesce(dup_chars * 1000 / tot_chars, 0) as bigint)"
+            " as dup_gram_milli",
+            f"coalesce(top_chars * 1000 >= {top_milli} * tot_chars"
+            f" OR dup_chars * 1000 >= {dup_milli} * tot_chars, false)"
+            " as flagged",
+        )
+    )
+
+
+def rep_filter_sql(
+    source_sql: str = "documents", n: int = 3,
+    top_milli: int = 200, dup_milli: int = 300,
+) -> str:
+    return f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS _w FROM {source_sql}
+    ),
+    ws AS (
+      SELECT doc_id, length(_w) AS n_words,
+             length(list_distinct(_w)) AS n_distinct
+      FROM words
+    ),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(_w[p:p + {n - 1}], ' ') AS g
+      FROM (
+        SELECT doc_id, _w,
+               unnest(generate_series(
+                 1, greatest(length(_w) - {n - 1}, 0))) AS p
+        FROM words
+      )
+    ),
+    gd AS (
+      SELECT doc_id, g, count(*) AS cnt, length(g) AS glen
+      FROM grams GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             sum(cnt * glen) AS tot_chars,
+             (max(struct_pack(cnt := cnt, chars := cnt * glen))).chars
+               AS top_chars,
+             sum(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END)
+               AS dup_chars
+      FROM gd GROUP BY 1
+    )
+    SELECT ws.doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(floor((n_words - n_distinct) * 1000.0 / n_words)
+                AS BIGINT) AS dup_word_milli,
+           CAST(coalesce(floor(top_chars * 1000.0 / tot_chars), 0)
+                AS BIGINT) AS top_gram_milli,
+           CAST(coalesce(floor(dup_chars * 1000.0 / tot_chars), 0)
+                AS BIGINT) AS dup_gram_milli,
+           coalesce(top_chars * 1000 >= {top_milli} * tot_chars
+                    OR dup_chars * 1000 >= {dup_milli} * tot_chars,
+                    false) AS flagged
+    FROM ws LEFT JOIN per_doc USING (doc_id)
+    """

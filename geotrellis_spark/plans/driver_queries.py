@@ -566,6 +566,40 @@ def sql_contamination() -> str:
     )
 
 
+def q_rep_filter(spark, sf_dir) -> DataFrame:
+    """Intra-document repetition filter (text.rep_filter) — the
+    Gopher-rules repetition family as exact integer fractions:
+    repeated-word fraction (narrow array_distinct), top-3-gram char
+    fraction (max(struct) lexicographic tie-break, identical both
+    engines), duplicated-3-gram char fraction. 100 TB shape: bounded
+    in-row gram explode + two hash-aggs + one doc_id equi-join."""
+    from ..operators import text
+
+    return text.rep_filter(_t(spark, sf_dir, "documents"))
+
+
+def sql_rep_filter() -> str:
+    from ..operators import text
+
+    return text.rep_filter_sql("documents")
+
+
+def q_dup_spans(spark, sf_dir) -> DataFrame:
+    """Cross-document duplicated-span detection (dedup.dup_spans) —
+    the map-reduce relaxation of ExactSubstr dedup (Lee et al. 2022):
+    every word 8-gram occurrence is a span; a span duplicated across
+    >= 2 distinct docs counts toward the doc's duplicated fraction.
+    Finds verbatim boilerplate that doc-level minhash resemblance
+    misses. 100 TB shape: one narrow span explode + two hash-aggs +
+    one equi-join back on the span hash — the span stream shuffles
+    exactly once, no windows, no Python."""
+    return dedup.dup_spans(_t(spark, sf_dir, "documents"))
+
+
+def sql_dup_spans() -> str:
+    return dedup.dup_spans_sql("documents")
+
+
 def q_simhash(spark, sf_dir) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
@@ -1603,7 +1637,6 @@ QUERIES = {
     "countmin": (q_countmin, sql_countmin),
     "simhash_neardup": (q_simhash_neardup, sql_simhash_neardup),
     "interval_join": (q_interval_join, sql_interval_join),
-    "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),
     "tile_assign": (q_tile_assign, sql_tile_assign),
     "cell_agg": (q_cell_agg, sql_cell_agg),
@@ -1618,8 +1651,9 @@ QUERIES = {
     "temporal_rollup": (q_temporal_rollup, sql_temporal_rollup),
     "rolling_window": (q_rolling_window, sql_rolling_window),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
-    "minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
     "minhash_capped": (q_minhash_capped, sql_minhash_capped),
+    "dup_spans": (q_dup_spans, sql_dup_spans),
+    "rep_filter": (q_rep_filter, sql_rep_filter),
     "phash_capped": (q_phash_capped, sql_phash_capped),
     "contamination": (q_contamination, sql_contamination),
     "dedup_cluster": (q_dedup_cluster, sql_dedup_cluster),
@@ -1637,7 +1671,11 @@ QUERIES = {
     # ---- tail: redundant variants (machinery covered above; the
     # rolling-hash fingerprint is a pure narrow expression;
     # pip_diamond is the same PIP operator as pip_grid over a second
-    # polygon family) ----
+    # polygon family; minhash_lsh's uncapped shingle/signature/band
+    # machinery runs inside BOTH minhash_capped and dedup_cluster;
+    # ann_ivf is ann_ivf_kmeans with kmeans_rounds=0) ----
+    "minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
+    "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "pip_diamond": (q_pip_diamond, sql_pip_diamond),
     "doc_fingerprint": (q_fingerprint, sql_fingerprint),
     "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),

@@ -310,3 +310,83 @@ def test_curate_decontamination_stage(spark):
     }
     assert flagged and not (kept_b & flagged)
     assert kept_p  # sanity: the undecontaminated run keeps docs
+
+
+def test_dup_spans_detects_cross_doc_boilerplate(spark):
+    """Hand-built corpus: docs 1/2 share a verbatim 10-word legal
+    footer (cross-doc boilerplate), doc 3 is unique, doc 4 repeats
+    ITS OWN sentence (intra-doc repetition is NOT cross-doc dup),
+    doc 5 is a verbatim copy of doc 3's text. Expected fractions are
+    computed by hand from the w=8 span positions."""
+    from geotrellis_spark.operators import dedup
+
+    footer = "all rights reserved subject to the terms of this agreement"
+    u3 = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, "alpha beta gamma delta " + footer),
+        (2, "epsilon zeta eta theta iota " + footer),
+        (3, u3),
+        (4, ("one two three four five six seven eight "
+             "one two three four five six seven eight")),
+        (5, u3),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.dup_spans(docs, w=8, flag_milli=500).collect()}
+
+    # doc1: 14 words -> 7 spans; spans fully inside the 10-word
+    # footer start at word pos 5..7 of the footer region = positions
+    # where all 8 words are footer words: footer occupies words 5-14,
+    # spans at pos 5,6,7 -> 3 dup spans (same spans appear in doc2).
+    assert out[1]["n_spans"] == 7 and out[1]["n_dup_spans"] == 3
+    # doc2: 15 words -> 8 spans; footer at words 6-15 -> pos 6,7,8.
+    assert out[2]["n_spans"] == 8 and out[2]["n_dup_spans"] == 3
+    # docs 3 and 5 are verbatim copies: every span duplicated.
+    for d in (3, 5):
+        assert out[d]["n_spans"] == out[d]["n_dup_spans"] == 6
+        assert out[d]["dup_milli"] == 1000 and out[d]["flagged"]
+    # doc4: self-repetition only -> every span occurs in ONE doc.
+    assert out[4]["n_spans"] == 9 and out[4]["n_dup_spans"] == 0
+    assert not out[4]["flagged"]
+    # short-doc path: a doc under w words is one whole-text span
+    tiny = spark.createDataFrame(
+        [(10, "too short"), (11, "too short")], "doc_id long, text string")
+    t = {r["doc_id"]: r for r in dedup.dup_spans(tiny, w=8).collect()}
+    assert t[10]["n_spans"] == 1 and t[10]["n_dup_spans"] == 1
+
+
+def test_rep_filter_gopher_repetition_signals(spark):
+    """Hand-built corpus for the intra-doc repetition family: doc 1
+    repeats one 4-word sentence 3x (self-repetition -> dup-3-gram
+    fraction 1000, flagged), doc 2 is non-repetitive (not flagged),
+    doc 3 is shorter than n words (gram metrics 0, never flagged)."""
+    from geotrellis_spark.operators import text
+
+    rows = [
+        (1, "one two three four one two three four one two three four"),
+        (2, "the quick brown fox jumps over the lazy dog today ok fine"),
+        (3, "a b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.rep_filter(docs).collect()}
+
+    # doc1: 12 words, 4 distinct -> dup_word = 8000/12 = 666.
+    # 10 3-gram occurrences; every gram string occurs >= 2 times
+    # (the period-4 cycle makes each of the 4 distinct grams recur)
+    # -> dup_gram_milli == 1000; the top gram "one two three" occurs
+    # 3x of 10 occurrences, chars 3*13=39 of total 124 -> 314?
+    # total chars: grams are len 13,12,14,13 repeating; computed 315.
+    assert out[1]["dup_word_milli"] == 666
+    assert out[1]["dup_gram_milli"] == 1000
+    assert out[1]["top_gram_milli"] == 315
+    assert out[1]["flagged"]
+    # doc2: 12 words, 11 distinct ("the" twice) -> 83; no repeated
+    # 3-gram -> dup 0; top gram = any cnt-1 gram, ~1/10 of chars.
+    assert out[2]["dup_word_milli"] == 83
+    assert out[2]["dup_gram_milli"] == 0
+    assert not out[2]["flagged"]
+    # doc3: < n words -> gram metrics zero, unflagged.
+    assert out[3]["n_words"] == 2
+    assert out[3]["top_gram_milli"] == 0
+    assert out[3]["dup_gram_milli"] == 0
+    assert not out[3]["flagged"]
