@@ -56,6 +56,8 @@ HEADLINE = [
     "pack_concat",
     "kernel_density",
     "bm25",
+    "dup_spans",
+    "rep_filter",
     # the capped production LSH semantic at sf0.1 (its uncapped twin
     # minhash_lsh runs last, outside this list, for GC-debt reasons)
     "minhash_capped",

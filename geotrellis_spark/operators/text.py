@@ -503,10 +503,12 @@ def rep_filter(
     never flagged by the gram gates.
 
     100 TB shape: one narrow word-stats pass, one bounded in-row gram
-    explode, two hash-aggs — (doc, gram) then doc, map-side combine
-    absorbing intra-doc repeats — and one doc_id equi-join back onto
-    the narrow stats. No windows, no Python, nothing quadratic in doc
-    length."""
+    explode, hash-aggs over the heavy streams — (doc, gram), then
+    (doc, cnt) — and one doc_id equi-join back onto the narrow stats.
+    The struct-max tie-break (struct agg buffers fall back to
+    SortAggregate in Spark) runs only over the (doc, cnt)-compressed
+    stream: at most one row per distinct occurrence count per doc. No
+    windows, no Python, nothing quadratic in doc length."""
     words = docs.selectExpr(
         id_col, f"split({text_col}, ' ') as _w"
     ).selectExpr(
@@ -526,12 +528,19 @@ def rep_filter(
     gd = grams.groupBy(id_col, "g").agg(
         F.count("*").alias("cnt")
     ).selectExpr(id_col, "cnt", "cast(length(g) as bigint) as glen")
-    per_doc = gd.groupBy(id_col).agg(
-        F.expr("sum(cnt * glen)").alias("tot_chars"),
-        F.expr(
-            "max(named_struct('cnt', cnt, 'chars', cnt * glen)).chars"
-        ).alias("top_chars"),
-        F.expr("sum(if(cnt >= 2, cnt * glen, 0))").alias("dup_chars"),
+    # two-level per-doc agg: the heavy gd stream sees only scalar
+    # hash-aggs; the struct-max tie-break (struct agg buffers force
+    # SortAggregate in Spark) is confined to the (doc, cnt)-compressed
+    # stream — at most one row per distinct occurrence count per doc
+    by_cnt = gd.groupBy(id_col, "cnt").agg(
+        F.expr("sum(cnt * glen)").alias("tot_c"),
+        F.expr("max(cnt * glen)").alias("bc"),
+    )
+    per_doc = by_cnt.groupBy(id_col).agg(
+        F.expr("sum(tot_c)").alias("tot_chars"),
+        F.expr("max(named_struct('cnt', cnt, 'chars', bc)).chars").alias(
+            "top_chars"),
+        F.expr("sum(if(cnt >= 2, tot_c, 0))").alias("dup_chars"),
     )
     return (
         words.drop("_w")

@@ -179,6 +179,25 @@ def main() -> None:
         S.ivf_assignments(emb, cents),
     )
 
+    cap(
+        "dup_spans (cross-doc duplicated spans): narrow span explode "
+        "-> partial+final hash-agg on (h,doc) with map-side combine "
+        "absorbing intra-doc repeats -> (h,doc) stream re-keyed on h "
+        "for the doc-count agg and the attribution equi-join -> final "
+        "hash-agg by doc; no windows, no Python, no driver state",
+        dq.q_dup_spans(spark, "/root/testdata/sf0.01"),
+    )
+
+    cap(
+        "rep_filter (intra-doc repetition): bounded in-row gram "
+        "explode -> hash-agg (doc,gram) -> hash-agg (doc,cnt) -> "
+        "struct-max tie-break confined to the (doc,cnt)-compressed "
+        "stream (struct agg buffers SortAggregate in Spark — kept off "
+        "the heavy gd stream deliberately) -> doc_id equi-join back "
+        "onto the narrow word stats",
+        dq.q_rep_filter(spark, "/root/testdata/sf0.01"),
+    )
+
     hdr = """# PLANS — physical-plan evidence
 
 `.explain("formatted")` captures showing the engine gets the plans a
