@@ -610,3 +610,86 @@ def rep_filter_sql(
                     false) AS flagged
     FROM ws LEFT JOIN per_doc USING (doc_id)
     """
+
+
+def unigram_surprisal(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    low_milli: int = 4000, high_milli: int = 14000,
+) -> DataFrame:
+    """Corpus-adaptive unigram language-model quality scoring — the
+    CCNet-style perplexity filter (Wenzek et al. 2020) relaxed to
+    EXACT integer arithmetic: the "LM" is the corpus's own unigram
+    distribution, and a word's surprisal is whole bits,
+    ``bits(w) = floor(log2(n_total div c_w))`` computed as
+    ``length(bin(n_total div c_w)) - 1`` — identical in Spark and
+    DuckDB (the HLL rank trick), so no float ever enters the result.
+
+    Per doc: total occurrences, summed bits, mean bits x1000 (exact
+    integer division), and a flag for docs OUTSIDE
+    [low_milli, high_milli] — low mean surprisal = high-probability
+    boilerplate, high = rare-token soup / gibberish; both tails are
+    what a perplexity gate drops.
+
+    100 TB shape: per-(doc, word) counts first (map-side combine
+    absorbs the Zipf head inside each doc), then ONE equi-join on the
+    word against the vocabulary-sized frequency table — the hot-key
+    skew of stopwords is AQE skew-join territory, and the 1-row
+    corpus total rides a broadcast cross join (the bm25 totals
+    pattern). Two hash-aggs + one join; no windows, no Python."""
+    words = docs.selectExpr(
+        id_col, f"explode(split({text_col}, ' ')) as w"
+    )
+    dw = words.groupBy(id_col, "w").agg(F.count("*").alias("cnt"))
+    wf = dw.groupBy("w").agg(F.sum("cnt").alias("c"))
+    tot = wf.agg(F.sum("c").alias("n_tot"))
+    wfb = wf.crossJoin(F.broadcast(tot)).selectExpr(
+        "w",
+        "cast(length(bin(n_tot div c)) - 1 as bigint) as bits",
+    )
+    return (
+        dw.join(wfb, "w")
+        .groupBy(id_col)
+        .agg(
+            F.expr("sum(cnt)").alias("n_words"),
+            F.expr("sum(cnt * bits)").alias("sum_bits"),
+        )
+        .selectExpr(
+            id_col,
+            "cast(n_words as bigint) as n_words",
+            "cast(sum_bits as bigint) as sum_bits",
+            "cast(sum_bits * 1000 / n_words as bigint) as mean_bits_milli",
+            f"(sum_bits * 1000 < {low_milli} * n_words"
+            f" OR sum_bits * 1000 > {high_milli} * n_words) as flagged",
+        )
+    )
+
+
+def unigram_surprisal_sql(
+    source_sql: str = "documents",
+    low_milli: int = 4000, high_milli: int = 14000,
+) -> str:
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM {source_sql}
+    ),
+    dw AS (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY 1, 2),
+    wf AS (SELECT w, sum(cnt) AS c FROM dw GROUP BY 1),
+    tot AS (SELECT sum(c) AS n_tot FROM wf),
+    wfb AS (
+      SELECT w, CAST(length(bin(n_tot // c)) - 1 AS BIGINT) AS bits
+      FROM wf, tot
+    ),
+    agg AS (
+      SELECT doc_id, sum(cnt) AS n_words, sum(cnt * bits) AS sum_bits
+      FROM dw JOIN wfb USING (w) GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(sum_bits AS BIGINT) AS sum_bits,
+           CAST(floor(sum_bits * 1000.0 / n_words) AS BIGINT)
+             AS mean_bits_milli,
+           (sum_bits * 1000 < {low_milli} * n_words
+            OR sum_bits * 1000 > {high_milli} * n_words) AS flagged
+    FROM agg
+    """

@@ -584,6 +584,28 @@ def sql_rep_filter() -> str:
     return text.rep_filter_sql("documents")
 
 
+def q_unigram_surprisal(spark, sf_dir) -> DataFrame:
+    """Corpus-adaptive unigram surprisal scoring (CCNet-style
+    perplexity filter, exact whole-bit integer relaxation via
+    length(bin(n_tot div c)) — the HLL rank trick). Thresholds sit
+    inside the corpus distribution so BOTH flag tails are exercised.
+    100 TB shape: (doc,word) counts -> vocab frequency table -> one
+    word equi-join (AQE skew territory) + broadcast 1-row total."""
+    from ..operators import text
+
+    return text.unigram_surprisal(
+        _t(spark, sf_dir, "documents"), low_milli=4020, high_milli=4100
+    )
+
+
+def sql_unigram_surprisal() -> str:
+    from ..operators import text
+
+    return text.unigram_surprisal_sql(
+        "documents", low_milli=4020, high_milli=4100
+    )
+
+
 def q_dup_spans(spark, sf_dir) -> DataFrame:
     """Cross-document duplicated-span detection (dedup.dup_spans) —
     the map-reduce relaxation of ExactSubstr dedup (Lee et al. 2022):
@@ -1654,11 +1676,11 @@ QUERIES = {
     "minhash_capped": (q_minhash_capped, sql_minhash_capped),
     "dup_spans": (q_dup_spans, sql_dup_spans),
     "rep_filter": (q_rep_filter, sql_rep_filter),
+    "unigram_surprisal": (q_unigram_surprisal, sql_unigram_surprisal),
     "phash_capped": (q_phash_capped, sql_phash_capped),
     "contamination": (q_contamination, sql_contamination),
     "dedup_cluster": (q_dedup_cluster, sql_dedup_cluster),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
-    "resample_ffill": (q_resample_ffill, sql_resample_ffill),
     "tfidf": (q_tfidf, sql_tfidf),
     "doc_chunks": (q_doc_chunks, sql_doc_chunks),
     "pack_concat": (q_pack_concat, sql_pack_concat),
@@ -1673,8 +1695,10 @@ QUERIES = {
     # pip_diamond is the same PIP operator as pip_grid over a second
     # polygon family; minhash_lsh's uncapped shingle/signature/band
     # machinery runs inside BOTH minhash_capped and dedup_cluster;
-    # ann_ivf is ann_ivf_kmeans with kmeans_rounds=0) ----
+    # ann_ivf is ann_ivf_kmeans with kmeans_rounds=0; TS2 gap-fill
+    # stays anchored by rolling_window + sessionize in the prefix) ----
     "minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
+    "resample_ffill": (q_resample_ffill, sql_resample_ffill),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "pip_diamond": (q_pip_diamond, sql_pip_diamond),
     "doc_fingerprint": (q_fingerprint, sql_fingerprint),

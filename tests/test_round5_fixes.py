@@ -390,3 +390,26 @@ def test_rep_filter_gopher_repetition_signals(spark):
     assert out[3]["top_gram_milli"] == 0
     assert out[3]["dup_gram_milli"] == 0
     assert not out[3]["flagged"]
+
+
+def test_unigram_surprisal_exact_bits(spark):
+    """Hand-computable corpus: word counts a=4, b=2, c=1, d=1 over
+    n_tot=8 occurrences -> bits = floor(log2(8 div c_w)): a->1, b->2,
+    c,d->3. Whole-bit surprisal, no float anywhere."""
+    from geotrellis_spark.operators import text
+
+    rows = [(1, "a a b c"), (2, "a a b d")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text.unigram_surprisal(docs, low_milli=0,
+                                  high_milli=10**6).collect()}
+    # doc1: a(1)+a(1)+b(2)+c(3) = 7 bits over 4 words -> 1750 milli
+    assert out[1]["n_words"] == 4 and out[1]["sum_bits"] == 7
+    assert out[1]["mean_bits_milli"] == 1750
+    # doc2 identical by symmetry (d also count 1)
+    assert out[2]["sum_bits"] == 7 and not out[2]["flagged"]
+    # tails flag: low boilerplate and high rare-token docs
+    out2 = {r["doc_id"]: r for r in
+            text.unigram_surprisal(docs, low_milli=1800,
+                                   high_milli=2000).collect()}
+    assert out2[1]["flagged"] and out2[2]["flagged"]
