@@ -693,3 +693,73 @@ def unigram_surprisal_sql(
             OR sum_bits * 1000 > {high_milli} * n_words) AS flagged
     FROM agg
     """
+
+
+# PII categories in application order: earlier redactions cannot
+# create later matches (all replacements are angle-bracket tokens with
+# no digits). Patterns are the RE2 ∩ java.util.regex dialect subset —
+# explicit [0-9] classes, ASCII \b boundaries, no backrefs — so Spark
+# and DuckDB agree byte-for-byte.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("cc", r"\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b", "<CC>"),
+    ("phone", r"\b[0-9]{3}[- ][0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "<IP>"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """PII redaction — the pre-training scrub stage: emails, SSNs,
+    credit-card and phone shapes, IPv4 addresses replaced by typed
+    tokens, with exact per-category match counts. Counts are taken on
+    the PROGRESSIVELY redacted text (sequential semantics: a string
+    claimed by an earlier category can't double-count in a later one
+    — an SSN inside an email username is the email's).
+
+    100 TB shape: pure narrow per-row regex chain, fully map-side,
+    zero shuffles; the whole operator fuses into one WholeStageCodegen
+    span over the scan."""
+    out = docs.select(F.col(id_col), F.col(text_col).alias("_red"))
+    counts = []
+    for name, pat, tok in PII_PATTERNS:
+        out = out.select(
+            id_col,
+            F.regexp_count(F.col("_red"), F.lit(pat)).alias(f"n_{name}"),
+            F.regexp_replace(F.col("_red"), pat, tok).alias("_red"),
+            *[F.col(c) for c in counts],
+        )
+        counts.append(f"n_{name}")
+    return out.select(
+        id_col,
+        *[F.col(f"n_{n}").cast("bigint").alias(f"n_{n}")
+          for n, _, _ in PII_PATTERNS],
+        F.col("_red").alias("redacted"),
+        (sum(F.col(f"n_{n}") for n, _, _ in PII_PATTERNS) > 0
+         ).alias("has_pii"),
+    )
+
+
+def pii_scrub_sql(source_sql: str = "documents") -> str:
+    # DuckDB literal strings don't process backslashes; RE2 needs the
+    # global 'g' flag (replace-first is the default, unlike Spark).
+    # Chained subqueries so each count sees the prior redaction.
+    sql = f"SELECT doc_id, text AS _red FROM {source_sql}"
+    for name, pat, tok in PII_PATTERNS:
+        sql = f"""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(_red, '{pat}')) AS BIGINT)
+             AS n_{name},
+           regexp_replace(_red, '{pat}', '{tok}', 'g') AS _red,
+           * EXCLUDE (doc_id, _red)
+    FROM ({sql})"""
+    names = ", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS)
+    total = " + ".join(f"n_{n}" for n, _, _ in PII_PATTERNS)
+    return f"""
+    SELECT doc_id, {names}, _red AS redacted, ({total}) > 0 AS has_pii
+    FROM ({sql})
+    """

@@ -584,6 +584,43 @@ def sql_rep_filter() -> str:
     return text.rep_filter_sql("documents")
 
 
+# deterministic PII injection (the synthetic corpus contains none):
+# identical construction in both engines so the scrub is exercised on
+# every category; doc_id % 5 = 4 rows stay clean
+_PII_SUFFIX = (
+    "CASE doc_id % 5"
+    " WHEN 0 THEN concat(' mail u', cast(doc_id as string),"
+    "  '@example.org')"
+    " WHEN 1 THEN ' ssn 123-45-6789'"
+    " WHEN 2 THEN concat(' ip 10.', cast(doc_id % 256 as string),"
+    "  '.0.1')"
+    " WHEN 3 THEN ' card 4111 1111 1111 1111 tel 212-555-0199'"
+    " ELSE '' END"
+)
+
+
+def q_pii_scrub(spark, sf_dir) -> DataFrame:
+    """PII redaction (text.pii_scrub) over a deterministically
+    PII-injected corpus: emails/SSN/CC/phone/IPv4 -> typed tokens +
+    exact per-category counts with sequential-claim semantics. Pure
+    narrow regex chain — zero shuffles, one WholeStageCodegen span."""
+    from ..operators import text
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"concat(text, {_PII_SUFFIX}) as text"
+    )
+    return text.pii_scrub(docs)
+
+
+def sql_pii_scrub() -> str:
+    from ..operators import text
+
+    return text.pii_scrub_sql(
+        f"(SELECT doc_id, text || ({_PII_SUFFIX}) AS text"
+        " FROM documents)"
+    )
+
+
 def q_unigram_surprisal(spark, sf_dir) -> DataFrame:
     """Corpus-adaptive unigram surprisal scoring (CCNet-style
     perplexity filter, exact whole-bit integer relaxation via
@@ -1658,7 +1695,6 @@ QUERIES = {
     "poly_stats": (q_poly_stats, sql_poly_stats),
     "countmin": (q_countmin, sql_countmin),
     "simhash_neardup": (q_simhash_neardup, sql_simhash_neardup),
-    "interval_join": (q_interval_join, sql_interval_join),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),
     "tile_assign": (q_tile_assign, sql_tile_assign),
     "cell_agg": (q_cell_agg, sql_cell_agg),
@@ -1677,6 +1713,7 @@ QUERIES = {
     "dup_spans": (q_dup_spans, sql_dup_spans),
     "rep_filter": (q_rep_filter, sql_rep_filter),
     "unigram_surprisal": (q_unigram_surprisal, sql_unigram_surprisal),
+    "pii_scrub": (q_pii_scrub, sql_pii_scrub),
     "phash_capped": (q_phash_capped, sql_phash_capped),
     "contamination": (q_contamination, sql_contamination),
     "dedup_cluster": (q_dedup_cluster, sql_dedup_cluster),
@@ -1696,8 +1733,10 @@ QUERIES = {
     # polygon family; minhash_lsh's uncapped shingle/signature/band
     # machinery runs inside BOTH minhash_capped and dedup_cluster;
     # ann_ivf is ann_ivf_kmeans with kmeans_rounds=0; TS2 gap-fill
-    # stays anchored by rolling_window + sessionize in the prefix) ----
+    # stays anchored by rolling_window + sessionize in the prefix;
+    # J8 stays anchored by asof_join) ----
     "minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
+    "interval_join": (q_interval_join, sql_interval_join),
     "resample_ffill": (q_resample_ffill, sql_resample_ffill),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "pip_diamond": (q_pip_diamond, sql_pip_diamond),

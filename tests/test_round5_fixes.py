@@ -413,3 +413,25 @@ def test_unigram_surprisal_exact_bits(spark):
             text.unigram_surprisal(docs, low_milli=1800,
                                    high_milli=2000).collect()}
     assert out2[1]["flagged"] and out2[2]["flagged"]
+
+
+def test_pii_scrub_sequential_claims(spark):
+    """Sequential-claim semantics: an SSN-shaped string inside an
+    email username is the email's (earlier category), counts are on
+    progressively redacted text, and clean docs pass untouched."""
+    from geotrellis_spark.operators import text
+
+    rows = [
+        (1, "edge user123-45-6789@x.com then 999-88-7777"),
+        (2, "card 4111 1111-1111 1111 phone 212-555-0199 ip 10.0.0.255"),
+        (3, "nothing sensitive"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.pii_scrub(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_ssn"] == 1
+    assert out[1]["redacted"] == "edge <EMAIL> then <SSN>"
+    assert out[2]["n_cc"] == 1 and out[2]["n_phone"] == 1
+    assert out[2]["n_ip"] == 1
+    assert out[2]["redacted"] == "card <CC> phone <PHONE> ip <IP>"
+    assert not out[3]["has_pii"]
+    assert out[3]["redacted"] == "nothing sensitive"

@@ -198,6 +198,20 @@ def main() -> None:
         dq.q_rep_filter(spark, "/root/testdata/sf0.01"),
     )
 
+    cap(
+        "unigram_surprisal: (doc,word) hash-agg -> vocab hash-agg -> "
+        "broadcast 1-row corpus total -> ONE word equi-join back onto "
+        "the (doc,word) stream -> final per-doc hash-agg; skewed "
+        "stopword keys are AQE skew-join territory",
+        dq.q_unigram_surprisal(spark, "/root/testdata/sf0.01"),
+    )
+
+    cap(
+        "pii_scrub: pure narrow regex chain — zero exchanges, the "
+        "whole operator is one WholeStageCodegen span over the scan",
+        dq.q_pii_scrub(spark, "/root/testdata/sf0.01"),
+    )
+
     hdr = """# PLANS — physical-plan evidence
 
 `.explain("formatted")` captures showing the engine gets the plans a
