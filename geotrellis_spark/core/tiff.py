@@ -1,0 +1,262 @@
+"""Baseline TIFF codec, from scratch against the public TIFF 6.0
+specification (Adobe, 1992): little- or big-endian header, single
+IFD, strip-organized uint16 samples, Compression = none (1) or
+PackBits (32773), Photometric BlackIsZero / RGB, chunky planar
+config. No external image library — pure numpy byte assembly.
+
+Reference-role note: the GeoTrellis reference reads GeoTIFF rasters
+(geotrellis.raster.io.geotiff); full GeoTiff (tags for CRS/extent,
+tiled layout, predictors) is declared out of scope in SURVEY §2 S1 —
+this module implements the baseline TIFF 6.0 subset so multiband
+uint16 payloads round-trip through a REAL standard container instead
+of an env-bound stub.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# TIFF 6.0 tag ids (section 8: baseline required fields)
+T_WIDTH = 256
+T_LENGTH = 257
+T_BITS = 258
+T_COMPRESSION = 259
+T_PHOTOMETRIC = 262
+T_STRIP_OFFSETS = 273
+T_SPP = 277
+T_ROWS_PER_STRIP = 278
+T_STRIP_COUNTS = 279
+T_PLANAR = 284
+
+TYPE_SHORT = 3
+TYPE_LONG = 4
+_TYPE_SIZE = {TYPE_SHORT: 2, TYPE_LONG: 4}
+
+COMP_NONE = 1
+COMP_PACKBITS = 32773
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """PackBits (TIFF 6.0 section 9): literal runs ``n-1`` headers in
+    [0,127], replicate runs ``257-n`` headers in [129,255]; 128 is a
+    no-op never emitted. Runs of >= 3 equal bytes are replicated."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find replicate run length at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i = j
+            continue
+        # literal run: scan until a >=3 replicate run starts
+        j = i
+        while j < n and j - i < 128:
+            if (
+                j + 2 < n
+                and data[j] == data[j + 1] == data[j + 2]
+            ):
+                break
+            j += 1
+        out.append(j - i - 1)
+        out.extend(data[i:j])
+        i = j
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """Decode a PackBits stream to exactly ``expected`` bytes."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while len(out) < expected:
+        if i >= n:
+            raise ValueError("PackBits stream truncated")
+        h = data[i]
+        i += 1
+        if h < 128:  # literal of h+1 bytes
+            if i + h + 1 > n:
+                raise ValueError("PackBits literal overruns stream")
+            out.extend(data[i : i + h + 1])
+            i += h + 1
+        elif h > 128:  # replicate next byte 257-h times
+            if i >= n:
+                raise ValueError("PackBits replicate overruns stream")
+            out.extend(data[i : i + 1] * (257 - h))
+            i += 1
+        # h == 128: no-op
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits decoded {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+def tiff_encode(
+    px: np.ndarray,
+    compression: str = "none",
+    rows_per_strip: int = 64,
+    byteorder: str = "<",
+) -> bytes:
+    """Encode uint16 (bands, h, w) pixels — 1 band (BlackIsZero) or 3
+    bands (RGB) — as a baseline TIFF: header, strip data, one IFD.
+    ``byteorder`` '<' writes II (little-endian), '>' writes MM."""
+    if px.ndim != 3 or px.shape[0] not in (1, 3):
+        raise ValueError(f"tiff_encode wants (1|3, h, w), got {px.shape}")
+    bands, h, w = px.shape
+    comp = {"none": COMP_NONE, "packbits": COMP_PACKBITS}[compression]
+    bo = byteorder
+    # chunky pixel-interleaved sample order, per-strip byte slabs
+    chunky = np.ascontiguousarray(
+        px.transpose(1, 2, 0).astype(f"{bo}u2")
+    )
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        raw = chunky[r0 : r0 + rows_per_strip].tobytes()
+        strips.append(
+            packbits_encode(raw) if comp == COMP_PACKBITS else raw
+        )
+
+    magic = b"II" if bo == "<" else b"MM"
+    header_len = 8
+    data_off = header_len
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(data_off)
+        data_off += len(s)
+    if data_off % 2:  # keep IFD word-aligned
+        data_off += 1
+    ifd_off = data_off
+
+    def entry(tag: int, typ: int, values) -> tuple[bytes, bytes]:
+        """IFD entry bytes + external value bytes (b'' if inline)."""
+        count = len(values)
+        size = _TYPE_SIZE[typ] * count
+        fmt = "H" if typ == TYPE_SHORT else "I"
+        packed = struct.pack(f"{bo}{count}{fmt}", *values)
+        if size <= 4:
+            return (
+                struct.pack(f"{bo}HHI", tag, typ, count)
+                + packed.ljust(4, b"\x00"),
+                b"",
+            )
+        return struct.pack(f"{bo}HHI", tag, typ, count), packed
+
+    n_strips = len(strips)
+    tags = [
+        (T_WIDTH, TYPE_LONG, [w]),
+        (T_LENGTH, TYPE_LONG, [h]),
+        (T_BITS, TYPE_SHORT, [16] * bands),
+        (T_COMPRESSION, TYPE_SHORT, [comp]),
+        (T_PHOTOMETRIC, TYPE_SHORT, [2 if bands == 3 else 1]),
+        (T_STRIP_OFFSETS, TYPE_LONG, strip_offsets),
+        (T_SPP, TYPE_SHORT, [bands]),
+        (T_ROWS_PER_STRIP, TYPE_LONG, [rows_per_strip]),
+        (T_STRIP_COUNTS, TYPE_LONG, [len(s) for s in strips]),
+        (T_PLANAR, TYPE_SHORT, [1]),
+    ]
+    # lay out external value area after the IFD
+    ifd_len = 2 + 12 * len(tags) + 4
+    ext_off = ifd_off + ifd_len
+    entries = []
+    ext = bytearray()
+    for tag, typ, values in tags:
+        head, extern = entry(tag, typ, values)
+        if extern:
+            entries.append(head + struct.pack(f"{bo}I", ext_off + len(ext)))
+            ext.extend(extern)
+            if len(ext) % 2:
+                ext.append(0)
+        else:
+            entries.append(head)
+
+    out = bytearray()
+    out += magic + struct.pack(f"{bo}H", 42) + struct.pack(f"{bo}I", ifd_off)
+    for s in strips:
+        out += s
+    out = out.ljust(ifd_off, b"\x00")
+    out += struct.pack(f"{bo}H", len(tags))
+    for e in entries:
+        out += e
+    out += struct.pack(f"{bo}I", 0)  # next-IFD = none
+    out += bytes(ext)
+    assert n_strips == len(strip_offsets)
+    return bytes(out)
+
+
+def _read_ifd(data: bytes, bo: str, off: int) -> dict[int, list[int]]:
+    (n,) = struct.unpack_from(f"{bo}H", data, off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        e = off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(f"{bo}HHI", data, e)
+        if typ not in _TYPE_SIZE:
+            continue  # RATIONAL/ASCII etc — not needed for baseline
+        size = _TYPE_SIZE[typ] * count
+        fmt = "H" if typ == TYPE_SHORT else "I"
+        if size <= 4:
+            vals = struct.unpack_from(f"{bo}{count}{fmt}", data, e + 8)
+        else:
+            (voff,) = struct.unpack_from(f"{bo}I", data, e + 8)
+            vals = struct.unpack_from(f"{bo}{count}{fmt}", data, voff)
+        tags[tag] = list(vals)
+    return tags
+
+
+def tiff_decode(data: bytes) -> np.ndarray:
+    """Decode a baseline TIFF (uint16 samples, none/PackBits, chunky)
+    to uint16 (bands, h, w). Handles II and MM byte orders."""
+    data = bytes(data)
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    try:
+        (magic,) = struct.unpack_from(f"{bo}H", data, 2)
+        if magic != 42:
+            raise ValueError(f"not a TIFF: magic {magic} != 42")
+        (ifd_off,) = struct.unpack_from(f"{bo}I", data, 4)
+        tags = _read_ifd(data, bo, ifd_off)
+    except struct.error as e:  # truncated header/IFD
+        raise ValueError(f"truncated TIFF structure: {e}") from e
+
+    w = tags[T_WIDTH][0]
+    h = tags[T_LENGTH][0]
+    spp = tags.get(T_SPP, [1])[0]
+    bits = tags.get(T_BITS, [16] * spp)
+    if any(b != 16 for b in bits):
+        raise ValueError(f"only 16-bit samples supported, got {bits}")
+    comp = tags.get(T_COMPRESSION, [COMP_NONE])[0]
+    if comp not in (COMP_NONE, COMP_PACKBITS):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if tags.get(T_PLANAR, [1])[0] != 1:
+        raise ValueError("only chunky PlanarConfiguration supported")
+    rps = tags.get(T_ROWS_PER_STRIP, [h])[0]
+    offsets = tags[T_STRIP_OFFSETS]
+    counts = tags[T_STRIP_COUNTS]
+    if len(offsets) != len(counts):
+        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+
+    row_bytes = w * spp * 2
+    raw = bytearray()
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        nrows = min(rps, h - i * rps)
+        expected = nrows * row_bytes
+        chunk = data[off : off + cnt]
+        if comp == COMP_PACKBITS:
+            raw += packbits_decode(chunk, expected)
+        else:
+            if len(chunk) != expected:
+                raise ValueError(
+                    f"strip {i}: {len(chunk)} bytes, expected {expected}"
+                )
+            raw += chunk
+    arr = np.frombuffer(bytes(raw), dtype=f"{bo}u2").reshape(h, w, spp)
+    return np.ascontiguousarray(arr.transpose(2, 0, 1)).astype(np.uint16)

@@ -15,7 +15,9 @@ baseline JPEG encoder+decoder, grayscale AND YCbCr 4:2:0/4:4:4 color
 (core/jpeg.py — full marker parse, Annex K Huffman, interleaved MCU
 entropy coding; no libjpeg). Multiband (D2) rows carry a ``bands``
 column; ``decode_image_multiband``/``transcode_image_multiband``
-handle plane-sequential raw16 and 3-band color JPEG. Only webp/tiff/
+handle plane-sequential raw16, 3-band color JPEG, and baseline TIFF
+(core/tiff.py — REAL from-scratch TIFF 6.0, 16-bit strips, none/
+PackBits, II and MM byte orders). Only webp/
 MP3/H.264 remain stubbed behind clearly-marked ``NotImplementedError``
 (their bitstream libraries are not in this container); the engine-side
 plumbing is identical either way and fully tested on the in-repo
@@ -41,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..core import codecs, imagery, kernels
 
-EXTERNAL_IMAGE_CODECS = ("webp", "tiff")
+EXTERNAL_IMAGE_CODECS = ("webp",)
 EXTERNAL_AUDIO_CODECS = ("mp3", "flac", "opus")
 EXTERNAL_VIDEO_CODECS = ("h264", "vp9", "av1")
 
@@ -62,6 +64,13 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         if u8.shape != (h, w):
             raise ValueError(f"JPEG dims {u8.shape} != metadata {(h, w)}")
         return (u8.astype(np.uint16)) * 257
+    if fmt == "tiff":
+        from ..core import tiff
+
+        px = tiff.tiff_decode(bytes(data))
+        if px.shape != (1, h, w):
+            raise ValueError(f"TIFF dims {px.shape} != (1, {h}, {w})")
+        return px[0]
     if fmt in EXTERNAL_IMAGE_CODECS:
         raise NotImplementedError(
             f"STUB: {fmt} decode needs an external image library "
@@ -104,6 +113,13 @@ def decode_image_multiband(
         if rgb.shape[:2] != (h, w):
             raise ValueError(f"JPEG dims {rgb.shape[:2]} != {(h, w)}")
         return rgb.transpose(2, 0, 1).astype(np.uint16) * 257
+    if fmt == "tiff" and bands in (1, 3):
+        from ..core import tiff
+
+        px = tiff.tiff_decode(bytes(data))
+        if px.shape != (bands, h, w):
+            raise ValueError(f"TIFF dims {px.shape} != ({bands},{h},{w})")
+        return px
     if fmt in EXTERNAL_IMAGE_CODECS:
         raise NotImplementedError(
             f"STUB: {fmt} decode needs an external image library"
@@ -127,6 +143,10 @@ def encode_image_multiband(
             )
         if fmt == "dct":
             return codecs.dct_encode_gray(px[0], quality)
+        if fmt == "tiff":
+            from ..core import tiff
+
+            return tiff.tiff_encode(px)
         return codecs.encode_tile(px[0], fmt)
     if fmt == "raw16":
         return np.ascontiguousarray(px, dtype="<u2").tobytes()
@@ -135,6 +155,10 @@ def encode_image_multiband(
 
         rgb = (px >> 8).astype(np.uint8).transpose(1, 2, 0)
         return jpeg.jpeg_encode_rgb(rgb, quality, subsampling)
+    if fmt == "tiff" and bands in (1, 3):
+        from ..core import tiff
+
+        return tiff.tiff_encode(px)
     raise ValueError(f"unsupported multiband fmt {fmt!r} x{bands}")
 
 
@@ -194,6 +218,10 @@ def transcode_image(
                     )
                 elif to_fmt == "dct":
                     payloads.append(codecs.dct_encode_gray(px, quality))
+                elif to_fmt == "tiff":
+                    from ..core import tiff
+
+                    payloads.append(tiff.tiff_encode(px[None]))
                 else:  # lossless targets: quality has no meaning
                     payloads.append(codecs.encode_tile(px, to_fmt))
                 fmts.append(to_fmt)
