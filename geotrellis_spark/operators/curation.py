@@ -19,10 +19,26 @@ from ..checkpoint import write_metric
 from . import dedup, sampling, text
 
 
+def gate_ids(docs, rep_gate: bool = False):
+    """Per-doc-pure stage-1 eligibility: quality gate, optionally AND
+    NOT rep_filter-flagged. ONE definition shared by the batch core
+    and every streaming site that mirrors the gate (band-store
+    membership, coverage guards) — drift here silently strands capped
+    tail pairs."""
+    ids = text.quality_score(docs).where("is_quality").select("doc_id")
+    if rep_gate:
+        ok = text.rep_filter(docs).where("NOT flagged").select("doc_id")
+        ids = ids.join(ok, "doc_id")
+    return ids
+
+
 def curate(spark, docs, per_stratum: int, salt: int = 42,
            metrics=None, signatures=None, pairs=None,
            bench=None, min_shared: int = 25,
-           contaminated=None) -> "tuple":
+           contaminated=None, scrub_pii: bool = False,
+           rep_gate: bool = False,
+           surprisal_band: "tuple | None" = None,
+           dup_span_milli: "int | None" = None) -> "tuple":
     """Run the 4-stage curation over a documents DataFrame. Returns
     (curated_df, stats dict). ``metrics``: optional (base, job_id)
     tuple to persist per-stage counts. ``signatures``: optional
@@ -47,7 +63,48 @@ def curate(spark, docs, per_stratum: int, salt: int = 42,
     streaming path's contamination store — flags are a pure per-doc
     function of (text, static bench), so the stream computes them
     once per arriving doc and recuration skips re-shingling the
-    corpus); when given, ``bench`` is not re-evaluated."""
+    corpus); when given, ``bench`` is not re-evaluated.
+
+    Optional r5 gates:
+
+    - ``scrub_pii``: stage 0 — text is REPLACED by its pii_scrub
+      redaction before anything hashes it. Incompatible with
+      precomputed stores (signatures/pairs/contaminated derive from
+      the raw text): scrub at ingest instead (curate_stream does).
+    - ``rep_gate``: stage 1 also drops rep_filter-flagged docs
+      (per-doc pure — streaming-compatible, threaded through the
+      band store via ``gate_ids``).
+    - ``surprisal_band=(low, high)`` / ``dup_span_milli``:
+      CORPUS-GLOBAL gates after decontamination — unigram-surprisal
+      milli-bits outside the band, or cross-doc duplicated-span
+      fraction >= the threshold, drop the doc. Incompatible with a
+      precomputed ``pairs`` store: under a cap these gates can drop
+      a bucket representative whose tail pairs are already stored,
+      stranding the tails (pass ``signatures`` instead — banding
+      then re-runs over survivors)."""
+    if scrub_pii and (
+        signatures is not None or pairs is not None
+        or contaminated is not None
+    ):
+        raise ValueError(
+            "scrub_pii rewrites text but signatures/pairs/contaminated"
+            " stores derive from the raw text — scrub at ingest"
+            " (curate_stream(scrub_pii=True)) so the stores see"
+            " scrubbed text"
+        )
+    if pairs is not None and (
+        surprisal_band is not None or dup_span_milli is not None
+    ):
+        raise ValueError(
+            "corpus-global gates (surprisal_band/dup_span_milli) can"
+            " drop a stored bucket representative and strand its"
+            " capped tail pairs — use signatures=, not pairs="
+        )
+    if scrub_pii:
+        docs = docs.drop("text").join(
+            text.pii_scrub(docs).selectExpr("doc_id", "redacted as text"),
+            "doc_id",
+        )
     stats = {"input": docs.count()}
 
     def metric(stage, name, value):
@@ -55,9 +112,9 @@ def curate(spark, docs, per_stratum: int, salt: int = 42,
         if metrics:
             write_metric(spark, metrics[0], metrics[1], stage, name, value)
 
-    # 1. quality gate (pure codegen filter)
-    q = text.quality_score(docs).where("is_quality").select("doc_id")
-    gated = docs.join(q, "doc_id")
+    # 1. quality gate (pure codegen filter; the optional per-doc
+    # repetition gate rides the same semi-join via gate_ids)
+    gated = docs.join(gate_ids(docs, rep_gate=rep_gate), "doc_id")
     gated = gated.localCheckpoint()  # reused by three stages below
     metric("quality", "kept", gated.count())
 
@@ -73,6 +130,25 @@ def curate(spark, docs, per_stratum: int, salt: int = 42,
             ).select("doc_id").distinct()
         gated = gated.join(flagged, "doc_id", "left_anti").localCheckpoint()
         metric("decontaminate", "kept", gated.count())
+
+    # 1.7 (optional): CORPUS-GLOBAL quality gates. They run after
+    # decontamination on purpose — the unigram LM and the span
+    # document-frequencies are statistics of the corpus, and leaked
+    # eval text must not shape them. Each is one anti-join against a
+    # flagged set; both operators are pure aggregations (no windows).
+    if surprisal_band is not None:
+        lo, hi = surprisal_band
+        ok = text.unigram_surprisal(
+            gated, low_milli=lo, high_milli=hi
+        ).where("NOT flagged").select("doc_id")
+        gated = gated.join(ok, "doc_id").localCheckpoint()
+        metric("surprisal", "kept", gated.count())
+    if dup_span_milli is not None:
+        ok = dedup.dup_spans(
+            gated, flag_milli=dup_span_milli
+        ).where("NOT flagged").select("doc_id")
+        gated = gated.join(ok, "doc_id").localCheckpoint()
+        metric("dup_spans", "kept", gated.count())
 
     # 2. exact dedup: keep each md5 group's min doc id
     keep_exact = (

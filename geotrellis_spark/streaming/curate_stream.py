@@ -37,8 +37,8 @@ from pyspark.sql import DataFrame
 
 from pyspark.sql import functions as F
 
-from ..operators.curation import curate
-from ..operators.text import quality_score
+from ..operators.curation import curate, gate_ids
+from ..operators.text import pii_scrub
 from ..operators.dedup import (
     PB_EXPR,
     band_rows,
@@ -58,6 +58,7 @@ def recurate(
     use_pair_store: bool = False,
     bench=None,
     min_shared: int = 25,
+    rep_gate: bool = False,
 ) -> dict:
     """Fold everything staged so far into the curated snapshot. Called
     by the stream on its recuration cadence, and callable standalone
@@ -101,10 +102,7 @@ def recurate(
             # no band files yet (every batch so far gated/flagged out
             # entirely): an empty partitioned append writes nothing
             n_banded = 0
-        eligible = docs.join(
-            quality_score(docs).where("is_quality").select("doc_id"),
-            "doc_id",
-        )
+        eligible = docs.join(gate_ids(docs, rep_gate=rep_gate), "doc_id")
         if contaminated is not None:
             eligible = eligible.join(contaminated, "doc_id", "left_anti")
         n_docs = eligible.count()
@@ -129,12 +127,14 @@ def recurate(
         curated, stats = curate(
             spark, docs, per_stratum, salt, pairs=pairs,
             bench=bench, min_shared=min_shared, contaminated=contaminated,
+            rep_gate=rep_gate,
         )
     else:
         sigs = spark.read.parquet(sig_store).dropDuplicates(["doc_id"])
         curated, stats = curate(
             spark, docs, per_stratum, salt, signatures=sigs,
             bench=bench, min_shared=min_shared, contaminated=contaminated,
+            rep_gate=rep_gate,
         )
     curated.write.mode("overwrite").parquet(snap)
     tag = "final" if batch_id is None else str(batch_id)
@@ -157,6 +157,8 @@ def curate_stream(
     max_bucket: int | None = None,
     bench=None,
     min_shared: int = 25,
+    scrub_pii: bool = False,
+    rep_gate: bool = False,
 ):
     """Start the streaming curation. ``docs_stream`` must carry the
     documents columns plus an event-time ``ts`` timestamp column.
@@ -179,6 +181,20 @@ def curate_stream(
     ``bench`` (optional benchmark/eval docs DataFrame) adds the
     decontamination stage to every recuration — the snapshot equals
     the batch ``curate(bench=...)`` job over all staged rows.
+
+    ``scrub_pii=True`` redacts PII AT INGEST: each arriving doc's text
+    is replaced by its ``pii_scrub`` redaction BEFORE it reaches any
+    store (staging, signatures, bands, contamination), so every
+    derived artifact hashes the scrubbed text and the snapshot equals
+    the batch ``curate(scrub_pii=True)`` job — this is the store-
+    compatible place to scrub (``curate`` itself refuses
+    ``scrub_pii`` with precomputed stores for exactly this reason).
+    Scrubbing is a pure per-doc regex chain, so per-batch cost is
+    O(batch), and replays re-derive identical text (idempotent).
+
+    ``rep_gate=True`` adds the intra-doc repetition gate to stage 1;
+    it is per-doc pure, so the stream threads it through the band
+    store and coverage guards via the shared ``gate_ids``.
 
     ``max_bucket`` switches the store to CAPPED pair maintenance —
     the 100 TB shape, where the store itself stays bounded: capped
@@ -211,7 +227,15 @@ def curate_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        rows = batch_df.drop("ts").localCheckpoint()
+        rows = batch_df.drop("ts")
+        if scrub_pii:
+            # redact BEFORE anything is persisted or hashed — every
+            # downstream store sees only scrubbed text
+            rows = rows.drop("text").join(
+                pii_scrub(rows).selectExpr("doc_id", "redacted as text"),
+                "doc_id",
+            )
+        rows = rows.localCheckpoint()
         rows.write.mode("append").parquet(staging)
         # incremental signatures: shingle each doc exactly once, in
         # the micro-batch it arrives in
@@ -222,9 +246,7 @@ def curate_stream(
             # contamination flags, once per arriving doc (pure per-doc
             # function of text x the static bench set) — recuration
             # reads the store instead of re-shingling the corpus
-            q_ids = quality_score(rows).where("is_quality").select(
-                "doc_id"
-            )
+            q_ids = gate_ids(rows, rep_gate=rep_gate)
             flagged_new = contamination(
                 rows.join(q_ids, "doc_id"), bench, min_shared=min_shared
             ).select("doc_id").distinct().localCheckpoint()
@@ -238,9 +260,7 @@ def curate_stream(
             # bucket representative — its tail pairs would filter away
             # at recuration and disconnect the tails, diverging from
             # the batch enumeration (which never sees gated-out docs)
-            gated_ids = quality_score(rows).where("is_quality").select(
-                "doc_id"
-            )
+            gated_ids = gate_ids(rows, rep_gate=rep_gate)
             if flagged_new is not None:
                 # decontaminated docs must not reach the band store
                 # either: under a cap, a later-dropped representative
@@ -263,7 +283,7 @@ def curate_stream(
                         spark, out_dir, per_stratum, salt,
                         batch_id=int(batch_id),
                         use_pair_store=pair_store, bench=bench,
-                        min_shared=min_shared,
+                        min_shared=min_shared, rep_gate=rep_gate,
                     )
                 return
             bands_new.write.mode("append").partitionBy("pb").parquet(
@@ -318,6 +338,7 @@ def curate_stream(
         recurate(
             spark, out_dir, per_stratum, salt, batch_id=int(batch_id),
             use_pair_store=pair_store, bench=bench, min_shared=min_shared,
+            rep_gate=rep_gate,
         )
 
     writer = deduped.writeStream.foreachBatch(process).option(
