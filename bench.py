@@ -58,6 +58,9 @@ HEADLINE = [
     "bm25",
     "dup_spans",
     "rep_filter",
+    "segment_dedup",
+    "semdedup",
+    "mix_sample",
     # the capped production LSH semantic at sf0.1 (its uncapped twin
     # minhash_lsh runs last, outside this list, for GC-debt reasons)
     "minhash_capped",

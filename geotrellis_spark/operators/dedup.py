@@ -470,11 +470,17 @@ def dedup_clusters(
     )
 
 
-def closure_sql(pairs_sql: str, extra_ctes: str = "") -> str:
+def closure_sql(
+    pairs_sql: str, extra_ctes: str = "", final_sql: str | None = None,
+) -> str:
     """Transitive closure by recursive CTE over ANY (doc_a, doc_b)
     pair query: (doc_id, cluster = min reachable id). (Closure is
     quadratic in component size — fine at oracle scale; the Spark side
-    is the scale path.)"""
+    is the scale path.) ``final_sql``, when given, replaces the
+    default final SELECT and may reference the closure as the ``clus``
+    CTE (doc_id, cluster) — for callers that join the components back
+    against other CTEs from ``extra_ctes``."""
+    default = "SELECT doc_id, cluster FROM clus"
     return f"""
     WITH RECURSIVE {extra_ctes}{"," if extra_ctes else ""} pairs AS (
       {pairs_sql}
@@ -488,9 +494,12 @@ def closure_sql(pairs_sql: str, extra_ctes: str = "") -> str:
       SELECT a, b FROM edges
       UNION
       SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clus AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster
+      FROM reach GROUP BY a
     )
-    SELECT a AS doc_id, least(a, min(b)) AS cluster
-    FROM reach GROUP BY a
+    {final_sql or default}
     """
 
 
@@ -1044,4 +1053,119 @@ def dup_spans_sql(
            CAST(floor(n_dup_spans * 1000.0 / n_spans) AS BIGINT) AS dup_milli,
            n_dup_spans * 1000 >= {flag_milli} * n_spans AS flagged
     FROM agg
+    """
+
+
+# -------------------------------------------------- segment-level dedup
+
+def segment_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    w: int = 10, min_docs: int = 2, min_words: int = 10,
+) -> DataFrame:
+    """Repeated-segment removal — the line-level dedup of
+    CCNet/RefinedWeb (Wenzek et al. 2020; Penedo et al. 2023) for a
+    corpus without line structure: each doc splits into consecutive
+    ``w``-word segments, a segment occurring in >= ``min_docs``
+    DISTINCT docs (headers, footers, nav boilerplate) is deleted from
+    every doc, the survivors reassemble in position order, and docs
+    left with < ``min_words`` words drop entirely. Unlike
+    ``dup_spans`` (which only SCORES cross-doc duplication) this
+    REWRITES the corpus — the stage that runs before doc-level dedup
+    in a real pretraining pipeline.
+
+    Output: (doc_id, text, n_segs, n_removed, n_words).
+
+    100 TB shape: one narrow segment explode (n/w rows per doc — w
+    times lighter than the span stream), one count-distinct hash-agg
+    on the segment hash (two-phase: partial distinct per partition),
+    one equi-join back on the hash, and two per-doc hash-aggs (stats
+    + ordered reassembly via sort_array(collect_list) — per-doc data,
+    never a window over the corpus). The segment stream shuffles on
+    its hash exactly once; no driver state, no Python.
+    """
+    segs = docs.selectExpr(
+        id_col, f"split({text_col}, ' ') as _w"
+    ).selectExpr(
+        id_col,
+        f"explode(sequence(0, (size(_w) + {w - 1}) div {w} - 1)) as pos",
+        "_w",
+    ).selectExpr(
+        id_col, "pos",
+        f"array_join(slice(_w, pos * {w} + 1, {w}), ' ') as seg",
+    ).selectExpr(
+        id_col, "pos", "seg",
+        hex2int_spark("seg") + " as h",
+    )
+    freq = segs.groupBy("h").agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    tagged = segs.join(freq, "h")
+    # ONE aggregation produces stats AND the reassembled text:
+    # collect_list skips NULLs, so gating the struct with `if` keeps
+    # only surviving segments — no second pass over the exploded
+    # stream, no stats<->kept join (plan audit: the two-consumer
+    # version recomputed the explode subtree 4x)
+    keep_struct = f"if(n_docs < {min_docs}, struct(pos, seg), null)"
+    out = tagged.groupBy(id_col).agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.expr(f"if(n_docs >= {min_docs}, 1, 0)")).alias("n_removed"),
+        F.expr(
+            f"array_join(transform(array_sort(collect_list({keep_struct}))"
+            ", x -> x.seg), ' ')"
+        ).alias("text"),
+        F.expr(
+            f"sum(if(n_docs < {min_docs}, size(split(seg, ' ')), 0))"
+        ).alias("n_words"),
+    )
+    return (
+        out.selectExpr(
+            id_col,
+            "text",
+            "cast(n_segs as bigint) as n_segs",
+            "cast(n_removed as bigint) as n_removed",
+            "cast(n_words as bigint) as n_words",
+        )
+        .where(f"n_words >= {min_words}")
+    )
+
+
+def segment_dedup_sql(
+    source_sql: str = "documents",
+    w: int = 10, min_docs: int = 2, min_words: int = 10,
+) -> str:
+    h = hex2int_duckdb("seg")
+    return f"""
+    WITH segs AS (
+      SELECT doc_id, pos,
+             array_to_string(_w[pos * {w} + 1 : pos * {w} + {w}], ' ') AS seg
+      FROM (
+        SELECT doc_id, _w,
+               unnest(generate_series(
+                 0, (length(_w) + {w - 1}) // {w} - 1
+               )) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS _w
+              FROM {source_sql})
+      )
+    ),
+    hseg AS (SELECT doc_id, pos, seg, {h} AS h FROM segs),
+    freq AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM hseg GROUP BY 1),
+    tagged AS (SELECT * FROM hseg JOIN freq USING (h)),
+    stats AS (
+      SELECT doc_id, count(*) AS n_segs,
+             sum(CASE WHEN n_docs >= {min_docs} THEN 1 ELSE 0 END)
+               AS n_removed
+      FROM tagged GROUP BY 1
+    ),
+    kept AS (
+      SELECT doc_id,
+             string_agg(seg, ' ' ORDER BY pos) AS text,
+             sum(length(string_split(seg, ' '))) AS n_words
+      FROM tagged WHERE n_docs < {min_docs} GROUP BY doc_id
+    )
+    SELECT doc_id, coalesce(text, '') AS text,
+           CAST(n_segs AS BIGINT) AS n_segs,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST(coalesce(n_words, 0) AS BIGINT) AS n_words
+    FROM stats LEFT JOIN kept USING (doc_id)
+    WHERE coalesce(n_words, 0) >= {min_words}
     """

@@ -97,3 +97,86 @@ def hash_sample_sql(
         f"SELECT {select_cols} FROM {source_sql} "
         f"WHERE {_hash_sql(id_col, salt)} < {cut}"
     )
+
+
+def mix_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    salt: int = 0,
+) -> DataFrame:
+    """Token-budget data mixing — the dataset-composition stage of a
+    pretraining pipeline (the static mixture-weights setting of
+    DoReMi, Xie et al. 2023): each source contributes docs, in
+    deterministic salted-hash order, until that source's TOKEN budget
+    is reached. A doc is kept iff it STARTS inside its source's budget
+    (cum - tokens < budget), so every listed source lands within one
+    doc of its target and the sample is a pure function of the data —
+    rerun-, repartition-, and engine-stable. Sources absent from
+    ``budgets`` contribute nothing (budget 0).
+
+    Output: (doc_id, source, n_tokens, cum_tokens).
+
+    100 TB shape: one narrow projection (token count is a codegen
+    split+size), one window per source — a single shuffle on the
+    source key; the running sum is streaming within each partition.
+    Per-source ordering is the same cost stratified_sample already
+    pays; monster sources pre-thin with hash_sample. No Python, no
+    driver state.
+    """
+    budget_case = "CASE " + " ".join(
+        f"WHEN {source_col} = '{s}' THEN {int(b)}"
+        for s, b in sorted(budgets.items())
+    ) + " ELSE 0 END"
+    h = F.expr(_hash_sql(id_col, salt))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+    )
+    toks = df.select(
+        id_col, source_col,
+        F.expr(f"size(split({text_col}, ' '))").alias("n_tokens"),
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("_budget", F.expr(budget_case))
+        .where(F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget"))
+        .selectExpr(
+            id_col, source_col,
+            "cast(n_tokens as bigint) as n_tokens",
+            "cast(cum_tokens as bigint) as cum_tokens",
+        )
+    )
+
+
+def mix_sample_sql(
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: int = 0,
+    source_sql: str = "documents",
+) -> str:
+    budget_case = "CASE " + " ".join(
+        f"WHEN {source_col} = '{s}' THEN {int(b)}"
+        for s, b in sorted(budgets.items())
+    ) + " ELSE 0 END"
+    h = _hash_sql(id_col, salt)
+    return f"""
+    SELECT {id_col}, {source_col},
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM (
+      SELECT {id_col}, {source_col}, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY {source_col} ORDER BY {h} ASC, {id_col} ASC
+             ) AS cum_tokens
+      FROM (
+        SELECT {id_col}, {source_col},
+               length(string_split(text, ' ')) AS n_tokens
+        FROM {source_sql}
+      )
+    )
+    WHERE cum_tokens - n_tokens < ({budget_case})
+    """

@@ -608,17 +608,16 @@ def _duck_d2(a: str, b: str) -> str:
     )
 
 
-def ivf_kmeans_topk_sql(
-    k: int = 5,
-    query_pred: str = "vec_id % 100 = 0",
+def _lloyd_fr_ctes(
     source_sql: str = "embeddings",
     stride: int = 61,
     iters: int = 2,
-    nprobe: int = 2,
     dim: int = DIM,
-) -> str:
-    """DuckDB twin of kmeans_milli + ivf_kmeans_topk with the Lloyd
-    iterations unrolled as CTE pairs."""
+) -> list[str]:
+    """DuckDB CTE list for kmeans_milli's Lloyd iterations, unrolled,
+    ending with ``fr`` — every vector scored against the final
+    centroids with rank ``rk`` (d2 asc, cent_id asc). Shared by the
+    ivf_kmeans and semdedup oracles."""
     ctes = [
         f"""q AS (
       SELECT vec_id,
@@ -664,6 +663,21 @@ def ivf_kmeans_topk_sql(
                                    ORDER BY d2, cent_id) AS rk
       FROM fs
     )""")
+    return ctes
+
+
+def ivf_kmeans_topk_sql(
+    k: int = 5,
+    query_pred: str = "vec_id % 100 = 0",
+    source_sql: str = "embeddings",
+    stride: int = 61,
+    iters: int = 2,
+    nprobe: int = 2,
+    dim: int = DIM,
+) -> str:
+    """DuckDB twin of kmeans_milli + ivf_kmeans_topk with the Lloyd
+    iterations unrolled as CTE pairs."""
+    ctes = _lloyd_fr_ctes(source_sql, stride, iters, dim)
     ctes.append("""asg AS (
       SELECT vec_id, qv, cent_id FROM fr WHERE rk = 1
     )""")
@@ -863,4 +877,144 @@ def ivf_query_index(
         scored.withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= k)
         .select("q_id", id_col, "rank")
+    )
+
+
+# ----------------------------------------------------------- SemDeDup
+
+def semdedup(
+    emb: DataFrame,
+    threshold_milli: int = 950,
+    stride: int = 61,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023
+    arXiv:2303.09540): k-means clusters the embedding space, pairwise
+    cosine runs ONLY within each cluster, pairs >= ``threshold_milli``
+    form semantic-duplicate groups, and each group keeps its minimum
+    id. Returns one row per vector:
+    (vec_id, cent_id, rep, keep) — ``rep`` is the kept representative
+    of the vector's duplicate group (itself when unique).
+
+    This is the scale answer to embedding near-dup at 100 TB: the
+    quadratic pair space shrinks from O(n^2) to sum of cluster^2,
+    and cluster size tracks ``stride`` by construction (k = n/stride
+    centroids). The cluster pass reuses ``kmeans_milli`` (bit-exact
+    deterministic Lloyd) so the whole op is oracle-checkable.
+
+    100 TB shape: broadcast k-row centroid table -> one map-side
+    ``max_by`` hash-agg argmin (no window, no sort — the
+    ivf_build_index pattern), one equi-join on cent_id for pairs
+    (bounded by cluster size; ``max_cluster`` caps degenerate
+    clusters via rank-1 representative pairing like the band-LSH
+    caps), then the distributed min-label components of
+    ``dedup_clusters``. No driver state.
+    """
+    from .dedup import dedup_clusters
+
+    cents = kmeans_milli(emb, stride, iters, id_col, vec_col)
+    q = emb.select(
+        id_col, F.expr(_MILLI.format(v=vec_col)).alias("qv")
+    )
+    scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", F.expr(_d2_sql("qv", "cv"))
+    )
+    # argmin as a hash-aggregate: group by id ONLY, vector rides in
+    # the max_by payload (grouping by an array column falls back to
+    # SortAggregate); struct(-d2, -cent_id) max == (d2, cent_id) min
+    assign = scored.groupBy(id_col).agg(
+        F.expr("max_by(struct(cent_id, qv), struct(-d2, -cent_id))")
+        .alias("_m")
+    ).select(id_col, "_m.cent_id", "_m.qv")
+
+    a = assign.selectExpr(
+        "cent_id", f"{id_col} as vec_a", "qv as qa"
+    )
+    b = assign.selectExpr(
+        "cent_id", f"{id_col} as vec_b", "qv as qb"
+    )
+    tail = None
+    if max_cluster is not None:
+        w = Window.partitionBy("cent_id").orderBy(F.col(id_col).asc())
+        ranked = assign.withColumn("_rk", F.row_number().over(w))
+        rep = ranked.where("_rk = 1").selectExpr(
+            "cent_id", f"{id_col} as vec_a", "qv as qa"
+        )
+        tail = (
+            ranked.where(F.col("_rk") > max_cluster)
+            .selectExpr("cent_id", f"{id_col} as vec_b", "qv as qb")
+            .join(rep, "cent_id")
+        )
+        head = ranked.where(F.col("_rk") <= max_cluster)
+        a = head.selectExpr("cent_id", f"{id_col} as vec_a", "qv as qa")
+        b = head.selectExpr("cent_id", f"{id_col} as vec_b", "qv as qb")
+    cand = a.join(b, "cent_id").where("vec_a < vec_b")
+    if tail is not None:
+        cand = cand.unionByName(tail.where("vec_a < vec_b"))
+    # identical float sequence to the DuckDB twin: sequential-fold
+    # dots, cos first, then * 1000, then floor
+    cos = _dot("qa", "qb") / (
+        F.sqrt(_dot("qa", "qa")) * F.sqrt(_dot("qb", "qb"))
+    )
+    pairs = cand.select(
+        "vec_a", "vec_b",
+        F.floor(cos * 1000).cast("bigint").alias("cos_milli"),
+    ).where(F.col("cos_milli") >= threshold_milli)
+
+    clus = dedup_clusters(
+        pairs, a_col="vec_a", b_col="vec_b"
+    ).selectExpr(f"doc_id as {id_col}", "cluster")
+    return (
+        assign.join(clus, id_col, "left")
+        .selectExpr(
+            id_col,
+            "cast(cent_id as bigint) as cent_id",
+            f"cast(coalesce(cluster, {id_col}) as bigint) as rep",
+            f"coalesce(cluster, {id_col}) = {id_col} as keep",
+        )
+    )
+
+
+def semdedup_sql(
+    threshold_milli: int = 950,
+    source_sql: str = "embeddings",
+    stride: int = 61,
+    iters: int = 2,
+    dim: int = DIM,
+) -> str:
+    """DuckDB twin: Lloyd CTEs -> final assignment -> within-cluster
+    cosine pairs -> recursive-CTE components -> per-vector verdict."""
+    from .dedup import closure_sql
+
+    ctes = _lloyd_fr_ctes(source_sql, stride, iters, dim)
+    ctes.append("""asg AS (
+      SELECT vec_id, qv, cent_id FROM fr WHERE rk = 1
+    )""")
+    pairs_sql = f"""
+      SELECT vec_a, vec_b FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(floor(({_duck_dot('a.qv', 'b.qv')}
+                 / (sqrt({_duck_dot('a.qv', 'a.qv')})
+                    * sqrt({_duck_dot('b.qv', 'b.qv')}))) * 1000)
+                 AS BIGINT) AS cos_milli
+        FROM asg a JOIN asg b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      ) WHERE cos_milli >= {threshold_milli}
+    """
+    final = """
+    SELECT asg.vec_id,
+           CAST(asg.cent_id AS BIGINT) AS cent_id,
+           CAST(coalesce(c.cluster, asg.vec_id) AS BIGINT) AS rep,
+           coalesce(c.cluster, asg.vec_id) = asg.vec_id AS keep
+    FROM asg LEFT JOIN clus c ON asg.vec_id = c.doc_id
+    """
+    # closure expects pairs named (doc_a, doc_b)
+    pairs_sql = pairs_sql.replace("vec_a", "doc_a").replace(
+        "vec_b", "doc_b"
+    )
+    return closure_sql(
+        pairs_sql, extra_ctes=",\n".join(ctes), final_sql=final
     )

@@ -659,6 +659,71 @@ def sql_dup_spans() -> str:
     return dedup.dup_spans_sql("documents")
 
 
+def q_segment_dedup(spark, sf_dir) -> DataFrame:
+    """Repeated-segment REMOVAL (dedup.segment_dedup) — CCNet/
+    RefinedWeb line-level dedup for unstructured text: 10-word
+    segments occurring in >= 2 distinct docs are deleted from every
+    doc and the survivors reassemble in position order; docs left
+    with < 10 words drop. The corpus-REWRITING stage that runs before
+    doc-level dedup. 100 TB shape: one segment explode (w× lighter
+    than the span stream), one count-distinct hash-agg on the segment
+    hash, one equi-join back, two per-doc hash-aggs (reassembly via
+    sort_array(collect_list) — per-doc data, never a corpus window)."""
+    return dedup.segment_dedup(_t(spark, sf_dir, "documents"))
+
+
+def sql_segment_dedup() -> str:
+    return dedup.segment_dedup_sql("documents")
+
+
+def q_semdedup(spark, sf_dir) -> DataFrame:
+    """Semantic dedup (similarity.semdedup; SemDeDup, Abbas et al.
+    2023): deterministic Lloyd k-means clusters the embedding space,
+    cosine pairs run ONLY within clusters, above-threshold groups
+    keep their min id. 100 TB shape: broadcast k-row centroids ->
+    map-side max_by argmin (no window) -> cent_id equi-join bounded
+    by cluster size -> distributed min-label components."""
+    from ..operators import similarity
+
+    return similarity.semdedup(
+        _t(spark, sf_dir, "embeddings"), threshold_milli=350
+    )
+
+
+def sql_semdedup() -> str:
+    from ..operators import similarity
+
+    return similarity.semdedup_sql(threshold_milli=350)
+
+
+# budgets chosen to BIND for some sources (a source holds ~15k tokens
+# at sf0.01) and not others, so both predicate branches are exercised
+_MIX_BUDGETS = {
+    "src0": 4000, "src3": 2500, "src7": 12000,
+    "src11": 600, "src19": 100000,
+}
+
+
+def q_mix_sample(spark, sf_dir) -> DataFrame:
+    """Token-budget data mixing (sampling.mix_sample) — static
+    mixture-weight dataset composition: each source contributes docs
+    in salted-hash order until its token budget is spent; unlisted
+    sources contribute nothing. 100 TB shape: one codegen token
+    count + one window per source (single shuffle on the source key,
+    streaming running sum)."""
+    from ..operators import sampling
+
+    return sampling.mix_sample(
+        _t(spark, sf_dir, "documents"), _MIX_BUDGETS, salt=7
+    )
+
+
+def sql_mix_sample() -> str:
+    from ..operators import sampling
+
+    return sampling.mix_sample_sql(_MIX_BUDGETS, salt=7)
+
+
 def q_simhash(spark, sf_dir) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
@@ -1683,17 +1748,15 @@ QUERIES = {
     "image_phash_check": (q_image_phash_check, sql_image_phash_check),
     "hilbert_assign": (q_hilbert_assign, sql_hilbert_assign),
     "rollup_cube": (q_rollup_cube, sql_rollup_cube),
-    "sessionize": (q_sessionize, sql_sessionize),
     "asof_join": (q_asof_join, sql_asof_join),
     "group_percentiles": (q_group_percentiles, sql_group_percentiles),
     "funnel": (q_funnel, sql_funnel),
     "phash_neardup": (q_phash_neardup, sql_phash_neardup),
     "crossmodal_dedup": (q_crossmodal_dedup, sql_crossmodal_dedup),
     "ann_recall": (q_ann_recall, sql_ann_recall),
-    "retention": (q_retention, sql_retention),
+    "semdedup": (q_semdedup, sql_semdedup),
     "hll_sketch": (q_hll_sketch, sql_hll_sketch),
     "poly_stats": (q_poly_stats, sql_poly_stats),
-    "countmin": (q_countmin, sql_countmin),
     "simhash_neardup": (q_simhash_neardup, sql_simhash_neardup),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),
     "tile_assign": (q_tile_assign, sql_tile_assign),
@@ -1711,6 +1774,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "minhash_capped": (q_minhash_capped, sql_minhash_capped),
     "dup_spans": (q_dup_spans, sql_dup_spans),
+    "segment_dedup": (q_segment_dedup, sql_segment_dedup),
     "rep_filter": (q_rep_filter, sql_rep_filter),
     "unigram_surprisal": (q_unigram_surprisal, sql_unigram_surprisal),
     "pii_scrub": (q_pii_scrub, sql_pii_scrub),
@@ -1718,6 +1782,7 @@ QUERIES = {
     "contamination": (q_contamination, sql_contamination),
     "dedup_cluster": (q_dedup_cluster, sql_dedup_cluster),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
+    "mix_sample": (q_mix_sample, sql_mix_sample),
     "tfidf": (q_tfidf, sql_tfidf),
     "doc_chunks": (q_doc_chunks, sql_doc_chunks),
     "pack_concat": (q_pack_concat, sql_pack_concat),
@@ -1733,8 +1798,13 @@ QUERIES = {
     # polygon family; minhash_lsh's uncapped shingle/signature/band
     # machinery runs inside BOTH minhash_capped and dedup_cluster;
     # ann_ivf is ann_ivf_kmeans with kmeans_rounds=0; TS2 gap-fill
-    # stays anchored by rolling_window + sessionize in the prefix;
-    # J8 stays anchored by asof_join) ----
+    # stays anchored by rolling_window, sessionization shares TS2's
+    # session-window machinery; J8 stays anchored by asof_join;
+    # retention shares funnel's cohort-agg shape, countmin shares
+    # hll_sketch's mergeable-sketch two-phase agg) ----
+    "sessionize": (q_sessionize, sql_sessionize),
+    "retention": (q_retention, sql_retention),
+    "countmin": (q_countmin, sql_countmin),
     "minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
     "interval_join": (q_interval_join, sql_interval_join),
     "resample_ffill": (q_resample_ffill, sql_resample_ffill),

@@ -1,0 +1,154 @@
+"""Round-5 batch-2 operators: segment_dedup (repeated-segment
+removal), semdedup (embedding-cluster semantic dedup), mix_sample
+(token-budget data mixing). The sf0.01 oracle gate proves
+cross-engine exactness; these tests pin the SEMANTICS on hand-built
+fixtures."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from geotrellis_spark.operators import dedup, sampling, similarity
+
+
+def test_segment_dedup_removes_shared_boilerplate(spark):
+    """Docs 1/2 share a verbatim 10-word footer -> that segment
+    vanishes from both; doc 3 is untouched; doc 4 (nothing but the
+    footer) drops entirely; reassembly preserves position order."""
+    footer = "all rights reserved by the company and affiliates worldwide inc"
+    assert len(footer.split()) == 10
+    b1 = " ".join(f"alpha{i}" for i in range(10))
+    b2 = " ".join(f"beta{i}" for i in range(10))
+    u3 = " ".join(f"gamma{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    b1 + " " + footer,
+                    b2 + " " + footer,
+                    u3,
+                    footer,
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.segment_dedup(docs, min_words=5).collect()
+    }
+    assert out[1]["text"] == b1 and out[1]["n_removed"] == 1
+    assert out[2]["text"] == b2 and out[2]["n_removed"] == 1
+    assert out[3]["text"] == u3 and out[3]["n_removed"] == 0
+    assert 4 not in out  # fully boilerplate -> below min_words
+    assert out[1]["n_segs"] == 2 and out[1]["n_words"] == 10
+
+
+def test_segment_dedup_reassembly_order_many_segments(spark):
+    """A doc with 7 segments where segments 2 and 5 are shared with
+    another doc: the rebuilt text is the remaining segments in the
+    ORIGINAL order (sort_array(collect_list(struct(pos, seg))))."""
+    segs = [" ".join(f"w{j}s{i}" for j in range(10)) for i in range(7)]
+    shared_a, shared_b = segs[2], segs[5]
+    doc1 = " ".join(segs)
+    doc2 = shared_a + " " + shared_b
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [doc1, doc2]})
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.segment_dedup(docs, min_words=1).collect()}
+    want = " ".join(s for i, s in enumerate(segs) if i not in (2, 5))
+    assert out[1]["text"] == want
+    assert out[1]["n_removed"] == 2 and out[1]["n_segs"] == 7
+    assert 2 not in out or out[2]["n_words"] == 0
+
+
+def test_semdedup_collapses_duplicate_groups(spark):
+    """Embeddings with three exact-duplicate triples (cosine 1000)
+    plus orthogonal singletons: each triple keeps its min id, the
+    singletons survive, and rep points at the group minimum."""
+    import numpy as np
+
+    rng = []
+    dim = 64
+    rows = []
+    for g in range(3):
+        v = [0.0] * dim
+        v[g] = 1.0
+        v[g + 10] = 0.5
+        for m in range(3):
+            rows.append((g * 100 + m, [float(x) for x in v]))
+    for s in range(3):
+        v = [0.0] * dim
+        v[40 + s * 2] = 1.0
+        rows.append((1000 + s, [float(x) for x in v]))
+    del rng, np
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           similarity.semdedup(emb, threshold_milli=990,
+                               stride=1000).collect()}
+    # stride=1000 -> single centroid (vec 0): every pair is compared
+    for g in range(3):
+        ids = [g * 100 + m for m in range(3)]
+        reps = {out[i]["rep"] for i in ids}
+        assert reps == {min(ids)}
+        assert out[min(ids)]["keep"]
+        assert not out[ids[1]]["keep"] and not out[ids[2]]["keep"]
+    for s in range(3):
+        assert out[1000 + s]["keep"] and out[1000 + s]["rep"] == 1000 + s
+
+
+def test_semdedup_max_cluster_cap_preserves_groups(spark):
+    """Degenerate corpus: ALL vectors identical (one hot cluster).
+    With max_cluster=2 the pair count is linear (head pairs + tail ->
+    rank-1 representative) but the duplicate GROUP is unchanged:
+    everyone still collapses onto the min id."""
+    v = [1.0] + [0.0] * 63
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    capped = similarity.semdedup(
+        emb, threshold_milli=990, stride=1000, max_cluster=2
+    ).orderBy("vec_id").collect()
+    uncapped = similarity.semdedup(
+        emb, threshold_milli=990, stride=1000
+    ).orderBy("vec_id").collect()
+    assert [r["rep"] for r in capped] == [r["rep"] for r in uncapped]
+    assert all(r["rep"] == 0 for r in capped)
+    assert sum(r["keep"] for r in capped) == 1
+
+
+def test_mix_sample_budget_semantics(spark):
+    """Per source: kept docs are a PREFIX of the salted-hash order,
+    every kept doc starts inside the budget, the first excluded doc
+    would not, and a zero/unlisted budget keeps nothing."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budgets = {"src0": 900, "src1": 2000}
+    out = sampling.mix_sample(docs, budgets, salt=3).toPandas()
+    assert set(out["source"]) <= {"src0", "src1"}  # unlisted absent
+    for src, b in budgets.items():
+        part = out[out["source"] == src].sort_values("cum_tokens")
+        assert len(part) > 0
+        starts = part["cum_tokens"] - part["n_tokens"]
+        assert (starts < b).all()
+        # kept set is a contiguous prefix: cum == running sum
+        assert (
+            part["n_tokens"].cumsum().values == part["cum_tokens"].values
+        ).all()
+        # total overshoots by at most one doc
+        assert part["cum_tokens"].iloc[-1] - part["n_tokens"].iloc[-1] < b
+
+
+def test_mix_sample_repartition_invariant(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budgets = {"src2": 1200, "src9": 700}
+    a = sampling.mix_sample(docs, budgets, salt=11).orderBy(
+        "doc_id"
+    ).collect()
+    b = sampling.mix_sample(
+        docs.repartition(17, F.col("lang")), budgets, salt=11
+    ).orderBy("doc_id").collect()
+    assert a == b and len(a) > 0

@@ -212,6 +212,30 @@ def main() -> None:
         dq.q_pii_scrub(spark, "/root/testdata/sf0.01"),
     )
 
+    cap(
+        "segment_dedup (repeated-segment removal): segment explode -> "
+        "count-distinct hash-agg on the segment hash -> equi-join "
+        "back -> per-doc stats hash-agg + per-doc ordered reassembly "
+        "(sort_array over collect_list — an ObjectHashAggregate on "
+        "per-doc data, never a corpus-wide window or sort)",
+        dq.q_segment_dedup(spark, "/root/testdata/sf0.01"),
+    )
+
+    cap(
+        "semdedup: broadcast k-row centroid cross -> map-side "
+        "partial_max_by argmin (no n x k sort) -> cent_id-bounded "
+        "self-join for within-cluster cosine pairs -> distributed "
+        "min-label components",
+        dq.q_semdedup(spark, "/root/testdata/sf0.01"),
+    )
+
+    cap(
+        "mix_sample (token-budget mixing): one codegen token count -> "
+        "single Exchange on the source key -> streaming running-sum "
+        "window + budget filter; no second shuffle",
+        dq.q_mix_sample(spark, "/root/testdata/sf0.01"),
+    )
+
     hdr = """# PLANS — physical-plan evidence
 
 `.explain("formatted")` captures showing the engine gets the plans a
