@@ -94,6 +94,12 @@ def _plane(j: int) -> list[float]:
     ]
 
 
+def _plane_lit_spark(j: int) -> str:
+    """Plane j as a Spark SQL array<double> literal."""
+    lit = ", ".join(f"cast({c!r} as double)" for c in _plane(j))
+    return f"array({lit})"
+
+
 def _bucket_sql_spark(vec_col: str, n_planes: int) -> str:
     """Spark SQL expression for the hyperplane-LSH bucket id (bit j =
     sign of dot with plane j) — the ONE definition every Spark-side
@@ -101,9 +107,8 @@ def _bucket_sql_spark(vec_col: str, n_planes: int) -> str:
     parity between operators and with the DuckDB twins."""
     bits = []
     for j in range(n_planes):
-        lit = ", ".join(f"cast({c!r} as double)" for c in _plane(j))
         bits.append(
-            f"(CASE WHEN {_dot_sql(vec_col, f'array({lit})')} > 0 "
+            f"(CASE WHEN {_dot_sql(vec_col, _plane_lit_spark(j))} > 0 "
             f"THEN {1 << j} ELSE 0 END)"
         )
     return f"cast({' + '.join(bits)} as bigint)"
@@ -1018,3 +1023,51 @@ def semdedup_sql(
     return closure_sql(
         pairs_sql, extra_ctes=",\n".join(ctes), final_sql=final
     )
+
+
+# ------------------------------------------- random projection (JL)
+
+def rp_project(
+    emb: DataFrame,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of the embedding column
+    onto ``out_dim`` deterministic pseudo-random hyperplanes (the same
+    integer-hash plane family the LSH bucketer uses) — the standard
+    dimensionality-reduction pre-filter: distances are approximately
+    preserved, so a coarse top-k/near-dup pass can run over out_dim
+    components instead of DIM, with the exact kernel refining the
+    shortlist. Output long-form (vec_id, j, v_milli) with the
+    component exact-floored to milli units, so the projection itself
+    is oracle-checkable.
+
+    100 TB shape: pure narrow map — out_dim sequential-fold dot
+    products per row inside one codegen stage, zero exchanges; the
+    posexplode is a bounded in-row unnest."""
+    arr = "array(" + ", ".join(
+        f"cast(floor({_dot_sql(vec_col, _plane_lit_spark(j))} * 1000.0)"
+        " as bigint)"
+        for j in range(out_dim)
+    ) + ")"
+    return emb.select(
+        F.col(id_col), F.expr(arr).alias("_p")
+    ).select(
+        id_col,
+        F.posexplode("_p").alias("j", "v_milli"),
+    ).selectExpr(id_col, "cast(j as bigint) as j", "v_milli")
+
+
+def rp_project_sql(
+    out_dim: int = 8, source_sql: str = "embeddings"
+) -> str:
+    legs = []
+    for j in range(out_dim):
+        lit = "[" + ", ".join(repr(c) for c in _plane(j)) + "]::DOUBLE[]"
+        legs.append(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS j, "
+            f"CAST(floor(list_dot_product(embedding::DOUBLE[], {lit})"
+            f" * 1000.0) AS BIGINT) AS v_milli FROM {source_sql}"
+        )
+    return " UNION ALL ".join(legs)

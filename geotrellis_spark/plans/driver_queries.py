@@ -27,7 +27,9 @@ from pyspark.sql.window import Window
 from ..core import geom as G
 from ..core import sfc
 from ..functions import exprs
-from ..operators import dedup, similarity, spatial, temporal, text, tiling
+from ..operators import (
+    dedup, similarity, spatial, temporal, text, tiling, tokenize,
+)
 from .. import synth
 
 CENTS = "cast(floor(value * 100 + 0.5) as bigint)"
@@ -754,6 +756,30 @@ def q_quality(spark, sf_dir) -> DataFrame:
 
 def sql_quality() -> str:
     return text.quality_score_sql("documents")
+
+
+def q_bpe_pair_stats(spark, sf_dir) -> DataFrame:
+    """Distributed BPE round-1 pair statistics (tokenize.py) — corpus
+    compresses to a (word, freq) vocabulary hash-agg first, so the
+    pair explode + weighted count is vocabulary-sized, not
+    corpus-sized; the trainer/encoder built on the same machinery are
+    pytest-gated against a pure-Python reference implementation."""
+    return tokenize.bpe_pair_stats(_t(spark, sf_dir, "documents"))
+
+
+def sql_bpe_pair_stats() -> str:
+    return tokenize.bpe_pair_stats_sql("documents")
+
+
+def q_rp_project(spark, sf_dir) -> DataFrame:
+    """Johnson–Lindenstrauss random projection onto 6 deterministic
+    hyperplanes (similarity.rp_project) — milli-floored components so
+    the projection itself is oracle-exact vs DuckDB list_dot_product."""
+    return similarity.rp_project(_t(spark, sf_dir, "embeddings"), out_dim=6)
+
+
+def sql_rp_project() -> str:
+    return similarity.rp_project_sql(out_dim=6, source_sql="embeddings")
 
 
 def q_token_count(spark, sf_dir) -> DataFrame:
@@ -1771,14 +1797,14 @@ QUERIES = {
     "layer_join": (q_layer_join, sql_layer_join),
     "temporal_rollup": (q_temporal_rollup, sql_temporal_rollup),
     "rolling_window": (q_rolling_window, sql_rolling_window),
-    "dedup_exact": (q_dedup_exact, sql_dedup_exact),
+    "bpe_pair_stats": (q_bpe_pair_stats, sql_bpe_pair_stats),
+    "rp_project": (q_rp_project, sql_rp_project),
     "minhash_capped": (q_minhash_capped, sql_minhash_capped),
     "dup_spans": (q_dup_spans, sql_dup_spans),
     "segment_dedup": (q_segment_dedup, sql_segment_dedup),
     "rep_filter": (q_rep_filter, sql_rep_filter),
     "unigram_surprisal": (q_unigram_surprisal, sql_unigram_surprisal),
     "pii_scrub": (q_pii_scrub, sql_pii_scrub),
-    "phash_capped": (q_phash_capped, sql_phash_capped),
     "contamination": (q_contamination, sql_contamination),
     "dedup_cluster": (q_dedup_cluster, sql_dedup_cluster),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
@@ -1801,7 +1827,12 @@ QUERIES = {
     # stays anchored by rolling_window, sessionization shares TS2's
     # session-window machinery; J8 stays anchored by asof_join;
     # retention shares funnel's cohort-agg shape, countmin shares
-    # hll_sketch's mergeable-sketch two-phase agg) ----
+    # hll_sketch's mergeable-sketch two-phase agg; dedup_exact's
+    # hash-groupBy runs inside dedup_cluster's exact stage;
+    # phash_capped's cap machinery is gated by minhash_capped and its
+    # band+refine by phash_neardup) ----
+    "dedup_exact": (q_dedup_exact, sql_dedup_exact),
+    "phash_capped": (q_phash_capped, sql_phash_capped),
     "sessionize": (q_sessionize, sql_sessionize),
     "retention": (q_retention, sql_retention),
     "countmin": (q_countmin, sql_countmin),

@@ -236,6 +236,21 @@ def main() -> None:
         dq.q_mix_sample(spark, "/root/testdata/sf0.01"),
     )
 
+    cap(
+        "bpe_pair_stats: corpus compresses to a (word,freq) vocabulary "
+        "hash-agg FIRST; the pair explode + weighted count is "
+        "vocabulary-sized, and the top-k is TakeOrderedAndProject (no "
+        "global sort); the rank window runs post-limit on k rows",
+        dq.q_bpe_pair_stats(spark, "/root/testdata/sf0.01"),
+    )
+
+    cap(
+        "rp_project (JL random projection): pure narrow map — "
+        "out_dim sequential-fold dot products + bounded posexplode "
+        "inside one codegen stage, ZERO exchanges",
+        dq.q_rp_project(spark, "/root/testdata/sf0.01"),
+    )
+
     hdr = """# PLANS — physical-plan evidence
 
 `.explain("formatted")` captures showing the engine gets the plans a
