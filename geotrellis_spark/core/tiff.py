@@ -5,11 +5,11 @@ PackBits (32773), Photometric BlackIsZero / RGB, chunky planar
 config. No external image library — pure numpy byte assembly.
 
 Reference-role note: the GeoTrellis reference reads GeoTIFF rasters
-(geotrellis.raster.io.geotiff); full GeoTiff (tags for CRS/extent,
-tiled layout, predictors) is declared out of scope in SURVEY §2 S1 —
-this module implements the baseline TIFF 6.0 subset so multiband
-uint16 payloads round-trip through a REAL standard container instead
-of an env-bound stub.
+(geotrellis.raster.io.geotiff). This module implements the baseline
+strip-organized TIFF 6.0 subset; the full georeferenced TILED form —
+CRS/extent tags, overview IFDs, COG layout, windowed byte-range reads
+— lives in core/geotiff.py (which shares the PackBits codec defined
+here).
 """
 
 from __future__ import annotations

@@ -71,6 +71,13 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         if px.shape != (1, h, w):
             raise ValueError(f"TIFF dims {px.shape} != (1, {h}, {w})")
         return px[0]
+    if fmt == "gtiff":
+        from ..core import geotiff
+
+        px = geotiff.geotiff_decode(bytes(data))
+        if px.shape != (1, h, w):
+            raise ValueError(f"GeoTIFF dims {px.shape} != (1, {h}, {w})")
+        return px[0]
     if fmt in EXTERNAL_IMAGE_CODECS:
         raise NotImplementedError(
             f"STUB: {fmt} decode needs an external image library "
@@ -119,6 +126,13 @@ def decode_image_multiband(
         px = tiff.tiff_decode(bytes(data))
         if px.shape != (bands, h, w):
             raise ValueError(f"TIFF dims {px.shape} != ({bands},{h},{w})")
+        return px
+    if fmt == "gtiff" and bands in (1, 3):
+        from ..core import geotiff
+
+        px = geotiff.geotiff_decode(bytes(data))
+        if px.shape != (bands, h, w):
+            raise ValueError(f"GeoTIFF dims {px.shape} != ({bands},{h},{w})")
         return px
     if fmt in EXTERNAL_IMAGE_CODECS:
         raise NotImplementedError(
