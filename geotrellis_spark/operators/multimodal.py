@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..core import codecs, imagery, kernels
 
 EXTERNAL_IMAGE_CODECS = ("webp",)
-EXTERNAL_AUDIO_CODECS = ("mp3", "flac", "opus")
+EXTERNAL_AUDIO_CODECS = ("mp3", "opus")
 EXTERNAL_VIDEO_CODECS = ("h264", "vp9", "av1")
 
 
@@ -336,15 +336,21 @@ def synth_audio(
 
 
 def decode_audio(data: bytes, codec: str) -> np.ndarray:
-    """PCM16 and IMA ADPCM (core/av_codecs.py — real 4:1 lossy codec,
-    from scratch) are real; mp3-class codecs are STUBS (no audio libs
-    in this container)."""
+    """PCM16, IMA ADPCM (core/av_codecs.py — real 4:1 lossy codec,
+    from scratch) and FLAC (core/flac.py — real lossless fixed-
+    predictor subset, from scratch) are real; mp3/opus remain STUBS
+    (no audio libs in this container)."""
     if codec == "pcm16":
         return np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     if codec == "adpcm":
         from ..core import av_codecs
 
         return av_codecs.adpcm_decode(data).astype(np.float64) / 32768.0
+    if codec == "flac":
+        from ..core import flac
+
+        pcm, _sr = flac.flac_decode(data)
+        return pcm[0].astype(np.float64) / 32768.0
     if codec in EXTERNAL_AUDIO_CODECS:
         raise NotImplementedError(
             f"STUB: {codec} decode needs an external audio library"
@@ -353,10 +359,11 @@ def decode_audio(data: bytes, codec: str) -> np.ndarray:
 
 
 def transcode_audio(audio: DataFrame, to_codec: str = "adpcm") -> DataFrame:
-    """Transcode pcm16 <-> adpcm payloads: one narrow map, partitioning
-    preserved; the sequential ADPCM predictor loop parallelizes across
-    rows (one clip per row) like every other payload kernel."""
-    from ..core import av_codecs
+    """Transcode pcm16 <-> adpcm/flac payloads: one narrow map,
+    partitioning preserved; the sequential predictor loops parallelize
+    across rows (one clip per row) like every other payload kernel.
+    'flac' is LOSSLESS — pcm16 -> flac -> pcm16 is bit-exact."""
+    from ..core import av_codecs, flac
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -365,6 +372,7 @@ def transcode_audio(audio: DataFrame, to_codec: str = "adpcm") -> DataFrame:
             for i in range(len(pdf)):
                 src = pdf["codec"].iloc[i]
                 data = bytes(pdf["pcm"].iloc[i])
+                sr = int(pdf["sample_rate"].iloc[i])
                 if src == to_codec:
                     blobs.append(data)
                 elif (src, to_codec) == ("pcm16", "adpcm"):
@@ -375,6 +383,13 @@ def transcode_audio(audio: DataFrame, to_codec: str = "adpcm") -> DataFrame:
                     blobs.append(
                         av_codecs.adpcm_decode(data).astype("<i2").tobytes()
                     )
+                elif (src, to_codec) == ("pcm16", "flac"):
+                    blobs.append(
+                        flac.flac_encode(np.frombuffer(data, "<i2"), sr)
+                    )
+                elif (src, to_codec) == ("flac", "pcm16"):
+                    pcm, _sr = flac.flac_decode(data)
+                    blobs.append(pcm[0].astype("<i2").tobytes())
                 else:
                     raise ValueError((src, to_codec))
                 codecs_out.append(to_codec)
