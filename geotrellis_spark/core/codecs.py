@@ -28,7 +28,14 @@ import zlib
 
 import numpy as np
 
-__all__ = ["encode_tile", "decode_tile", "png_encode_gray", "png_decode_gray"]
+__all__ = [
+    "encode_tile",
+    "decode_tile",
+    "png_encode_gray",
+    "png_decode_gray",
+    "png_encode_rgba",
+    "png_decode_rgba",
+]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -66,6 +73,56 @@ def png_encode_gray(arr: np.ndarray, level: int = 6) -> bytes:
         + _chunk(b"IDAT", zlib.compress(scanlines, level))
         + _chunk(b"IEND", b"")
     )
+
+
+def png_encode_rgba(arr: np.ndarray, level: int = 6) -> bytes:
+    """Encode an (h, w, 4) uint8 array as 8-bit RGBA PNG (color type 6,
+    filter 0) — the render sink's output format (renderPng role)."""
+    arr = np.asarray(arr)
+    if arr.ndim != 3 or arr.shape[2] != 4 or arr.dtype != np.uint8:
+        raise ValueError("png_encode_rgba expects (h, w, 4) uint8")
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)  # type 6 = RGBA
+    raw = np.ascontiguousarray(arr).tobytes()
+    bpr = w * 4
+    scanlines = b"".join(
+        b"\x00" + raw[r * bpr : (r + 1) * bpr] for r in range(h)
+    )
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scanlines, level))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode_rgba(data: bytes) -> np.ndarray:
+    """Decode an 8-bit RGBA PNG (any standard filter) to (h, w, 4)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = []
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if color != 6 or depth != 8 or interlace != 0:
+                raise ValueError(
+                    "only non-interlaced 8-bit RGBA PNG supported here"
+                )
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    rows = _unfilter(raw, h, w, 4)  # 4 bytes/pixel
+    return rows.reshape(h, w, 4)
 
 
 def _unfilter(data: bytes, h: int, w: int, bpp: int) -> np.ndarray:

@@ -102,6 +102,24 @@ def wkb_read(wkb: bytes):
             ring, off = _read_ring(buf, off)
             rings.append(ring)
         return "polygon", rings
+    if gtype == _GEOM_MULTIPOINT:
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        pts = []
+        for _ in range(n):
+            x, y = struct.unpack_from("<dd", buf, off + 5)
+            pts.append((x, y))
+            off += 21
+        return "multipoint", pts
+    if gtype == _GEOM_MULTILINESTRING:
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        lines = []
+        for _ in range(n):
+            off += 5  # member byte order + type
+            pts, off = _read_ring(buf, off)
+            lines.append(pts)
+        return "multilinestring", lines
     if gtype == _GEOM_MULTIPOLYGON:
         (npolys,) = struct.unpack_from("<I", buf, off)
         off += 4

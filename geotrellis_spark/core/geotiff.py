@@ -16,7 +16,8 @@ raster; on object storage those become HTTP range requests. The
 ``fetch(offset, size)`` protocol makes that contract unit-testable —
 tests assert on the recorded ranges.
 
-Shares the PackBits section-9 codec with core/tiff.py; adds Deflate
+Shares the PackBits section-9 and LZW section-13 codecs with
+core/tiff.py; adds Deflate
 (TIFF compression 8, zlib bitstream) for real compression ratios.
 No external image/geo library — pure numpy + struct + zlib.
 """
@@ -30,8 +31,11 @@ from typing import Callable
 import numpy as np
 
 from .tiff import (
+    COMP_LZW,
     COMP_NONE,
     COMP_PACKBITS,
+    lzw_decode,
+    lzw_encode,
     packbits_decode,
     packbits_encode,
 )
@@ -56,10 +60,22 @@ T_PIXEL_SCALE = 33550
 T_TIEPOINT = 33922
 T_GEOKEYS = 34735
 
+T_PREDICTOR = 317
+
 TYPE_SHORT = 3
 TYPE_LONG = 4
 TYPE_DOUBLE = 12
-_TYPE = {TYPE_SHORT: ("H", 2), TYPE_LONG: ("I", 4), TYPE_DOUBLE: ("d", 8)}
+TYPE_LONG8 = 16  # BigTIFF
+_TYPE = {
+    TYPE_SHORT: ("H", 2),
+    TYPE_LONG: ("I", 4),
+    TYPE_DOUBLE: ("d", 8),
+    TYPE_LONG8: ("Q", 8),
+    17: ("q", 8),  # SLONG8
+    18: ("Q", 8),  # IFD8
+}
+
+PRED_NONE, PRED_HORIZONTAL = 1, 2
 
 # GeoKey ids (GeoTIFF 1.1 section 6)
 GK_MODEL_TYPE = 1024  # 1=Projected, 2=Geographic2D
@@ -68,7 +84,7 @@ GK_GEOGRAPHIC_CS = 2048
 GK_PROJECTED_CS = 3072
 
 _COMP_NAME = {"none": COMP_NONE, "packbits": COMP_PACKBITS,
-              "deflate": COMP_DEFLATE}
+              "lzw": COMP_LZW, "deflate": COMP_DEFLATE}
 
 
 def _geokeys(epsg: int) -> list[int]:
@@ -118,23 +134,34 @@ def _tile_grid(h: int, w: int, ts: int) -> tuple[int, int]:
 
 
 def _cut_tiles(
-    px: np.ndarray, ts: int, bo: str, comp: int
+    px: np.ndarray, ts: int, bo: str, comp: int, predictor: int = PRED_NONE
 ) -> tuple[list[bytes], int, int]:
     """Pad-and-cut one level into compressed chunky tile blobs in
-    row-major tile order (TIFF 6.0 section 15 layout)."""
+    row-major tile order (TIFF 6.0 section 15 layout). Predictor 2 =
+    horizontal differencing per sample per row (mod 2^16), applied
+    BEFORE compression — what makes Deflate bite on smooth rasters."""
     bands, h, w = px.shape
     nty, ntx = _tile_grid(h, w, ts)
     padded = np.zeros((bands, nty * ts, ntx * ts), dtype=np.uint16)
     padded[:, :h, :w] = px
-    chunky = padded.transpose(1, 2, 0).astype(f"{bo}u2")
+    chunky = padded.transpose(1, 2, 0)  # (rows, cols, bands), native u16
     tiles = []
     for ty in range(nty):
         for tx in range(ntx):
-            raw = np.ascontiguousarray(
+            t = np.ascontiguousarray(
                 chunky[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
-            ).tobytes()
+            )
+            if predictor == PRED_HORIZONTAL:
+                t = t.copy()
+                t[:, 1:, :] -= chunky[
+                    ty * ts : (ty + 1) * ts,
+                    tx * ts : tx * ts + ts - 1,
+                ]  # uint16 wraparound difference, per sample per row
+            raw = t.astype(f"{bo}u2").tobytes()
             if comp == COMP_PACKBITS:
                 tiles.append(packbits_encode(raw))
+            elif comp == COMP_LZW:
+                tiles.append(lzw_encode(raw))
             elif comp == COMP_DEFLATE:
                 tiles.append(zlib.compress(raw, 6))
             else:
@@ -150,6 +177,8 @@ def geotiff_encode(
     compression: str = "deflate",
     overviews: bool = True,
     byteorder: str = "<",
+    bigtiff: bool = False,
+    predictor: int = PRED_NONE,
 ) -> bytes:
     """Encode uint16 (bands, h, w) pixels as a Cloud-Optimized GeoTIFF:
     tiled layout, geo transform + CRS tags, 2x-reduced overview IFDs
@@ -158,11 +187,18 @@ def geotiff_encode(
 
     ``extent`` is (xmin, ymin, xmax, ymax) in CRS units; pixel (0,0) is
     the top-left corner (north-up, PixelIsArea).
+
+    ``bigtiff=True`` writes BigTIFF (version 43: 8-byte offsets/counts,
+    20-byte IFD entries) — the form a >4 GiB production COG requires;
+    classic TIFF's 32-bit offsets top out there. ``predictor=2`` turns
+    on horizontal differencing before compression (tag 317).
     """
     if px.ndim != 3 or px.shape[0] not in (1, 3):
         raise ValueError(f"geotiff_encode wants (1|3, h, w), got {px.shape}")
     if tile_size % 16:
         raise ValueError("TIFF 6.0: TileWidth/TileLength must be % 16 == 0")
+    if predictor not in (PRED_NONE, PRED_HORIZONTAL):
+        raise ValueError(f"unsupported predictor {predictor} (1|2)")
     bands, h, w = px.shape
     xmin, ymin, xmax, ymax = map(float, extent)
     comp = _COMP_NAME[compression]
@@ -173,10 +209,23 @@ def geotiff_encode(
         while min(levels[-1].shape[1], levels[-1].shape[2]) > tile_size:
             levels.append(_downsample2(levels[-1]))
 
-    per_level = [_cut_tiles(lv, tile_size, bo, comp) for lv in levels]
+    per_level = [
+        _cut_tiles(lv, tile_size, bo, comp, predictor) for lv in levels
+    ]
 
     sx = (xmax - xmin) / w
     sy = (ymax - ymin) / h
+
+    # format geometry: classic vs BigTIFF
+    off_type = TYPE_LONG8 if bigtiff else TYPE_LONG
+    hdr_len = 16 if bigtiff else 8
+    entry_len = 20 if bigtiff else 12
+    nfmt = "Q" if bigtiff else "H"      # IFD entry count
+    cfmt = "Q" if bigtiff else "I"      # per-entry value count
+    ofmt = "Q" if bigtiff else "I"      # offsets / next-IFD
+    inline = 8 if bigtiff else 4
+    nsz = struct.calcsize(nfmt)
+    osz = struct.calcsize(ofmt)
 
     def ifd_tags(li: int) -> list[tuple[int, int, list]]:
         lv = levels[li]
@@ -193,10 +242,12 @@ def geotiff_encode(
             (T_PLANAR, TYPE_SHORT, [1]),
             (T_TILE_WIDTH, TYPE_SHORT, [tile_size]),
             (T_TILE_LENGTH, TYPE_SHORT, [tile_size]),
-            (T_TILE_OFFSETS, TYPE_LONG, [0] * len(tiles)),  # patched
-            (T_TILE_COUNTS, TYPE_LONG, [len(t) for t in tiles]),
+            (T_TILE_OFFSETS, off_type, [0] * len(tiles)),  # patched
+            (T_TILE_COUNTS, off_type, [len(t) for t in tiles]),
             (T_SAMPLE_FORMAT, TYPE_SHORT, [1] * bands),
         ]
+        if predictor != PRED_NONE:
+            tags.append((T_PREDICTOR, TYPE_SHORT, [predictor]))
         if li == 0:
             tags += [
                 (T_PIXEL_SCALE, TYPE_DOUBLE, [sx, sy, 0.0]),
@@ -208,16 +259,16 @@ def geotiff_encode(
     all_tags = [ifd_tags(li) for li in range(len(levels))]
 
     # --- lay out: header | IFD+ext per level | tile data -------------
-    off = 8
+    off = hdr_len
     ifd_offsets, ext_offsets = [], []
     for tags in all_tags:
         ifd_offsets.append(off)
-        off += 2 + 12 * len(tags) + 4
+        off += nsz + entry_len * len(tags) + osz
         ext_offsets.append(off)
         for _, typ, vals in tags:
             fmt, sz = _TYPE[typ]
             total = sz * len(vals)
-            if total > 4:
+            if total > inline:
                 off += total + (total % 2)
     data_start = off + (off % 2)
 
@@ -232,7 +283,13 @@ def geotiff_encode(
 
     out = bytearray()
     out += (b"II" if bo == "<" else b"MM")
-    out += struct.pack(f"{bo}H", 42) + struct.pack(f"{bo}I", ifd_offsets[0])
+    if bigtiff:
+        out += struct.pack(f"{bo}HHH", 43, 8, 0)
+        out += struct.pack(f"{bo}Q", ifd_offsets[0])
+    else:
+        out += struct.pack(f"{bo}H", 42) + struct.pack(
+            f"{bo}I", ifd_offsets[0]
+        )
     for li, tags in enumerate(all_tags):
         nxt = ifd_offsets[li + 1] if li + 1 < len(all_tags) else 0
         ext = bytearray()
@@ -245,16 +302,16 @@ def geotiff_encode(
             if typ == TYPE_SHORT:
                 vals = [int(v) for v in vals]
             packed = struct.pack(f"{bo}{len(vals)}{fmt}", *vals)
-            entries += struct.pack(f"{bo}HHI", tag, typ, len(vals))
-            if len(packed) <= 4:
-                entries += packed.ljust(4, b"\x00")
+            entries += struct.pack(f"{bo}HH{cfmt}", tag, typ, len(vals))
+            if len(packed) <= inline:
+                entries += packed.ljust(inline, b"\x00")
             else:
-                entries += struct.pack(f"{bo}I", ext_base + len(ext))
+                entries += struct.pack(f"{bo}{ofmt}", ext_base + len(ext))
                 ext += packed
                 if len(ext) % 2:
                     ext += b"\x00"
-        out += struct.pack(f"{bo}H", len(tags)) + entries
-        out += struct.pack(f"{bo}I", nxt)
+        out += struct.pack(f"{bo}{nfmt}", len(tags)) + entries
+        out += struct.pack(f"{bo}{ofmt}", nxt)
         out += ext
     out = out.ljust(data_start, b"\x00")
     for tiles, _, _ in per_level:
@@ -282,7 +339,7 @@ class RecordingFetch:
 class _Ifd:
     __slots__ = (
         "width", "height", "bands", "comp", "tile_size",
-        "ntx", "nty", "tile_offsets", "tile_counts",
+        "ntx", "nty", "tile_offsets", "tile_counts", "predictor",
     )
 
 
@@ -304,9 +361,19 @@ class Cog:
         else:
             raise ValueError("not a TIFF: bad byte-order mark")
         (magic,) = struct.unpack_from(f"{self.bo}H", self._buf, 2)
-        if magic != 42:
-            raise ValueError(f"not a TIFF: magic {magic} != 42")
-        (ifd_off,) = struct.unpack_from(f"{self.bo}I", self._buf, 4)
+        if magic == 42:
+            self.big = False
+            (ifd_off,) = struct.unpack_from(f"{self.bo}I", self._buf, 4)
+        elif magic == 43:
+            self.big = True
+            osize, zero = struct.unpack_from(f"{self.bo}HH", self._buf, 4)
+            if osize != 8 or zero != 0:
+                raise ValueError(
+                    f"malformed BigTIFF header ({osize}, {zero})"
+                )
+            (ifd_off,) = struct.unpack_from(f"{self.bo}Q", self._buf, 8)
+        else:
+            raise ValueError(f"not a TIFF: magic {magic} != 42|43")
         self.ifds: list[_Ifd] = []
         self.pixel_scale: tuple[float, float] | None = None
         self.tiepoint: tuple[float, float] | None = None
@@ -323,23 +390,33 @@ class Cog:
 
     def _values(self, typ: int, count: int, entry_off: int):
         fmt, sz = _TYPE[typ]
+        vpos = entry_off + (12 if self.big else 8)
+        inline = 8 if self.big else 4
         total = sz * count
-        if total <= 4:
+        if total <= inline:
             return struct.unpack_from(
-                f"{self.bo}{count}{fmt}", self._buf, entry_off + 8
+                f"{self.bo}{count}{fmt}", self._buf, vpos
             )
-        (voff,) = struct.unpack_from(f"{self.bo}I", self._buf, entry_off + 8)
+        (voff,) = struct.unpack_from(
+            f"{self.bo}{'Q' if self.big else 'I'}", self._buf, vpos
+        )
         self._ensure(voff + total)
         return struct.unpack_from(f"{self.bo}{count}{fmt}", self._buf, voff)
 
     def _parse_ifd(self, off: int) -> int:
-        self._ensure(off + 2)
-        (n,) = struct.unpack_from(f"{self.bo}H", self._buf, off)
-        self._ensure(off + 2 + 12 * n + 4)
+        nsz = 8 if self.big else 2
+        esz = 20 if self.big else 12
+        osz = 8 if self.big else 4
+        nfmt = "Q" if self.big else "H"
+        self._ensure(off + nsz)
+        (n,) = struct.unpack_from(f"{self.bo}{nfmt}", self._buf, off)
+        self._ensure(off + nsz + esz * n + osz)
         tags: dict[int, tuple] = {}
         for i in range(n):
-            e = off + 2 + 12 * i
-            tag, typ, count = struct.unpack_from(f"{self.bo}HHI", self._buf, e)
+            e = off + nsz + esz * i
+            tag, typ, count = struct.unpack_from(
+                f"{self.bo}HH{'Q' if self.big else 'I'}", self._buf, e
+            )
             if typ not in _TYPE:
                 continue
             tags[tag] = self._values(typ, count, e)
@@ -349,7 +426,9 @@ class Cog:
         ifd.height = tags[T_LENGTH][0]
         ifd.bands = tags.get(T_SPP, (1,))[0]
         ifd.comp = tags.get(T_COMPRESSION, (COMP_NONE,))[0]
-        if ifd.comp not in (COMP_NONE, COMP_PACKBITS, COMP_DEFLATE):
+        if ifd.comp not in (
+            COMP_NONE, COMP_PACKBITS, COMP_LZW, COMP_DEFLATE
+        ):
             raise ValueError(f"unsupported compression {ifd.comp}")
         if T_TILE_WIDTH not in tags:
             raise ValueError("not a tiled TIFF (no TileWidth)")
@@ -364,6 +443,9 @@ class Cog:
         ifd.tile_counts = list(tags[T_TILE_COUNTS])
         if len(ifd.tile_offsets) != ifd.nty * ifd.ntx:
             raise ValueError("TileOffsets count != tile grid size")
+        ifd.predictor = tags.get(T_PREDICTOR, (PRED_NONE,))[0]
+        if ifd.predictor not in (PRED_NONE, PRED_HORIZONTAL):
+            raise ValueError(f"unsupported predictor {ifd.predictor}")
         self.ifds.append(ifd)
 
         if T_PIXEL_SCALE in tags:
@@ -376,7 +458,9 @@ class Cog:
             self.epsg = _parse_geokeys([int(v) for v in tags[T_GEOKEYS]])
 
         (nxt,) = struct.unpack_from(
-            f"{self.bo}I", self._buf, off + 2 + 12 * n
+            f"{self.bo}{'Q' if self.big else 'I'}",
+            self._buf,
+            off + (8 if self.big else 2) + (20 if self.big else 12) * n,
         )
         return nxt
 
@@ -398,6 +482,8 @@ class Cog:
         expected = ts * ts * ifd.bands * 2
         if ifd.comp == COMP_PACKBITS:
             raw = packbits_decode(chunk, expected)
+        elif ifd.comp == COMP_LZW:
+            raw = lzw_decode(chunk, expected)
         elif ifd.comp == COMP_DEFLATE:
             raw = zlib.decompress(chunk)
             if len(raw) != expected:
@@ -406,8 +492,13 @@ class Cog:
             raw = chunk
             if len(raw) != expected:
                 raise ValueError("raw tile size mismatch")
-        arr = np.frombuffer(raw, dtype=f"{self.bo}u2")
-        return arr.reshape(ts, ts, ifd.bands)
+        arr = np.frombuffer(raw, dtype=f"{self.bo}u2").astype(np.uint16)
+        arr = arr.reshape(ts, ts, ifd.bands)
+        if ifd.predictor == PRED_HORIZONTAL:
+            # inverse differencing: running sum across columns per
+            # sample, mod 2^16 (uint16 cumsum wraps)
+            arr = np.cumsum(arr, axis=1, dtype=np.uint16)
+        return arr
 
     def read_window(
         self, x0: int, y0: int, x1: int, y1: int, level: int = 0

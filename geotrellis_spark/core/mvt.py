@@ -113,6 +113,23 @@ def _value_msg(v) -> bytes:
     return _field(3, 1) + struct.pack("<d", float(v))
 
 
+def grid_ring(
+    pts: np.ndarray,
+    tile_extent: tuple[float, float, float, float],
+    extent: int = EXTENT,
+) -> np.ndarray:
+    """World -> tile-grid quantization (THE one definition; encode_mvt
+    uses the same formula). Exposed so callers can pre-check e.g.
+    whether a clipped ring survives quantization."""
+    xmin, ymin, xmax, ymax = tile_extent
+    sx = extent / (xmax - xmin)
+    sy = extent / (ymax - ymin)
+    p = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    gx = np.rint((p[:, 0] - xmin) * sx).astype(np.int64)
+    gy = np.rint((ymax - p[:, 1]) * sy).astype(np.int64)
+    return np.column_stack([gx, gy])
+
+
 def encode_mvt(
     layer_name: str,
     features: list[dict],
@@ -124,15 +141,8 @@ def encode_mvt(
     feature dict: {"wkb": bytes, "id": int, "props": {k: v}}.
     ``tile_extent`` = (xmin, ymin, xmax, ymax) world bounds of the tile
     (grid y axis points DOWN per spec: y=0 at ymax)."""
-    xmin, ymin, xmax, ymax = tile_extent
-    sx = extent / (xmax - xmin)
-    sy = extent / (ymax - ymin)
-
     def to_grid(pts: np.ndarray) -> np.ndarray:
-        p = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
-        gx = np.rint((p[:, 0] - xmin) * sx).astype(np.int64)
-        gy = np.rint((ymax - p[:, 1]) * sy).astype(np.int64)
-        return np.column_stack([gx, gy])
+        return grid_ring(pts, tile_extent, extent)
 
     keys: list[str] = []
     vals: list[bytes] = []
@@ -145,19 +155,26 @@ def encode_mvt(
             gtype, parts = _T_POINT, [to_grid(np.array([payload]))]
         elif kind == "linestring":
             gtype, parts = _T_LINESTRING, [to_grid(payload)]
-        elif kind == "polygon":
+        elif kind in ("polygon", "multipolygon"):
             gtype = _T_POLYGON
-            parts = [
-                _orient_ring(to_grid(r), hole=i > 0)
-                for i, r in enumerate(payload)
-            ]
-        elif kind == "multipolygon":
-            gtype = _T_POLYGON
-            parts = [
-                _orient_ring(to_grid(r), hole=i > 0)
-                for rings in payload
-                for i, r in enumerate(rings)
-            ]
+            polys = [payload] if kind == "polygon" else payload
+            parts = []
+            for rings in polys:
+                kept: list[np.ndarray] = []
+                for i, r in enumerate(rings):
+                    g = to_grid(r)
+                    # a thin clip can collapse to zero area on the
+                    # integer grid; such rings are invalid per spec —
+                    # drop them (and the whole part when the exterior
+                    # is the one that collapsed)
+                    if _signed_area(g) == 0.0:
+                        if i == 0:
+                            break
+                        continue
+                    kept.append(_orient_ring(g, hole=i > 0))
+                parts.extend(kept)
+            if not parts:
+                continue  # feature vanished at this quantization
         else:  # pragma: no cover
             raise ValueError(kind)
         tags: list[int] = []

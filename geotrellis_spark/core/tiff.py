@@ -1,8 +1,9 @@
 """Baseline TIFF codec, from scratch against the public TIFF 6.0
 specification (Adobe, 1992): little- or big-endian header, single
-IFD, strip-organized uint16 samples, Compression = none (1) or
-PackBits (32773), Photometric BlackIsZero / RGB, chunky planar
-config. No external image library — pure numpy byte assembly.
+IFD, strip-organized uint16 samples, Compression = none (1), LZW (5,
+section 13 with the early-change width schedule), or PackBits (32773),
+Photometric BlackIsZero / RGB, chunky planar config. No external
+image library — pure numpy byte assembly.
 
 Reference-role note: the GeoTrellis reference reads GeoTIFF rasters
 (geotrellis.raster.io.geotiff). This module implements the baseline
@@ -35,7 +36,147 @@ TYPE_LONG = 4
 _TYPE_SIZE = {TYPE_SHORT: 2, TYPE_LONG: 4}
 
 COMP_NONE = 1
+COMP_LZW = 5
 COMP_PACKBITS = 32773
+
+# TIFF 6.0 section 13 LZW constants: 8-bit-native table, codes are
+# MSB-first bit-packed, 9..12 bits wide with the spec's "early change"
+# (width bumps one code before the power of two).
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+_LZW_FIRST = 258
+_LZW_MAX_TABLE = 4094  # table reset point: 4095/4096 are never used
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 section-13 LZW.  Emits ClearCode, then the standard
+    greedy longest-prefix walk; code width grows 9->12 one step early
+    (when the NEXT table entry would be 511/1023/2047, per the spec's
+    published off-by-one that every reader implements), and the table
+    resets via ClearCode when entry 4094 would be created.  The string
+    table is a dict keyed by (prefix_code, byte) so lookups are O(1)
+    without materializing strings."""
+    out = bytearray()
+    acc = 0          # bit accumulator (MSB-first)
+    nacc = 0
+
+    def put(code: int, bits: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << bits) | code
+        nacc += bits
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+        acc &= (1 << nacc) - 1  # keep the accumulator bounded
+
+    table: dict[tuple[int, int], int] = {}
+    next_code = _LZW_FIRST
+    bits = 9
+    put(_LZW_CLEAR, bits)
+    omega = -1  # current prefix code; -1 = empty
+    for k in data:
+        if omega < 0:
+            omega = k
+            continue
+        ext = table.get((omega, k))
+        if ext is not None:
+            omega = ext
+            continue
+        put(omega, bits)
+        table[(omega, k)] = next_code
+        next_code += 1
+        # early change: the width must fit next_code + 1 (the decoder
+        # adds its mirror entry before reading the following code)
+        if next_code == (1 << bits) - 1 and bits < 12:
+            bits += 1
+        omega = k
+        if next_code == _LZW_MAX_TABLE:
+            put(omega, bits)
+            put(_LZW_CLEAR, bits)
+            table.clear()
+            next_code = _LZW_FIRST
+            bits = 9
+            omega = -1
+    if omega >= 0:
+        put(omega, bits)
+        # mirror the decoder: it allocates an entry after this code,
+        # so EOI's width must account for it (early change included)
+        next_code += 1
+        if next_code == (1 << bits) - 1 and bits < 12:
+            bits += 1
+    put(_LZW_EOI, bits)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    """Decode a TIFF section-13 LZW stream to exactly ``expected``
+    bytes.  Handles ClearCode resets, the KwKwK not-yet-in-table case,
+    and the early-change width schedule (width bumps when the table
+    size reaches 510/1022/2046 — one entry before the encoder's
+    511/1023/2047, covering the decoder's one-entry lag)."""
+    out = bytearray()
+    # table: code -> bytes; codes 0..255 are single bytes
+    single = [bytes([i]) for i in range(256)]
+    table: list[bytes] = []
+    bits = 9
+    acc = 0
+    nacc = 0
+    pos = 0
+    n = len(data)
+    old: bytes | None = None
+
+    def get() -> int:
+        nonlocal acc, nacc, pos
+        while nacc < bits:
+            if pos >= n:
+                raise ValueError("LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nacc += 8
+        nacc -= bits
+        code = (acc >> nacc) & ((1 << bits) - 1)
+        acc &= (1 << nacc) - 1
+        return code
+
+    while True:
+        code = get()
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = []
+            bits = 9
+            old = None
+            continue
+        if old is None:
+            if code > 255:
+                raise ValueError("LZW: first code after clear not a byte")
+            s = single[code]
+        elif code < 256:
+            s = single[code]
+            table.append(old + s[:1])
+        elif code - _LZW_FIRST < len(table):
+            s = table[code - _LZW_FIRST]
+            table.append(old + s[:1])
+        elif code - _LZW_FIRST == len(table):  # KwKwK
+            s = old + old[:1]
+            table.append(s)
+        else:
+            raise ValueError(f"LZW: code {code} beyond table")
+        out += s
+        old = s
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by exactly one entry mid-stream, so it must widen
+        # one entry earlier — at table size 510/1022/2046 where the
+        # encoder widens at 511/1023/2047 (TIFF 6.0 section 13)
+        if _LZW_FIRST + len(table) == (1 << bits) - 2 and bits < 12:
+            bits += 1
+        if len(out) >= expected:
+            break
+    if len(out) != expected:
+        raise ValueError(f"LZW decoded {len(out)} bytes, expected {expected}")
+    return bytes(out)
 
 
 def packbits_encode(data: bytes) -> bytes:
@@ -109,7 +250,9 @@ def tiff_encode(
     if px.ndim != 3 or px.shape[0] not in (1, 3):
         raise ValueError(f"tiff_encode wants (1|3, h, w), got {px.shape}")
     bands, h, w = px.shape
-    comp = {"none": COMP_NONE, "packbits": COMP_PACKBITS}[compression]
+    comp = {
+        "none": COMP_NONE, "packbits": COMP_PACKBITS, "lzw": COMP_LZW,
+    }[compression]
     bo = byteorder
     # chunky pixel-interleaved sample order, per-strip byte slabs
     chunky = np.ascontiguousarray(
@@ -118,9 +261,12 @@ def tiff_encode(
     strips = []
     for r0 in range(0, h, rows_per_strip):
         raw = chunky[r0 : r0 + rows_per_strip].tobytes()
-        strips.append(
-            packbits_encode(raw) if comp == COMP_PACKBITS else raw
-        )
+        if comp == COMP_PACKBITS:
+            strips.append(packbits_encode(raw))
+        elif comp == COMP_LZW:
+            strips.append(lzw_encode(raw))
+        else:
+            strips.append(raw)
 
     magic = b"II" if bo == "<" else b"MM"
     header_len = 8
@@ -234,7 +380,7 @@ def tiff_decode(data: bytes) -> np.ndarray:
     if any(b != 16 for b in bits):
         raise ValueError(f"only 16-bit samples supported, got {bits}")
     comp = tags.get(T_COMPRESSION, [COMP_NONE])[0]
-    if comp not in (COMP_NONE, COMP_PACKBITS):
+    if comp not in (COMP_NONE, COMP_PACKBITS, COMP_LZW):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if tags.get(T_PLANAR, [1])[0] != 1:
         raise ValueError("only chunky PlanarConfiguration supported")
@@ -252,6 +398,8 @@ def tiff_decode(data: bytes) -> np.ndarray:
         chunk = data[off : off + cnt]
         if comp == COMP_PACKBITS:
             raw += packbits_decode(chunk, expected)
+        elif comp == COMP_LZW:
+            raw += lzw_decode(chunk, expected)
         else:
             if len(chunk) != expected:
                 raise ValueError(

@@ -1263,6 +1263,75 @@ def sql_image_phash_check() -> str:
     """
 
 
+# COG windowed-read prune: a 300x250-pixel lattice window cutting
+# through the hot-spot box at zoom 5 (global pixels [4200,4500) x
+# [1900,2150)) — clips hot-cluster images on every edge.
+_COG_WIN = (4200, 1900, 4500, 2150)
+_COG_TILE = 64
+
+
+def q_cog_prune(spark, sf_dir) -> DataFrame:
+    """The COG raster source's pruning contract, oracle-gated: encode
+    300 synth images as real Cloud-Optimized GeoTIFFs (tiled, geo
+    transform, overview chain), window-read one lattice-aligned extent,
+    and report per intersecting image the clipped window plus the
+    number of internal tiles the reader ACTUALLY FETCHED (counted from
+    recorded byte ranges). The DuckDB twin re-derives the clip and the
+    tile-intersection count from the anchor formulas in pure SQL — a
+    green row proves GeoTIFF write -> prefix-fetch IFD parse -> range
+    planning end-to-end, the same way poly_stats proves the WKB path."""
+    from ..sources import cog_source
+
+    qx0, qy0, qx1, qy1 = _COG_WIN
+    images = synth.synth_images(spark, 300, partitions=8)
+    cogs = cog_source.images_to_cogs(
+        images, _IMG_ZOOM, 256, cog_tile=_COG_TILE
+    )
+    ext = cog_source.lattice_extent(
+        qx0, qy0, qx1 - qx0, qy1 - qy0, _IMG_ZOOM, 256
+    )
+    return cog_source.cog_prune_stats(cogs, ext, _IMG_ZOOM, 256)
+
+
+def sql_cog_prune() -> str:
+    npix = (1 << _IMG_ZOOM) * 256
+    qx0, qy0, qx1, qy1 = _COG_WIN
+    ts = _COG_TILE
+    return f"""
+    WITH imgs AS (
+      SELECT i,
+        CASE (i*7)%3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END AS w,
+        CASE (i*13)%3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END AS h,
+        {exprs.image_lon_sql('i')} AS lon,
+        {exprs.image_lat_sql('i')} AS lat
+      FROM range(300) t(i)
+    ),
+    anch AS (
+      SELECT i, w, h,
+        least(greatest(CAST(floor((lon+180)/360*{npix}) AS BIGINT) - w//2, 0),
+              {npix}-w) AS gx,
+        least(greatest(CAST(floor((90-lat)/180*{npix}) AS BIGINT) - h//2, 0),
+              {npix}-h) AS gy
+      FROM imgs
+    ),
+    clip AS (
+      SELECT i, gx, gy,
+        greatest(gx, {qx0}) AS ix0, least(gx + w, {qx1}) AS ix1,
+        greatest(gy, {qy0}) AS iy0, least(gy + h, {qy1}) AS iy1
+      FROM anch
+      WHERE gx < {qx1} AND gx + w > {qx0}
+        AND gy < {qy1} AND gy + h > {qy0}
+    )
+    SELECT CAST(i AS BIGINT) AS img,
+      CAST(ix1 - ix0 AS BIGINT) AS win_w,
+      CAST(iy1 - iy0 AS BIGINT) AS win_h,
+      CAST((((ix1 - gx - 1) // {ts}) - ((ix0 - gx) // {ts}) + 1)
+         * (((iy1 - gy - 1) // {ts}) - ((iy0 - gy) // {ts}) + 1)
+         AS BIGINT) AS n_tiles
+    FROM clip
+    """
+
+
 # --------------------------------------------------------------- registry
 
 def q_tfidf(spark, sf_dir) -> DataFrame:
@@ -1772,6 +1841,7 @@ QUERIES = {
     "image_pyramid": (q_image_pyramid, sql_image_pyramid),
     "image_focal": (q_image_focal, sql_image_focal),
     "image_phash_check": (q_image_phash_check, sql_image_phash_check),
+    "cog_prune": (q_cog_prune, sql_cog_prune),
     "hilbert_assign": (q_hilbert_assign, sql_hilbert_assign),
     "rollup_cube": (q_rollup_cube, sql_rollup_cube),
     "asof_join": (q_asof_join, sql_asof_join),
@@ -1815,7 +1885,6 @@ QUERIES = {
     "kernel_density": (q_kernel_density, sql_kernel_density),
     "bm25": (q_bm25, sql_bm25),
     "lang_id": (q_lang_id, sql_lang_id),
-    "quality_score": (q_quality, sql_quality),
     "spacetime_join": (q_spacetime_join, sql_spacetime_join),
     "class_breaks": (q_class_breaks, sql_class_breaks),
     # ---- tail: redundant variants (machinery covered above; the
@@ -1830,7 +1899,10 @@ QUERIES = {
     # hll_sketch's mergeable-sketch two-phase agg; dedup_exact's
     # hash-groupBy runs inside dedup_cluster's exact stage;
     # phash_capped's cap machinery is gated by minhash_capped and its
-    # band+refine by phash_neardup) ----
+    # band+refine by phash_neardup; quality_score is the same narrow
+    # per-doc codegen-chain shape lang_id anchors, and the quality-gate
+    # family is covered deeper by rep_filter/unigram_surprisal) ----
+    "quality_score": (q_quality, sql_quality),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "phash_capped": (q_phash_capped, sql_phash_capped),
     "sessionize": (q_sessionize, sql_sessionize),

@@ -1,0 +1,148 @@
+"""Declarative ingest pipeline: a JSON AST interpreted to engine
+calls — the twin of the reference's spark-pipeline module
+(geotrellis.spark.pipeline.ast: read -> transform[reproject, tile,
+pyramid] -> write, circe-parsed JSON), re-expressed over the
+DataFrame stages this engine already has.
+
+The AST is a JSON list of nodes, each ``{"type": "<verb.kind>", ...}``
+applied in order to a single flowing value (images table -> tile
+layer -> pyramid levels), e.g.::
+
+    [
+      {"type": "read.synth", "n": 500},
+      {"type": "transform.tile", "zoom": 6, "fmt": "png"},
+      {"type": "transform.pyramid", "to_zoom": 4},
+      {"type": "write.layer", "warehouse": "/tmp/wh", "layer": "img"}
+    ]
+
+Spark SQL is the real query language of this engine; the pipeline AST
+exists for the reference's declarative-ingest parity and for config-
+driven jobs (jobs/pipeline.py runs a JSON file). Unknown node types,
+missing required params, and type-state mismatches (e.g. pyramid
+before tile) fail loudly at interpretation time — the same contract
+the reference's typed AST enforces at compile time.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class PipelineError(ValueError):
+    pass
+
+
+def _req(node: dict, key: str):
+    if key not in node:
+        raise PipelineError(
+            f"node {node.get('type')!r} requires {key!r}"
+        )
+    return node[key]
+
+
+def run_pipeline(spark: SparkSession, ast: list[dict] | str) -> dict:
+    """Interpret a pipeline AST. Returns a summary dict: the terminal
+    state kind, per-write metadata, and the final DataFrame under
+    'result' (lazily defined — nothing executes until a write node or
+    the caller acts)."""
+    from .. import synth
+    from ..operators import tiling
+    from ..sources import cog_source
+    from ..sources import iceberg_shape as ice
+
+    if isinstance(ast, str):
+        ast = json.loads(ast)
+    if not isinstance(ast, list) or not ast:
+        raise PipelineError("pipeline AST must be a non-empty list")
+
+    state_kind = "empty"  # empty -> images -> tiles -> levels
+    value = None
+    zoom = None
+    tile_size = 256
+    writes: list[dict] = []
+
+    for i, node in enumerate(ast):
+        t = node.get("type")
+        if t == "read.synth":
+            value = synth.synth_images(spark, int(_req(node, "n")))
+            state_kind = "images"
+        elif t == "read.parquet":
+            value = spark.read.parquet(_req(node, "path"))
+            state_kind = "images"
+        elif t == "read.layer":
+            value = ice.read_tiles(
+                spark, _req(node, "warehouse"), zoom=int(_req(node, "zoom"))
+            )
+            zoom = int(node["zoom"])
+            state_kind = "tiles"
+        elif t == "read.cogs":
+            value = cog_source.read_cog_layer(
+                spark,
+                _req(node, "path"),
+                tuple(_req(node, "extent")),
+                int(_req(node, "zoom")),
+                int(node.get("tile_size", 256)),
+            )
+            zoom = int(node["zoom"])
+            state_kind = "tiles"
+        elif t == "transform.tile":
+            if state_kind != "images":
+                raise PipelineError(
+                    f"transform.tile needs an images input, have "
+                    f"{state_kind} (node {i})"
+                )
+            zoom = int(_req(node, "zoom"))
+            tile_size = int(node.get("tile_size", 256))
+            value = tiling.tile_images(
+                value,
+                zoom,
+                tile_size,
+                int(node.get("salt_buckets", 8)),
+                layer=node.get("layer", "images"),
+                fmt=node.get("fmt", "raw16"),
+            )
+            state_kind = "tiles"
+        elif t == "transform.pyramid":
+            if state_kind != "tiles":
+                raise PipelineError(
+                    f"transform.pyramid needs a tile layer, have "
+                    f"{state_kind} (node {i})"
+                )
+            to_zoom = int(_req(node, "to_zoom"))
+            if to_zoom > zoom:
+                raise PipelineError(
+                    f"pyramid to_zoom {to_zoom} > base zoom {zoom}"
+                )
+            value = tiling.build_pyramid(value, zoom, to_zoom, tile_size)
+            state_kind = "levels"
+        elif t == "write.layer":
+            wh = _req(node, "warehouse")
+            if state_kind == "tiles":
+                snap = ice.write_tiles(value, wh, mode="overwrite")
+                writes.append({"warehouse": wh, "snapshots": [snap]})
+            elif state_kind == "levels":
+                snaps = [
+                    ice.write_tiles(lv, wh, mode="overwrite")
+                    for _z, lv in value
+                ]
+                writes.append({"warehouse": wh, "snapshots": snaps})
+            else:
+                raise PipelineError(
+                    f"write.layer needs tiles/levels, have {state_kind}"
+                )
+        elif t == "write.parquet":
+            df = value[-1][1] if state_kind == "levels" else value
+            df.write.mode("overwrite").parquet(_req(node, "path"))
+            writes.append({"path": node["path"]})
+        else:
+            raise PipelineError(f"unknown pipeline node type {t!r}")
+
+    result: DataFrame | None
+    if state_kind == "levels":
+        result = value[-1][1]
+    else:
+        result = value
+    return {"kind": state_kind, "writes": writes, "result": result,
+            "zoom": zoom}

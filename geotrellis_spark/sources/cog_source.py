@@ -207,6 +207,43 @@ def cog_window_pieces(
     )
 
 
+def cog_prune_stats(
+    cogs: DataFrame,
+    extent: tuple[float, float, float, float],
+    zoom: int,
+    tile_size: int = 256,
+) -> DataFrame:
+    """Per intersecting COG: the clipped window size and the number of
+    internal tiles a windowed read FETCHES (counted from the recorded
+    byte ranges of the real reader, not re-derived from the formula) —
+    the oracle-checkable face of the three-layer pruning story. Output:
+    (img, win_w, win_h, n_tiles), all exact integers on the lattice."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import geotrellis_spark.core.geotiff as gt
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "img": [], "win_w": [], "win_h": [], "n_tiles": []
+            }
+            for i in range(len(pdf)):
+                fetch = gt.RecordingFetch(bytes(pdf["cog"].iloc[i]))
+                cog = gt.Cog(fetch)
+                n_open = len(fetch.ranges)
+                win, _ = cog.read_extent(extent)
+                if win.shape[1] == 0 or win.shape[2] == 0:
+                    continue
+                out["img"].append(int(pdf["image_id"].iloc[i][3:]))
+                out["win_w"].append(win.shape[2])
+                out["win_h"].append(win.shape[1])
+                out["n_tiles"].append(len(fetch.ranges) - n_open)
+            yield pd.DataFrame(out)
+
+    return cogs.where(_bbox_filter(extent)).mapInPandas(
+        gen, "img long, win_w long, win_h long, n_tiles long"
+    )
+
+
 def read_cog_layer(
     spark: SparkSession,
     store_path: str,

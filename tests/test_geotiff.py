@@ -26,7 +26,9 @@ def _px(bands: int, h: int, w: int, seed: int = 7) -> np.ndarray:
 
 
 @pytest.mark.parametrize("bands", [1, 3])
-@pytest.mark.parametrize("compression", ["none", "packbits", "deflate"])
+@pytest.mark.parametrize(
+    "compression", ["none", "packbits", "lzw", "deflate"]
+)
 @pytest.mark.parametrize("byteorder", ["<", ">"])
 def test_roundtrip_bit_exact(bands, compression, byteorder):
     px = _px(bands, 200, 130)

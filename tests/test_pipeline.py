@@ -1,0 +1,87 @@
+"""Pipeline JSON AST (plans/pipeline.py, the spark-pipeline S9 role):
+an interpreted read->tile->pyramid->write AST must produce the same
+layer the direct API calls produce, writes must land readable, and
+malformed ASTs (unknown node, type-state mismatch, missing param) must
+fail loudly at interpretation time.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from geotrellis_spark.plans.pipeline import PipelineError, run_pipeline
+
+
+def test_ast_equals_direct_calls(spark, tmp_path):
+    from geotrellis_spark import synth
+    from geotrellis_spark.operators import tiling
+    from geotrellis_spark.sources import iceberg_shape as ice
+
+    wh = str(tmp_path / "wh")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = run_pipeline(
+        spark,
+        [
+            {"type": "read.synth", "n": 40},
+            {"type": "transform.tile", "zoom": 5, "fmt": "png"},
+            {"type": "transform.pyramid", "to_zoom": 4},
+            {"type": "write.layer", "warehouse": wh, "layer": "images"},
+        ],
+    )
+    assert out["kind"] == "levels" and out["zoom"] == 5
+    assert len(out["writes"][0]["snapshots"]) == 2  # z5 + z4
+
+    direct = tiling.tile_images(
+        synth.synth_images(spark, 40, partitions=4), 5, 256, fmt="png"
+    )
+    want = {
+        (r["key_col"], r["key_row"]): bytes(r["tile"])
+        for r in direct.collect()
+    }
+    got = {
+        (r["key_col"], r["key_row"]): bytes(r["tile"])
+        for r in ice.read_tiles(spark, wh, zoom=5).collect()
+    }
+    assert got == want
+
+    # pyramid level landed too and is non-empty
+    assert ice.read_tiles(spark, wh, zoom=4).count() > 0
+
+
+def test_json_string_input_and_parquet_write(spark, tmp_path):
+    p = str(tmp_path / "tiles_pq")
+    out = run_pipeline(
+        spark,
+        f"""[
+          {{"type": "read.synth", "n": 20}},
+          {{"type": "transform.tile", "zoom": 4}},
+          {{"type": "write.parquet", "path": "{p}"}}
+        ]""",
+    )
+    assert out["kind"] == "tiles"
+    assert spark.read.parquet(p).count() == out["result"].count()
+
+
+@pytest.mark.parametrize(
+    "ast,msg",
+    [
+        ([], "non-empty"),
+        ([{"type": "transform.tile", "zoom": 3}], "needs an images"),
+        (
+            [{"type": "read.synth", "n": 5},
+             {"type": "transform.pyramid", "to_zoom": 2}],
+            "needs a tile layer",
+        ),
+        ([{"type": "read.synth"}], "requires 'n'"),
+        ([{"type": "no.such.node"}], "unknown pipeline node"),
+        (
+            [{"type": "read.synth", "n": 5},
+             {"type": "transform.tile", "zoom": 3},
+             {"type": "transform.pyramid", "to_zoom": 9}],
+            "> base zoom",
+        ),
+    ],
+)
+def test_malformed_asts_fail_loudly(spark, ast, msg):
+    with pytest.raises(PipelineError, match=msg):
+        run_pipeline(spark, ast)

@@ -8,7 +8,7 @@ from geotrellis_spark.core import tiff
 
 
 @pytest.mark.parametrize("bands", [1, 3])
-@pytest.mark.parametrize("comp", ["none", "packbits"])
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw"])
 @pytest.mark.parametrize("bo", ["<", ">"])
 def test_roundtrip_exact(bands, comp, bo):
     rng = np.random.default_rng(11)
@@ -29,6 +29,52 @@ def test_packbits_primitives():
         assert tiff.packbits_decode(enc, len(blob)) == blob
     # 128 header byte is a decoder no-op
     assert tiff.packbits_decode(b"\x80\x00a", 1) == b"a"
+
+
+def test_lzw_spec_fixture():
+    """Pin the exact TIFF 6.0 section-13 bitstream for a tiny input,
+    hand-traced from the spec pseudocode (codes emitted: Clear, 7, 258,
+    8, 8, 258, 6, 6, EOI — all 9-bit).  An independent 5-line MSB-first
+    bit packer re-derives the expected bytes, so encoder packing, code
+    choice, and the early-change schedule are all fixed by the spec,
+    not by our own decoder."""
+    data = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    codes = [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    acc = nacc = 0
+    expected = bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        nacc += 9
+        while nacc >= 8:
+            nacc -= 8
+            expected.append((acc >> nacc) & 0xFF)
+    if nacc:
+        expected.append((acc << (8 - nacc)) & 0xFF)
+    enc = tiff.lzw_encode(data)
+    assert enc == bytes(expected)
+    assert tiff.lzw_decode(enc, len(data)) == data
+
+
+def test_lzw_width_boundaries_and_reset():
+    """Round-trips crossing every code-width boundary (9->10->11->12)
+    and the 4094-entry table reset.  These streams only decode if the
+    decoder's early-change schedule is exactly one entry ahead of the
+    encoder's — an off-by-one raises mid-stream (verified: a decoder
+    bumping at 511 instead of 510 fails on the random case)."""
+    rng = np.random.default_rng(7)
+    cases = [
+        b"",
+        b"a",
+        bytes(rng.integers(0, 256, 50_000, dtype=np.uint8)),  # resets
+        bytes(rng.integers(0, 4, 100_000, dtype=np.uint8)),
+        b"abc" * 40_000,
+        bytes(rng.integers(0, 256, 700, dtype=np.uint8)),  # 9->10 only
+    ]
+    for blob in cases:
+        enc = tiff.lzw_encode(blob)
+        assert tiff.lzw_decode(enc, len(blob)) == blob
+    with pytest.raises(ValueError):
+        tiff.lzw_decode(b"\x00\x01", 100)  # truncated
 
 
 def test_single_strip_and_uneven_tail():

@@ -251,6 +251,25 @@ def main() -> None:
         dq.q_rp_project(spark, "/root/testdata/sf0.01"),
     )
 
+    from geotrellis_spark import synth
+    from geotrellis_spark.sources import cog_source
+
+    cog_store = "/tmp/plans_cog_store"
+    cog_source.write_cog_store(
+        synth.synth_images(spark, 60, partitions=4), 5, cog_store
+    )
+    cap(
+        "COG catalog scan (raster-source prune layer 1 of 3): the bbox "
+        "intersect filter reaches the parquet scan as PushedFilters on "
+        "the (xmin,ymin,xmax,ymax) stat columns — non-intersecting COG "
+        "blobs never load; layers 2-3 (prefix-fetch IFD parse, "
+        "tile-range fetch) are inside the Python stage and oracle-gated "
+        "by the cog_prune driver query",
+        spark.read.parquet(cog_store).where(
+            cog_source._bbox_filter((0.0, 0.0, 20.0, 20.0))
+        ).select("image_id", "xmin", "xmax"),
+    )
+
     hdr = """# PLANS — physical-plan evidence
 
 `.explain("formatted")` captures showing the engine gets the plans a
