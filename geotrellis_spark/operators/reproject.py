@@ -13,8 +13,13 @@ Here the shape is target-driven in one shuffle:
    each target pixel center back to source coordinates, sampling
    bilinear (or NN); first-non-NaN wins across sources.
 
-Closed-form transforms only (WebMercator <-> LatLng); proj4 generality
-is out of scope (SURVEY.md §2.G1).
+Registered CRS transforms (core/proj.py): LatLng, WebMercator, and
+WGS84 UTM zones via the Krüger-series ellipsoidal Transverse Mercator
+— the r5 slice of the reference's proj4 generality (SURVEY.md §2.G1).
+ZoomedLayoutScheme pairs keep the zoom-preserving contract; UTM
+targets get a FloatingLayoutScheme fit to the warped data extent
+(``reproject_layer_utm``), the reference's scheme for projected
+native-resolution layers.
 """
 
 from __future__ import annotations
@@ -56,6 +61,25 @@ _SRC_SCHEMA = StructType(
 )
 
 
+def _crs_pair(from_crs: str, to_crs: str):
+    """Compose src->dst and dst->src transforms through lon/lat from
+    the core/proj registry."""
+    from ..core.proj import crs_transforms
+
+    _, src_to_ll = crs_transforms(from_crs)
+    dst_from_ll, _ = crs_transforms(to_crs)
+    _, dst_to_ll = crs_transforms(to_crs)
+    src_from_ll, _ = crs_transforms(from_crs)
+
+    def fwd(x, y):
+        return dst_from_ll(*src_to_ll(x, y))
+
+    def inv(x, y):
+        return src_from_ll(*dst_to_ll(x, y))
+
+    return fwd, inv
+
+
 def reproject_layer(
     tiles: DataFrame,
     zoom: int,
@@ -70,9 +94,89 @@ def reproject_layer(
         raise ValueError("supported CRS pair: latlng <-> webmercator")
     src_ld = ZoomedLayoutScheme(from_crs, tile_size).level_for_zoom(zoom)
     dst_ld = ZoomedLayoutScheme(to_crs, tile_size).level_for_zoom(zoom)
-    fwd = lonlat_to_webmercator if to_crs == "webmercator" else webmercator_to_lonlat
-    inv = webmercator_to_lonlat if to_crs == "webmercator" else lonlat_to_webmercator
-    n = 1 << zoom
+    fwd, inv = _crs_pair(from_crs, to_crs)
+    return _reproject(
+        tiles, src_ld, dst_ld, fwd, inv, zoom, to_crs, tile_size, method
+    )
+
+
+def reproject_layer_utm(
+    tiles: DataFrame,
+    zoom: int,
+    zone: int,
+    south: bool = False,
+    from_crs: str = "latlng",
+    tile_size: int = 256,
+    method: str = "bilinear",
+    cell_size: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Warp a ZoomedLayoutScheme tile layer into a WGS84 UTM zone on a
+    FloatingLayoutScheme grid fit to the warped data extent — the
+    reference's projected native-resolution layer shape
+    (``TileRDDReproject`` with a ``FloatingLayoutScheme``).
+
+    The target grid needs the DATA extent, which is one bounded 4-value
+    aggregate over the layer's keys (never a per-row collect): corner
+    keys -> source extent -> a 3x3 boundary sample through the CRS pair
+    (edge midpoints included because TM northing is not monotone in
+    longitude across the central meridian — corners alone under-cover).
+    ``cell_size`` defaults to the source cell size warped at the data
+    extent's center, preserving native resolution."""
+    from pyspark.sql import functions as F
+
+    from ..core.layout import Extent, FloatingLayoutScheme
+    from ..core.proj import utm_central_meridian
+
+    utm_central_meridian(zone)  # validate
+    to_crs = f"utm:{zone}{'s' if south else 'n'}"
+    src_ld = ZoomedLayoutScheme(from_crs, tile_size).level_for_zoom(zoom)
+    fwd, inv = _crs_pair(from_crs, to_crs)
+
+    lo = tiles.agg(
+        F.min("key_col"), F.max("key_col"),
+        F.min("key_row"), F.max("key_row"),
+    ).collect()[0]
+    if lo[0] is None:
+        raise ValueError("reproject_layer_utm: empty layer")
+    x0, _, _, y1 = src_ld.key_to_extent(int(lo[0]), int(lo[2]))
+    _, y0, x1, _ = src_ld.key_to_extent(int(lo[1]), int(lo[3]))
+    gx, gy = np.meshgrid(
+        np.linspace(float(x0), float(x1), 3),
+        np.linspace(float(y0), float(y1), 3),
+    )
+    tx, ty = fwd(gx.ravel(), gy.ravel())
+    if cell_size is None:
+        cx, cy = (float(x0) + float(x1)) / 2.0, (float(y0) + float(y1)) / 2.0
+        px, py = fwd(
+            np.array([cx, cx + src_ld.cell_width, cx]),
+            np.array([cy, cy, cy + src_ld.cell_height]),
+        )
+        cell_size = (
+            float(np.hypot(px[1] - px[0], py[1] - py[0])),
+            float(np.hypot(px[2] - px[0], py[2] - py[0])),
+        )
+    dst_ld = FloatingLayoutScheme(tile_size).level_for(
+        Extent(tx.min(), ty.min(), tx.max(), ty.max()),
+        cell_size[0], cell_size[1],
+    )
+    return _reproject(
+        tiles, src_ld, dst_ld, fwd, inv, 0, to_crs, tile_size, method
+    )
+
+
+def _reproject(
+    tiles: DataFrame,
+    src_ld,
+    dst_ld,
+    fwd,
+    inv,
+    out_zoom: int,
+    to_crs: str,
+    tile_size: int,
+    method: str,
+) -> DataFrame:
+    ncols = dst_ld.tile_layout.layout_cols
+    nrows = dst_ld.tile_layout.layout_rows
     T = tile_size
 
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -83,16 +187,20 @@ def reproject_layer(
                 sxmin, symin, sxmax, symax = (
                     float(x) for x in src_ld.key_to_extent(kc, kr)
                 )
-                # source extent corners -> target CRS bbox (both CRS are
-                # axis-monotone so corners bound the warped extent)
-                cx = np.array([sxmin, sxmax, sxmin, sxmax])
-                cy = np.array([symin, symin, symax, symax])
-                tx, ty = fwd(cx, cy)
+                # source extent boundary -> target CRS bbox. 3x3 grid
+                # (corners + edge midpoints): TM northing is not
+                # monotone in longitude across the central meridian,
+                # so corners alone can under-cover by a sliver
+                cx, cy = np.meshgrid(
+                    np.array([sxmin, (sxmin + sxmax) / 2.0, sxmax]),
+                    np.array([symin, (symin + symax) / 2.0, symax]),
+                )
+                tx, ty = fwd(cx.ravel(), cy.ravel())
                 c0, r0, c1, r1 = dst_ld.extent_to_key_range(
                     type(dst_ld.extent)(tx.min(), ty.min(), tx.max(), ty.max())
                 )
-                for tc in range(c0, min(c1, n - 1) + 1):
-                    for tr in range(r0, min(r1, n - 1) + 1):
+                for tc in range(max(c0, 0), min(c1, ncols - 1) + 1):
+                    for tr in range(max(r0, 0), min(r1, nrows - 1) + 1):
                         out["cell_id"].append(int(sfc.zorder(tc, tr)))
                         out["key_col"].append(tc)
                         out["key_row"].append(tr)
@@ -129,7 +237,7 @@ def reproject_layer(
         out = np.where(np.isnan(acc), 0.0, np.rint(np.clip(acc, 0, 65535)))
         row = pdf.iloc[0]
         return {
-            "layer": f"{row['layer']}_{to_crs}", "zoom": zoom,
+            "layer": f"{row['layer']}_{to_crs}", "zoom": out_zoom,
             "key_col": tc, "key_row": tr, "cell_id": cell,
             "tile": codecs.encode_tile(out.reshape(T, T).astype(np.uint16),
                                        row["fmt"]),

@@ -11,22 +11,25 @@ ZOOM = 2
 T = 64
 
 
-def _layer(spark, value_fn):
-    """Build a full-world LatLng layer at ZOOM with T-px tiles whose
-    pixel values come from value_fn(lon, lat)."""
-    ld = ZoomedLayoutScheme("latlng", T).level_for_zoom(ZOOM)
+def _layer(spark, value_fn, zoom=ZOOM, keys=None):
+    """Build a LatLng layer at ``zoom`` with T-px tiles whose pixel
+    values come from value_fn(lon, lat); full-world unless ``keys``
+    (iterable of (col,row)) restricts coverage."""
+    ld = ZoomedLayoutScheme("latlng", T).level_for_zoom(zoom)
     rows = []
-    n = 1 << ZOOM
-    for kc in range(n):
-        for kr in range(n):
-            xs, ys = ld.cell_lattice(kc, kr)
-            gx, gy = np.meshgrid(xs, ys)
-            px = value_fn(gx, gy).astype(np.uint16)
-            rows.append(
-                ("src", ZOOM, kc, kr, int(sfc.zorder(kc, kr)),
-                 bytearray(codecs.encode_tile(px, "raw16")), "raw16", T, T,
-                 "uint16ud0")
-            )
+    n = 1 << zoom
+    for kc, kr in (
+        keys if keys is not None
+        else ((c, r) for c in range(n) for r in range(n))
+    ):
+        xs, ys = ld.cell_lattice(kc, kr)
+        gx, gy = np.meshgrid(xs, ys)
+        px = np.rint(value_fn(gx, gy)).astype(np.uint16)
+        rows.append(
+            ("src", zoom, kc, kr, int(sfc.zorder(kc, kr)),
+             bytearray(codecs.encode_tile(px, "raw16")), "raw16", T, T,
+             "uint16ud0")
+        )
     return spark.createDataFrame(
         rows,
         "layer string, zoom int, key_col long, key_row long, cell_id long, "
@@ -64,3 +67,81 @@ def test_reproject_lon_gradient(spark):
         np.testing.assert_allclose(px, expect, atol=1.01)
         checked += 1
     assert checked == (1 << ZOOM) ** 2
+
+
+def test_reproject_layer_utm_gradient(spark):
+    """LatLng -> UTM 33N onto a FloatingLayoutScheme grid: a linear
+    field in (lon, lat) must re-emerge at the UTM pixel centers mapped
+    back through the exact inverse transform. Proves the composed CRS
+    pair, the warped-extent floating layout fit, and the warp itself."""
+    from geotrellis_spark.core import proj
+
+    zoom = 5  # latlng tiles 11.25 x 5.625 deg
+    keys = [(c, r) for c in (16, 17) for r in (6, 7, 8)]
+    f = lambda lon, lat: 20000.0 + 100.0 * lon + 50.0 * lat  # noqa: E731
+    src = _layer(spark, f, zoom=zoom, keys=keys)
+    out = reproject.reproject_layer_utm(src, zoom, zone=33, tile_size=T)
+    tiles = out.collect()
+    assert tiles and all(r["zoom"] == 0 for r in tiles)
+    assert all(r["layer"] == "src_utm:33n" for r in tiles)
+
+    # source coverage: cols 16-17 -> lon [0, 22.5], rows 6-8 ->
+    # lat [39.375, 56.25]; stay one source cell inside the edge so
+    # bilinear support is complete
+    src_cw, src_ch = 11.25 / T, 5.625 / T
+    checked = 0
+    for r in tiles:
+        px = codecs.decode_tile(
+            bytes(r["tile"]), T, T, r["fmt"]
+        ).astype(np.float64)
+        # recompute the layout exactly as the operator does
+        from geotrellis_spark.core.layout import (
+            Extent, FloatingLayoutScheme, ZoomedLayoutScheme as _Z,
+        )
+        src_ld = _Z("latlng", T).level_for_zoom(zoom)
+        x0, _, _, y1 = src_ld.key_to_extent(16, 6)
+        _, y0, x1, _ = src_ld.key_to_extent(17, 8)
+        fwd, inv = reproject._crs_pair("latlng", "utm:33n")
+        gx, gy = np.meshgrid(
+            np.linspace(float(x0), float(x1), 3),
+            np.linspace(float(y0), float(y1), 3),
+        )
+        tx, ty = fwd(gx.ravel(), gy.ravel())
+        cx, cy = (float(x0) + float(x1)) / 2, (float(y0) + float(y1)) / 2
+        pxs, pys = fwd(
+            np.array([cx, cx + src_ld.cell_width, cx]),
+            np.array([cy, cy, cy + src_ld.cell_height]),
+        )
+        dst_ld = FloatingLayoutScheme(T).level_for(
+            Extent(tx.min(), ty.min(), tx.max(), ty.max()),
+            float(np.hypot(pxs[1] - pxs[0], pys[1] - pys[0])),
+            float(np.hypot(pxs[2] - pxs[0], pys[2] - pys[0])),
+        )
+        xs, ys = dst_ld.cell_lattice(r["key_col"], r["key_row"])
+        ggx, ggy = np.meshgrid(xs, ys)
+        lon, lat = proj.utm_inverse(ggx.ravel(), ggy.ravel(), 33)
+        inside = (
+            (lon > 0.0 + src_cw) & (lon < 22.5 - src_cw)
+            & (lat > 39.375 + src_ch) & (lat < 56.25 - src_ch)
+        )
+        # exclude one-source-cell bands around INTERNAL source-tile
+        # seams: bilinear clamps at each source tile's edge (no
+        # cross-tile neighbors in this operator), so a 2-D gradient is
+        # only exactly reproduced away from seams
+        for s in (11.25,):
+            inside &= np.abs(lon - s) > 2 * src_cw
+        for s in (45.0, 50.625):
+            inside &= np.abs(lat - s) > 2 * src_ch
+        inside = inside.reshape(T, T)
+        expect = f(lon, lat).reshape(T, T)
+        if inside.any():
+            np.testing.assert_allclose(
+                px[inside], expect[inside], atol=1.01
+            )
+            checked += 1
+        # outside coverage must be nodata fill (0) or seam-clamped
+        # (bilinear edge clamp bounded by half a source cell of
+        # gradient: 100 deg^-1 * src_cw / 2 ~ 8.8, + rounding)
+        assert ((px[~inside] == 0) | (np.abs(
+            px[~inside] - expect[~inside]) <= 12.0)).all()
+    assert checked >= 4
