@@ -2,7 +2,9 @@
 calls — the twin of the reference's spark-pipeline module
 (geotrellis.spark.pipeline.ast: read -> transform[reproject, tile,
 pyramid] -> write, circe-parsed JSON), re-expressed over the
-DataFrame stages this engine already has.
+DataFrame stages this engine already has. ``transform.reproject``
+covers both ZoomedLayoutScheme pairs (latlng <-> webmercator) and
+UTM targets (``to_crs: "utm:33n"`` -> FloatingLayoutScheme fit).
 
 The AST is a JSON list of nodes, each ``{"type": "<verb.kind>", ...}``
 applied in order to a single flowing value (images table -> tile
@@ -103,6 +105,32 @@ def run_pipeline(spark: SparkSession, ast: list[dict] | str) -> dict:
                 layer=node.get("layer", "images"),
                 fmt=node.get("fmt", "raw16"),
             )
+            state_kind = "tiles"
+        elif t == "transform.reproject":
+            if state_kind != "tiles":
+                raise PipelineError(
+                    f"transform.reproject needs a tile layer, have "
+                    f"{state_kind} (node {i})"
+                )
+            from ..operators import reproject as rp
+
+            to_crs = str(_req(node, "to_crs")).lower()
+            from_crs = str(node.get("from_crs", "latlng")).lower()
+            method = node.get("method", "bilinear")
+            if to_crs.startswith("utm:"):
+                from ..core.proj import _parse_utm
+
+                zone_n, south = _parse_utm(to_crs)
+                value = rp.reproject_layer_utm(
+                    value, zoom, zone=zone_n, south=south,
+                    from_crs=from_crs, tile_size=tile_size,
+                    method=method,
+                )
+                zoom = 0  # FloatingLayoutScheme output
+            else:
+                value = rp.reproject_layer(
+                    value, zoom, from_crs, to_crs, tile_size, method
+                )
             state_kind = "tiles"
         elif t == "transform.pyramid":
             if state_kind != "tiles":

@@ -85,3 +85,54 @@ def test_json_string_input_and_parquet_write(spark, tmp_path):
 def test_malformed_asts_fail_loudly(spark, ast, msg):
     with pytest.raises(PipelineError, match=msg):
         run_pipeline(spark, ast)
+
+
+def test_reproject_node_equals_direct(spark):
+    from geotrellis_spark import synth
+    from geotrellis_spark.operators import reproject, tiling
+
+    out = run_pipeline(
+        spark,
+        [
+            {"type": "read.synth", "n": 30},
+            {"type": "transform.tile", "zoom": 4, "tile_size": 64},
+            {"type": "transform.reproject", "to_crs": "webmercator"},
+        ],
+    )
+    assert out["kind"] == "tiles" and out["zoom"] == 4
+    direct = reproject.reproject_layer(
+        tiling.tile_images(
+            synth.synth_images(spark, 30, partitions=4), 4, 64
+        ),
+        4, "latlng", "webmercator", 64,
+    )
+    want = {
+        (r["key_col"], r["key_row"]): bytes(r["tile"])
+        for r in direct.collect()
+    }
+    got = {
+        (r["key_col"], r["key_row"]): bytes(r["tile"])
+        for r in out["result"].collect()
+    }
+    assert got == want and got
+
+
+def test_reproject_node_utm_and_type_state(spark):
+    out = run_pipeline(
+        spark,
+        [
+            {"type": "read.synth", "n": 20},
+            {"type": "transform.tile", "zoom": 4, "tile_size": 64},
+            {"type": "transform.reproject", "to_crs": "utm:33n"},
+        ],
+    )
+    rows = out["result"].collect()
+    assert out["zoom"] == 0 and rows
+    assert all(r["layer"].endswith("_utm:33n") for r in rows)
+
+    with pytest.raises(PipelineError, match="needs a tile layer"):
+        run_pipeline(
+            spark,
+            [{"type": "read.synth", "n": 5},
+             {"type": "transform.reproject", "to_crs": "webmercator"}],
+        )
