@@ -1,6 +1,9 @@
 """Cloud-Optimized GeoTIFF codec, from scratch against the public
 TIFF 6.0 + GeoTIFF 1.1 (OGC 19-008r4) specifications: tiled image
-organization (tags 322-325), ModelPixelScale/ModelTiepoint geo
+organization (tags 322-325) and baseline strip organization
+(RowsPerStrip/StripOffsets/StripByteCounts — the reference reader's
+other segment layout; windowed strip reads fetch whole intersecting
+strips), ModelPixelScale/ModelTiepoint geo
 transform (33550/33922), GeoKeyDirectory CRS tags (34735), reduced-
 resolution overview IFDs chained behind the primary (NewSubfileType=1),
 and the COG layout contract — ALL IFDs and tag values live in a
@@ -34,6 +37,9 @@ from .tiff import (
     COMP_LZW,
     COMP_NONE,
     COMP_PACKBITS,
+    T_ROWS_PER_STRIP,
+    T_STRIP_COUNTS,
+    T_STRIP_OFFSETS,
     lzw_decode,
     lzw_encode,
     packbits_decode,
@@ -169,6 +175,31 @@ def _cut_tiles(
     return tiles, nty, ntx
 
 
+def _cut_strips(
+    px: np.ndarray, rps: int, bo: str, comp: int, predictor: int = PRED_NONE
+) -> tuple[list[bytes], int, int]:
+    """Cut one level into compressed full-width strip blobs (TIFF 6.0
+    baseline strip organization; the last strip is SHORT, not padded —
+    unlike tiles)."""
+    bands, h, w = px.shape
+    chunky = px.transpose(1, 2, 0)
+    strips = []
+    for r0 in range(0, h, rps):
+        t = np.ascontiguousarray(chunky[r0 : r0 + rps]).copy()
+        if predictor == PRED_HORIZONTAL:
+            t[:, 1:, :] -= chunky[r0 : r0 + rps, : w - 1]
+        raw = t.astype(f"{bo}u2").tobytes()
+        if comp == COMP_PACKBITS:
+            strips.append(packbits_encode(raw))
+        elif comp == COMP_LZW:
+            strips.append(lzw_encode(raw))
+        elif comp == COMP_DEFLATE:
+            strips.append(zlib.compress(raw, 6))
+        else:
+            strips.append(raw)
+    return strips, len(strips), 1
+
+
 def geotiff_encode(
     px: np.ndarray,
     extent: tuple[float, float, float, float],
@@ -179,6 +210,8 @@ def geotiff_encode(
     byteorder: str = "<",
     bigtiff: bool = False,
     predictor: int = PRED_NONE,
+    tiled: bool = True,
+    rows_per_strip: int = 64,
 ) -> bytes:
     """Encode uint16 (bands, h, w) pixels as a Cloud-Optimized GeoTIFF:
     tiled layout, geo transform + CRS tags, 2x-reduced overview IFDs
@@ -192,10 +225,17 @@ def geotiff_encode(
     20-byte IFD entries) — the form a >4 GiB production COG requires;
     classic TIFF's 32-bit offsets top out there. ``predictor=2`` turns
     on horizontal differencing before compression (tag 317).
+
+    ``tiled=False`` writes the STRIP-organized form (RowsPerStrip /
+    StripOffsets / StripByteCounts) the reference's GeoTiffReader also
+    accepts — windowed reads then fetch whole intersecting strips
+    (full image width), which is exactly the access-pattern penalty
+    COG's tiled layout exists to avoid; ``tile_size`` still sets the
+    overview decimation cutoff.
     """
     if px.ndim != 3 or px.shape[0] not in (1, 3):
         raise ValueError(f"geotiff_encode wants (1|3, h, w), got {px.shape}")
-    if tile_size % 16:
+    if tiled and tile_size % 16:
         raise ValueError("TIFF 6.0: TileWidth/TileLength must be % 16 == 0")
     if predictor not in (PRED_NONE, PRED_HORIZONTAL):
         raise ValueError(f"unsupported predictor {predictor} (1|2)")
@@ -210,7 +250,9 @@ def geotiff_encode(
             levels.append(_downsample2(levels[-1]))
 
     per_level = [
-        _cut_tiles(lv, tile_size, bo, comp, predictor) for lv in levels
+        _cut_tiles(lv, tile_size, bo, comp, predictor) if tiled
+        else _cut_strips(lv, rows_per_strip, bo, comp, predictor)
+        for lv in levels
     ]
 
     sx = (xmax - xmin) / w
@@ -240,12 +282,21 @@ def geotiff_encode(
             (T_PHOTOMETRIC, TYPE_SHORT, [2 if bands == 3 else 1]),
             (T_SPP, TYPE_SHORT, [bands]),
             (T_PLANAR, TYPE_SHORT, [1]),
-            (T_TILE_WIDTH, TYPE_SHORT, [tile_size]),
-            (T_TILE_LENGTH, TYPE_SHORT, [tile_size]),
-            (T_TILE_OFFSETS, off_type, [0] * len(tiles)),  # patched
-            (T_TILE_COUNTS, off_type, [len(t) for t in tiles]),
             (T_SAMPLE_FORMAT, TYPE_SHORT, [1] * bands),
         ]
+        if tiled:
+            tags += [
+                (T_TILE_WIDTH, TYPE_SHORT, [tile_size]),
+                (T_TILE_LENGTH, TYPE_SHORT, [tile_size]),
+                (T_TILE_OFFSETS, off_type, [0] * len(tiles)),  # patched
+                (T_TILE_COUNTS, off_type, [len(t) for t in tiles]),
+            ]
+        else:
+            tags += [
+                (T_ROWS_PER_STRIP, TYPE_LONG, [rows_per_strip]),
+                (T_STRIP_OFFSETS, off_type, [0] * len(tiles)),  # patched
+                (T_STRIP_COUNTS, off_type, [len(t) for t in tiles]),
+            ]
         if predictor != PRED_NONE:
             tags.append((T_PREDICTOR, TYPE_SHORT, [predictor]))
         if li == 0:
@@ -296,7 +347,7 @@ def geotiff_encode(
         ext_base = ext_offsets[li]
         entries = bytearray()
         for tag, typ, vals in tags:
-            if tag == T_TILE_OFFSETS:
+            if tag in (T_TILE_OFFSETS, T_STRIP_OFFSETS):
                 vals = tile_offsets[li]
             fmt, sz = _TYPE[typ]
             if typ == TYPE_SHORT:
@@ -340,6 +391,7 @@ class _Ifd:
     __slots__ = (
         "width", "height", "bands", "comp", "tile_size",
         "ntx", "nty", "tile_offsets", "tile_counts", "predictor",
+        "tiled", "rps",
     )
 
 
@@ -430,19 +482,33 @@ class Cog:
             COMP_NONE, COMP_PACKBITS, COMP_LZW, COMP_DEFLATE
         ):
             raise ValueError(f"unsupported compression {ifd.comp}")
-        if T_TILE_WIDTH not in tags:
-            raise ValueError("not a tiled TIFF (no TileWidth)")
-        if tags[T_TILE_WIDTH][0] != tags[T_TILE_LENGTH][0]:
-            raise ValueError("non-square tiles unsupported")
         bits = tags.get(T_BITS, (16,) * ifd.bands)
         if any(b != 16 for b in bits):
             raise ValueError(f"only 16-bit samples supported, got {bits}")
-        ifd.tile_size = tags[T_TILE_WIDTH][0]
-        ifd.nty, ifd.ntx = _tile_grid(ifd.height, ifd.width, ifd.tile_size)
-        ifd.tile_offsets = list(tags[T_TILE_OFFSETS])
-        ifd.tile_counts = list(tags[T_TILE_COUNTS])
-        if len(ifd.tile_offsets) != ifd.nty * ifd.ntx:
-            raise ValueError("TileOffsets count != tile grid size")
+        ifd.tiled = T_TILE_WIDTH in tags
+        if ifd.tiled:
+            if tags[T_TILE_WIDTH][0] != tags[T_TILE_LENGTH][0]:
+                raise ValueError("non-square tiles unsupported")
+            ifd.tile_size = tags[T_TILE_WIDTH][0]
+            ifd.rps = 0
+            ifd.nty, ifd.ntx = _tile_grid(
+                ifd.height, ifd.width, ifd.tile_size
+            )
+            ifd.tile_offsets = list(tags[T_TILE_OFFSETS])
+            ifd.tile_counts = list(tags[T_TILE_COUNTS])
+            if len(ifd.tile_offsets) != ifd.nty * ifd.ntx:
+                raise ValueError("TileOffsets count != tile grid size")
+        elif T_STRIP_OFFSETS in tags:
+            ifd.tile_size = 0
+            ifd.rps = tags.get(T_ROWS_PER_STRIP, (ifd.height,))[0]
+            ifd.ntx = 1
+            ifd.nty = -(-ifd.height // ifd.rps)
+            ifd.tile_offsets = list(tags[T_STRIP_OFFSETS])
+            ifd.tile_counts = list(tags[T_STRIP_COUNTS])
+            if len(ifd.tile_offsets) != ifd.nty:
+                raise ValueError("StripOffsets count != strip count")
+        else:
+            raise ValueError("neither tiled nor striped TIFF")
         ifd.predictor = tags.get(T_PREDICTOR, (PRED_NONE,))[0]
         if ifd.predictor not in (PRED_NONE, PRED_HORIZONTAL):
             raise ValueError(f"unsupported predictor {ifd.predictor}")
@@ -478,8 +544,12 @@ class Cog:
     def _tile(self, ifd: _Ifd, ty: int, tx: int) -> np.ndarray:
         i = ty * ifd.ntx + tx
         chunk = self._fetch(ifd.tile_offsets[i], ifd.tile_counts[i])
-        ts = ifd.tile_size
-        expected = ts * ts * ifd.bands * 2
+        if ifd.tiled:
+            ch, cw = ifd.tile_size, ifd.tile_size
+        else:  # strip: full width, last strip short (never padded)
+            ch = min(ifd.rps, ifd.height - ty * ifd.rps)
+            cw = ifd.width
+        expected = ch * cw * ifd.bands * 2
         if ifd.comp == COMP_PACKBITS:
             raw = packbits_decode(chunk, expected)
         elif ifd.comp == COMP_LZW:
@@ -493,7 +563,7 @@ class Cog:
             if len(raw) != expected:
                 raise ValueError("raw tile size mismatch")
         arr = np.frombuffer(raw, dtype=f"{self.bo}u2").astype(np.uint16)
-        arr = arr.reshape(ts, ts, ifd.bands)
+        arr = arr.reshape(ch, cw, ifd.bands)
         if ifd.predictor == PRED_HORIZONTAL:
             # inverse differencing: running sum across columns per
             # sample, mod 2^16 (uint16 cumsum wraps)
@@ -510,16 +580,26 @@ class Cog:
         x1, y1 = min(ifd.width, x1), min(ifd.height, y1)
         if x0 >= x1 or y0 >= y1:
             return np.zeros((ifd.bands, 0, 0), dtype=np.uint16)
-        ts = ifd.tile_size
         out = np.zeros((y1 - y0, x1 - x0, ifd.bands), dtype=np.uint16)
-        for ty in range(y0 // ts, (y1 - 1) // ts + 1):
-            for tx in range(x0 // ts, (x1 - 1) // ts + 1):
-                tile = self._tile(ifd, ty, tx)
-                gy0, gx0 = ty * ts, tx * ts
-                ry0, ry1 = max(y0, gy0), min(y1, gy0 + ts)
-                rx0, rx1 = max(x0, gx0), min(x1, gx0 + ts)
-                out[ry0 - y0 : ry1 - y0, rx0 - x0 : rx1 - x0] = tile[
-                    ry0 - gy0 : ry1 - gy0, rx0 - gx0 : rx1 - gx0
+        if ifd.tiled:
+            ts = ifd.tile_size
+            for ty in range(y0 // ts, (y1 - 1) // ts + 1):
+                for tx in range(x0 // ts, (x1 - 1) // ts + 1):
+                    tile = self._tile(ifd, ty, tx)
+                    gy0, gx0 = ty * ts, tx * ts
+                    ry0, ry1 = max(y0, gy0), min(y1, gy0 + ts)
+                    rx0, rx1 = max(x0, gx0), min(x1, gx0 + ts)
+                    out[ry0 - y0 : ry1 - y0, rx0 - x0 : rx1 - x0] = tile[
+                        ry0 - gy0 : ry1 - gy0, rx0 - gx0 : rx1 - gx0
+                    ]
+        else:  # striped: fetch intersecting full-width strips only
+            rps = ifd.rps
+            for ty in range(y0 // rps, (y1 - 1) // rps + 1):
+                strip = self._tile(ifd, ty, 0)
+                gy0 = ty * rps
+                ry0, ry1 = max(y0, gy0), min(y1, gy0 + strip.shape[0])
+                out[ry0 - y0 : ry1 - y0, :] = strip[
+                    ry0 - gy0 : ry1 - gy0, x0:x1
                 ]
         return np.ascontiguousarray(out.transpose(2, 0, 1))
 

@@ -130,9 +130,12 @@ def test_malformed_rejects():
     px = _px(1, 32, 32)
     from geotrellis_spark.core import tiff
 
-    stripped = tiff.tiff_encode(px)  # strip-organized, not tiled
-    with pytest.raises(ValueError, match="tiled"):
-        Cog(RecordingFetch(stripped))
+    # strip-organized baseline TIFF (no geo tags) now parses as a
+    # striped IFD — the reference reader accepts both segment layouts
+    stripped = tiff.tiff_encode(px)
+    cog = Cog(RecordingFetch(stripped))
+    assert not cog.ifds[0].tiled
+    assert np.array_equal(cog.read_window(0, 0, 32, 32), px)
     with pytest.raises(ValueError):
         geotiff.geotiff_encode(px, (0, 0, 1, 1), tile_size=50)  # %16
 
@@ -223,3 +226,73 @@ def test_spark_catalog_prune_reaches_parquet(spark, tmp_path):
         ln for ln in plan.splitlines() if "PushedFilters" in ln
     ]
     assert pushed and "LessThan(xmin" in pushed[0]
+
+
+# ---------------------------------------------------------------- strips
+
+@pytest.mark.parametrize("compression", ["none", "packbits", "lzw",
+                                         "deflate"])
+def test_striped_roundtrip_bit_exact(compression):
+    """Strip-organized GeoTIFF (the reference reader's other segment
+    layout): bit-exact round-trip incl. a short last strip (200 rows,
+    rps 48 -> 5 strips, last 8 rows)."""
+    px = _px(3, 200, 130, seed=9)
+    blob = geotiff.geotiff_encode(
+        px, (-10.0, 40.0, 3.0, 53.0), epsg=4326, tiled=False,
+        rows_per_strip=48, compression=compression, overviews=False,
+    )
+    assert np.array_equal(geotiff.geotiff_decode(blob), px)
+
+
+def test_striped_predictor_and_bigtiff():
+    rng = np.random.default_rng(4)
+    smooth = np.cumsum(
+        rng.integers(-2, 3, (1, 96, 200)), axis=2
+    ).astype(np.uint16) + 500
+    for bigtiff in (False, True):
+        blob = geotiff.geotiff_encode(
+            smooth, (0.0, 0.0, 20.0, 9.6), tiled=False, rows_per_strip=32,
+            predictor=2, bigtiff=bigtiff, overviews=False,
+        )
+        assert np.array_equal(geotiff.geotiff_decode(blob), smooth)
+    # predictor makes deflate bite on the smooth raster
+    plain = geotiff.geotiff_encode(
+        smooth, (0.0, 0.0, 20.0, 9.6), tiled=False, rows_per_strip=32,
+        overviews=False,
+    )
+    pred = geotiff.geotiff_encode(
+        smooth, (0.0, 0.0, 20.0, 9.6), tiled=False, rows_per_strip=32,
+        predictor=2, overviews=False,
+    )
+    assert len(pred) < len(plain)
+
+
+def test_striped_window_fetches_only_intersecting_strips():
+    px = _px(1, 320, 96, seed=11)
+    blob = geotiff.geotiff_encode(
+        px, (0.0, 0.0, 9.6, 32.0), tiled=False, rows_per_strip=64,
+        compression="none", overviews=False,
+    )
+    fetch = RecordingFetch(blob)
+    cog = Cog(fetch)
+    fetch.ranges.clear()
+    win = cog.read_window(10, 130, 60, 200)  # rows 130-199 -> strips 2,3
+    assert np.array_equal(win, px[:, 130:200, 10:60])
+    # exactly two data fetches, matching strips 2 and 3's byte ranges
+    ifd = cog.ifds[0]
+    want = {(ifd.tile_offsets[2], ifd.tile_counts[2]),
+            (ifd.tile_offsets[3], ifd.tile_counts[3])}
+    assert set(fetch.ranges) == want
+
+
+def test_striped_overview_chain():
+    px = _px(1, 512, 512, seed=13)
+    blob = geotiff.geotiff_encode(
+        px, (0.0, 0.0, 51.2, 51.2), tiled=False, rows_per_strip=64,
+        tile_size=128, overviews=True,
+    )
+    cog = Cog(RecordingFetch(blob))
+    assert len(cog.ifds) == 3  # 512 -> 256 -> 128
+    assert cog.ifds[1].width == 256 and not cog.ifds[1].tiled
+    lvl1 = cog.read_window(0, 0, 256, 256, level=1)
+    assert np.array_equal(lvl1, geotiff.geotiff_decode(blob, level=1))
