@@ -20,6 +20,8 @@ Everything is vectorized float64 numpy; scalars broadcast.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 WGS84_A = 6378137.0
@@ -161,6 +163,84 @@ def utm_inverse(x, y, zone: int, south: bool = False):
     )
 
 
+# ------------------------------------------- polar stereographic
+
+def _ps_t(phi: np.ndarray, e: float) -> np.ndarray:
+    """Snyder (1987) eq. 15-9: the isometric-colatitude half-angle
+    term of the ellipsoidal polar stereographic."""
+    s = e * np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - s) / (1.0 + s)
+    ) ** (e / 2.0)
+
+
+def ps_forward(
+    lon, lat, lat_ts: float, lon0: float, south: bool = False,
+    fe: float = 0.0, fn: float = 0.0,
+    a: float = WGS84_A, f: float = WGS84_F,
+):
+    """Ellipsoidal polar stereographic with a standard parallel
+    (Snyder 1987 section 21, eqs 21-33/34): the polar-science CRS
+    family (EPSG 3413-style north, EPSG 3031-style south).  For the
+    south aspect, coordinates are computed in the mirrored hemisphere
+    (phi -> -phi, lambda -> -lambda), the standard trick."""
+    e = math.sqrt(f * (2.0 - f))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.radians(
+        np.clip(np.asarray(lat, dtype=np.float64), -90.0, 90.0)
+    )
+    if south:
+        lam, phi = -lam, -phi
+    phi_ts = math.radians(abs(lat_ts))
+    st = e * math.sin(phi_ts)
+    t_ts = math.tan(math.pi / 4.0 - phi_ts / 2.0) / (
+        (1.0 - st) / (1.0 + st)
+    ) ** (e / 2.0)
+    m_ts = math.cos(phi_ts) / math.sqrt(1.0 - (e * math.sin(phi_ts)) ** 2)
+    rho = a * m_ts * _ps_t(phi, e) / t_ts
+    x = rho * np.sin(lam)
+    y = -rho * np.cos(lam)
+    if south:
+        x, y = -x, -y
+    return fe + x, fn + y
+
+
+def ps_inverse(
+    x, y, lat_ts: float, lon0: float, south: bool = False,
+    fe: float = 0.0, fn: float = 0.0,
+    a: float = WGS84_A, f: float = WGS84_F,
+):
+    e = math.sqrt(f * (2.0 - f))
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    if south:
+        x, y = -x, -y
+    phi_ts = math.radians(abs(lat_ts))
+    st = e * math.sin(phi_ts)
+    t_ts = math.tan(math.pi / 4.0 - phi_ts / 2.0) / (
+        (1.0 - st) / (1.0 + st)
+    ) ** (e / 2.0)
+    m_ts = math.cos(phi_ts) / math.sqrt(1.0 - (e * math.sin(phi_ts)) ** 2)
+    rho = np.hypot(x, y)
+    t = rho * t_ts / (a * m_ts)
+    # Snyder eq. 7-9 fixed point for phi (geometric convergence ~e^2)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(12):
+        s = e * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - s) / (1.0 + s)) ** (e / 2.0)
+        )
+    lam = np.arctan2(x, -y)
+    if south:
+        lam, phi = -lam, -phi
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+# the two conventional polar-science parameterizations
+POLAR_NORTH = {"lat_ts": 70.0, "lon0": -45.0, "south": False}
+POLAR_SOUTH = {"lat_ts": -71.0, "lon0": 0.0, "south": True}
+
+
 # ------------------------------------------------------- CRS registry
 
 def _parse_utm(name: str) -> tuple[int, bool]:
@@ -193,6 +273,13 @@ def crs_transforms(name: str):
             lambda lon, lat: utm_forward(lon, lat, zone, south),
             lambda x, y: utm_inverse(x, y, zone, south),
         )
+    if key in ("polar:n", "polar:s"):
+        ps = POLAR_NORTH if key == "polar:n" else POLAR_SOUTH
+        return (
+            lambda lon, lat: ps_forward(lon, lat, **ps),
+            lambda x, y: ps_inverse(x, y, **ps),
+        )
     raise ValueError(
-        f"unknown CRS {name!r} (latlng | webmercator | utm:<zone><n|s>)"
+        f"unknown CRS {name!r} "
+        "(latlng | webmercator | utm:<zone><n|s> | polar:<n|s>)"
     )

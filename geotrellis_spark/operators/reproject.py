@@ -111,6 +111,28 @@ def reproject_layer_utm(
     cell_size: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Warp a ZoomedLayoutScheme tile layer into a WGS84 UTM zone on a
+    FloatingLayoutScheme grid — see :func:`reproject_layer_floating`."""
+    from ..core.proj import utm_central_meridian
+
+    utm_central_meridian(zone)  # validate
+    return reproject_layer_floating(
+        tiles, zoom, f"utm:{zone}{'s' if south else 'n'}",
+        from_crs=from_crs, tile_size=tile_size, method=method,
+        cell_size=cell_size,
+    )
+
+
+def reproject_layer_floating(
+    tiles: DataFrame,
+    zoom: int,
+    to_crs: str,
+    from_crs: str = "latlng",
+    tile_size: int = 256,
+    method: str = "bilinear",
+    cell_size: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Warp a ZoomedLayoutScheme tile layer into any registered
+    projected CRS (utm:<zone><n|s>, polar:<n|s>, webmercator) on a
     FloatingLayoutScheme grid fit to the warped data extent — the
     reference's projected native-resolution layer shape
     (``TileRDDReproject`` with a ``FloatingLayoutScheme``).
@@ -118,17 +140,15 @@ def reproject_layer_utm(
     The target grid needs the DATA extent, which is one bounded 4-value
     aggregate over the layer's keys (never a per-row collect): corner
     keys -> source extent -> a 3x3 boundary sample through the CRS pair
-    (edge midpoints included because TM northing is not monotone in
-    longitude across the central meridian — corners alone under-cover).
-    ``cell_size`` defaults to the source cell size warped at the data
-    extent's center, preserving native resolution."""
+    (edge midpoints included because projected coordinates need not be
+    monotone along an edge — TM northing across the central meridian,
+    polar stereographic around the pole — so corners alone can
+    under-cover).  ``cell_size`` defaults to the source cell size
+    warped at the data extent's center, preserving native resolution."""
     from pyspark.sql import functions as F
 
     from ..core.layout import Extent, FloatingLayoutScheme
-    from ..core.proj import utm_central_meridian
 
-    utm_central_meridian(zone)  # validate
-    to_crs = f"utm:{zone}{'s' if south else 'n'}"
     src_ld = ZoomedLayoutScheme(from_crs, tile_size).level_for_zoom(zoom)
     fwd, inv = _crs_pair(from_crs, to_crs)
 
@@ -137,7 +157,7 @@ def reproject_layer_utm(
         F.min("key_row"), F.max("key_row"),
     ).collect()[0]
     if lo[0] is None:
-        raise ValueError("reproject_layer_utm: empty layer")
+        raise ValueError("reproject_layer_floating: empty layer")
     x0, _, _, y1 = src_ld.key_to_extent(int(lo[0]), int(lo[2]))
     _, y0, x1, _ = src_ld.key_to_extent(int(lo[1]), int(lo[3]))
     gx, gy = np.meshgrid(

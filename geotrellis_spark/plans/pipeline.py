@@ -117,14 +117,10 @@ def run_pipeline(spark: SparkSession, ast: list[dict] | str) -> dict:
             to_crs = str(_req(node, "to_crs")).lower()
             from_crs = str(node.get("from_crs", "latlng")).lower()
             method = node.get("method", "bilinear")
-            if to_crs.startswith("utm:"):
-                from ..core.proj import _parse_utm
-
-                zone_n, south = _parse_utm(to_crs)
-                value = rp.reproject_layer_utm(
-                    value, zoom, zone=zone_n, south=south,
-                    from_crs=from_crs, tile_size=tile_size,
-                    method=method,
+            if to_crs.startswith(("utm:", "polar:")):
+                value = rp.reproject_layer_floating(
+                    value, zoom, to_crs, from_crs=from_crs,
+                    tile_size=tile_size, method=method,
                 )
                 zoom = 0  # FloatingLayoutScheme output
             else:

@@ -99,3 +99,48 @@ def test_crs_registry():
     for bad in ("utm:", "utm:33", "utm:61n", "epsg:32633"):
         with pytest.raises(ValueError):
             proj.crs_transforms(bad)
+
+
+def test_polar_stereographic_roundtrip_and_anchors():
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-180.0, 180.0, 5000)
+    lat = rng.uniform(35.0, 89.9, 5000)
+    x, y = proj.ps_forward(lon, lat, 70.0, -45.0)
+    lon2, lat2 = proj.ps_inverse(x, y, 70.0, -45.0)
+    assert np.abs((lon2 - lon + 180) % 360 - 180).max() < 1e-11
+    assert np.abs(lat2 - lat).max() < 1e-11
+
+    lat_s = rng.uniform(-89.9, -35.0, 5000)
+    xs, ys = proj.ps_forward(lon, lat_s, -71.0, 0.0, south=True)
+    lon3, lat3 = proj.ps_inverse(xs, ys, -71.0, 0.0, south=True)
+    assert np.abs((lon3 - lon + 180) % 360 - 180).max() < 1e-11
+    assert np.abs(lat3 - lat_s).max() < 1e-11
+
+    # pole -> origin
+    x0, y0 = proj.ps_forward(123.0, 90.0, 70.0, -45.0)
+    assert float(x0) == 0.0 and float(y0) == 0.0
+
+    # point scale == 1 exactly at the standard parallel (numerical
+    # differentiation along the parallel vs the closed-form arc)
+    d = 1e-6
+    x1, y1 = proj.ps_forward(10.0, 70.0, 70.0, -45.0)
+    x2, y2 = proj.ps_forward(10.0 + d, 70.0, 70.0, -45.0)
+    e2 = proj.WGS84_F * (2.0 - proj.WGS84_F)
+    nrad = proj.WGS84_A / math.sqrt(
+        1.0 - e2 * math.sin(math.radians(70.0)) ** 2
+    )
+    arc = nrad * math.cos(math.radians(70.0)) * math.radians(d)
+    k = math.hypot(float(x2 - x1), float(y2 - y1)) / arc
+    assert abs(k - 1.0) < 1e-7
+
+    # rotation equivariance: +90 deg of longitude rotates (x, y) 90 deg
+    xa, ya = proj.ps_forward(-45.0, 80.0, 70.0, -45.0)  # lam = 0
+    xb, yb = proj.ps_forward(45.0, 80.0, 70.0, -45.0)   # lam = 90
+    assert abs(float(xa)) < 1e-9 and float(ya) < 0
+    assert abs(float(xb) + float(ya)) < 1e-6 and abs(float(yb)) < 1e-6
+
+    fwd, inv = proj.crs_transforms("polar:s")
+    x, y = fwd(np.array([10.0]), np.array([-75.0]))
+    lon4, lat4 = inv(x, y)
+    assert abs(float(lon4) - 10.0) < 1e-11
+    assert abs(float(lat4) + 75.0) < 1e-11

@@ -145,3 +145,67 @@ def test_reproject_layer_utm_gradient(spark):
         assert ((px[~inside] == 0) | (np.abs(
             px[~inside] - expect[~inside]) <= 12.0)).all()
     assert checked >= 4
+
+
+def test_reproject_layer_polar_gradient(spark):
+    """LatLng -> north polar stereographic (polar:n) floating warp: a
+    lat-only linear field re-emerges at polar pixel centers mapped back
+    through the exact inverse. Lon-only seams are free (field constant
+    along them); the one internal lat seam is masked."""
+    from geotrellis_spark.core import proj
+
+    zoom = 5
+    keys = [(c, r) for c in (10, 11, 12, 13) for r in (0, 1)]
+    f = lambda lon, lat: 40000.0 - 400.0 * (90.0 - lat)  # noqa: E731
+    src = _layer(spark, f, zoom=zoom, keys=keys)
+    out = reproject.reproject_layer_floating(
+        src, zoom, "polar:n", tile_size=T
+    )
+    rows = out.collect()
+    assert rows and all(r["layer"] == "src_polar:n" for r in rows)
+
+    src_ch = 5.625 / T
+    fwd, inv = reproject._crs_pair("latlng", "polar:n")
+    from geotrellis_spark.core.layout import (
+        Extent, FloatingLayoutScheme, ZoomedLayoutScheme as _Z,
+    )
+
+    src_ld = _Z("latlng", T).level_for_zoom(zoom)
+    x0, _, _, y1 = src_ld.key_to_extent(10, 0)
+    _, y0, x1, _ = src_ld.key_to_extent(13, 1)
+    gx, gy = np.meshgrid(
+        np.linspace(float(x0), float(x1), 3),
+        np.linspace(float(y0), float(y1), 3),
+    )
+    tx, ty = fwd(gx.ravel(), gy.ravel())
+    cx, cy = (float(x0) + float(x1)) / 2, (float(y0) + float(y1)) / 2
+    pxs, pys = fwd(
+        np.array([cx, cx + src_ld.cell_width, cx]),
+        np.array([cy, cy, cy + src_ld.cell_height]),
+    )
+    dst_ld = FloatingLayoutScheme(T).level_for(
+        Extent(tx.min(), ty.min(), tx.max(), ty.max()),
+        float(np.hypot(pxs[1] - pxs[0], pys[1] - pys[0])),
+        float(np.hypot(pxs[2] - pxs[0], pys[2] - pys[0])),
+    )
+    checked = 0
+    for r in rows:
+        px = codecs.decode_tile(
+            bytes(r["tile"]), T, T, r["fmt"]
+        ).astype(np.float64)
+        xs, ys = dst_ld.cell_lattice(r["key_col"], r["key_row"])
+        ggx, ggy = np.meshgrid(xs, ys)
+        lon, lat = proj.ps_inverse(
+            ggx.ravel(), ggy.ravel(), 70.0, -45.0
+        )
+        inside = (
+            (lon > -67.5 + src_ch) & (lon < -22.5 - src_ch)
+            & (lat > 78.75 + src_ch) & (lat < 90.0 - src_ch)
+            & (np.abs(lat - 84.375) > 2 * src_ch)  # internal lat seam
+        ).reshape(T, T)
+        expect = f(lon, lat).reshape(T, T)
+        if inside.any():
+            np.testing.assert_allclose(px[inside], expect[inside],
+                                       atol=1.01)
+            checked += 1
+    assert checked >= 3
