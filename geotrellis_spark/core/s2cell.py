@@ -1,0 +1,163 @@
+"""S2-style cube-face cell IDs — the pole-free global index family
+the north-star spec names ("SpaceTimeKey/SpatialKey Z-order and
+Hilbert indexing re-expressed as H3/S2 cell IDs").
+
+Reference role: geotrellis.layer key indexes (``ZSpatialKeyIndex``,
+``HilbertSpatialKeyIndex``) operate on a lat/lng or mercator lattice,
+which degenerates at the poles (cells shrink, key ranges fragment).
+This module implements the published S2 construction from scratch —
+cube-face decomposition, central projection to face (u, v), the
+quadratic (u -> s) re-parameterization that evens out cell areas, and
+a Hilbert curve position within the face — giving a global 63-bit id
+``face * 4^level + hilbert_pos`` whose cells are near-uniform in area
+everywhere on the sphere, with prefix-nesting parents and contiguous
+descendant ranges (the range-prune primitive, T13's role globally).
+
+This is the S2 GEOMETRY (faces, projection, quadratic ST, Hilbert
+locality), not a bit-for-bit clone of Google's id layout: without a
+reference implementation in the sandbox, id-compatibility would be
+an unverifiable claim, so the honest contract is the construction +
+its invariants (round-trip, nesting, range contiguity, area
+uniformity, locality), all pytest-gated.
+
+Pure vectorized numpy; float64 throughout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .sfc import hilbert_d2xy, hilbert_xy2d
+
+MAX_LEVEL = 30  # 3 bits face + 60 bits position = 63 bits
+
+
+def _lonlat_to_xyz(lon, lat):
+    lon = np.radians(np.asarray(lon, dtype=np.float64))
+    lat = np.radians(np.asarray(lat, dtype=np.float64))
+    cl = np.cos(lat)
+    return cl * np.cos(lon), cl * np.sin(lon), np.sin(lat)
+
+
+def _face_uv(x, y, z):
+    """Cube face (0..5: +x,+y,+z,-x,-y,-z by dominant axis) and the
+    central-projection (u, v) in [-1, 1] on that face (published S2
+    face/axis conventions)."""
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(
+        (ax >= ay) & (ax >= az), np.where(x >= 0, 0, 3),
+        np.where(ay >= az, np.where(y >= 0, 1, 4),
+                 np.where(z >= 0, 2, 5)),
+    ).astype(np.int64)
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    for f, (ufn, vfn) in enumerate((
+        (lambda: y / x, lambda: z / x),        # +x
+        (lambda: -x / y, lambda: z / y),       # +y
+        (lambda: -x / z, lambda: -y / z),      # +z
+        (lambda: z / x, lambda: y / x),        # -x
+        (lambda: z / y, lambda: -x / y),       # -y
+        (lambda: -y / z, lambda: -x / z),      # -z
+    )):
+        m = face == f
+        if m.any():
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u[m] = ufn()[m]
+                v[m] = vfn()[m]
+    return face, u, v
+
+
+def _uv_from_face(face, u, v):
+    """Inverse of :func:`_face_uv`: unit-sphere direction (unnormalized
+    is fine for lon/lat extraction)."""
+    one = np.ones_like(u)
+    xs = [one, -u, -u, -one, v, v]
+    ys = [u, one, -v, -v, -one, u]
+    zs = [v, v, one, -u, -u, -one]
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    face = np.asarray(face)
+    for f in range(6):
+        m = face == f
+        if m.any():
+            x[m], y[m], z[m] = xs[f][m], ys[f][m], zs[f][m]
+    return x, y, z
+
+
+def _u_to_s(u):
+    """S2's quadratic re-parameterization: linear-in-u cells are ~5.2x
+    larger at face centers than corners; the quadratic evens the areas
+    (max/min ~2.1)."""
+    return np.where(
+        u >= 0.0,
+        0.5 * np.sqrt(np.maximum(0.0, 1.0 + 3.0 * u)),
+        1.0 - 0.5 * np.sqrt(np.maximum(0.0, 1.0 - 3.0 * u)),
+    )
+
+
+def _s_to_u(s):
+    return np.where(
+        s >= 0.5,
+        (4.0 * s * s - 1.0) / 3.0,
+        (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0,
+    )
+
+
+def s2_cell(lon, lat, level: int) -> np.ndarray:
+    """Cell id at ``level``: face * 4^level + hilbert_position."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be 0..{MAX_LEVEL}, got {level}")
+    x, y, z = _lonlat_to_xyz(lon, lat)
+    face, u, v = _face_uv(x, y, z)
+    n = np.int64(1) << level
+    i = np.clip((_u_to_s(u) * n).astype(np.int64), 0, n - 1)
+    j = np.clip((_u_to_s(v) * n).astype(np.int64), 0, n - 1)
+    if level == 0:
+        return face
+    return face * (np.int64(1) << (2 * level)) + hilbert_xy2d(level, i, j)
+
+
+def s2_decode(cell, level: int):
+    """(face, i, j) of a cell id."""
+    cell = np.asarray(cell, dtype=np.int64)
+    if level == 0:
+        z = np.zeros_like(cell)
+        return cell, z, z
+    face = cell >> (2 * level)
+    pos = cell & ((np.int64(1) << (2 * level)) - 1)
+    i, j = hilbert_d2xy(level, pos)
+    return face, i, j
+
+
+def s2_center(cell, level: int):
+    """(lon, lat) of the cell center."""
+    face, i, j = s2_decode(cell, level)
+    n = float(1 << level)
+    u = _s_to_u((np.asarray(i, dtype=np.float64) + 0.5) / n)
+    v = _s_to_u((np.asarray(j, dtype=np.float64) + 0.5) / n)
+    x, y, z = _uv_from_face(face, u, v)
+    lon = np.degrees(np.arctan2(y, x))
+    lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+    return lon, lat
+
+
+def s2_parent(cell, level: int, delta: int = 1) -> np.ndarray:
+    """Parent id ``delta`` levels up — a pure shift, because the
+    Hilbert position prefix-nests (each parent's four children are
+    consecutive on the curve)."""
+    if delta < 0 or delta > level:
+        raise ValueError(f"delta must be 0..{level}, got {delta}")
+    return np.asarray(cell, dtype=np.int64) >> (2 * delta)
+
+
+def s2_range(cell, level: int, to_level: int):
+    """[lo, hi) of the descendants of ``cell`` (at ``level``) at the
+    finer ``to_level`` — contiguous, so a cover of S2 cells turns into
+    a handful of id ranges the scan can prune on (T13's MergeQueue
+    role on the sphere)."""
+    if to_level < level:
+        raise ValueError("to_level must be >= level")
+    cell = np.asarray(cell, dtype=np.int64)
+    shift = 2 * (to_level - level)
+    return cell << shift, (cell + 1) << shift

@@ -103,6 +103,31 @@ def assign_cells(
     return out.drop(k)
 
 
+def s2_assign(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    level: int,
+    out_col: str = "s2_cell",
+) -> DataFrame:
+    """Global S2-style cube-face Hilbert cell id (core/s2cell.py) —
+    the pole-free alternative to the lattice key indexes: near-uniform
+    cell areas everywhere on the sphere, prefix-nesting parents, and
+    contiguous descendant id ranges for scan pruning. One vectorized
+    Arrow batch map, zero exchanges."""
+    from ..core import s2cell
+
+    @F.pandas_udf(LongType())
+    def s2_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            s2cell.s2_cell(
+                lon.to_numpy(np.float64), lat.to_numpy(np.float64), level
+            )
+        )
+
+    return df.withColumn(out_col, s2_udf(F.col(lon_col), F.col(lat_col)))
+
+
 def cell_range_filter(
     df: DataFrame,
     zoom: int,
