@@ -227,7 +227,10 @@ def dbf_encode(rows: list[dict], fields: list[tuple[str, str, int, int]]
         for name, ftype, ln, dec in fields:
             v = row.get(name, "")
             if ftype == "C":
-                s = str(v)[:ln].ljust(ln)
+                s = ("" if v is None else str(v))[:ln].ljust(ln)
+            elif v is None or v == "":
+                s = " " * ln  # dBase blank numeric = NULL (decoder
+                # already reads all-spaces back as None)
             else:
                 s = (f"{float(v):.{dec}f}" if dec else str(int(v)))[
                     :ln
@@ -237,11 +240,13 @@ def dbf_encode(rows: list[dict], fields: list[tuple[str, str, int, int]]
     return bytes(out)
 
 
-def dbf_decode(dbf: bytes) -> list[dict]:
+def dbf_fields(dbf: bytes) -> list[tuple[str, str, int, int]]:
+    """Field descriptors (name, type, length, decimals) — the typed
+    schema carried by the .dbf itself (what readers should type
+    columns from, never the first record's values)."""
     dbf = bytes(dbf)
     if dbf[0] not in (0x03, 0x83):
         raise ValueError(f"not a dBase III file: version {dbf[0]:#x}")
-    nrec, hdr_len, rec_len = struct.unpack_from("<IHH", dbf, 4)
     fields = []
     pos = 32
     while dbf[pos] != 0x0D:
@@ -250,6 +255,13 @@ def dbf_decode(dbf: bytes) -> list[dict]:
         ln, dec = dbf[pos + 16], dbf[pos + 17]
         fields.append((name, ftype, ln, dec))
         pos += 32
+    return fields
+
+
+def dbf_decode(dbf: bytes) -> list[dict]:
+    dbf = bytes(dbf)
+    fields = dbf_fields(dbf)
+    nrec, hdr_len, rec_len = struct.unpack_from("<IHH", dbf, 4)
     rows = []
     pos = hdr_len
     for _ in range(nrec):
@@ -277,24 +289,61 @@ def shapefile_write(
     attrs: list[dict] | None = None,
     fields: list[tuple[str, str, int, int]] | None = None,
 ) -> dict[str, bytes]:
-    """The full sidecar set: {'shp', 'shx', 'dbf'}."""
+    """The full sidecar set: {'shp', 'shx', 'dbf'}.  When ``attrs`` is
+    given without ``fields``, field specs are derived from the values
+    (N for int/float with decimals from floats, C otherwise) instead of
+    silently writing a zero-field .dbf."""
     shp, shx = shp_encode(wkbs)
     if attrs is None:
-        attrs = [{} for _ in wkbs]
         fields = fields or [("FID", "N", 10, 0)]
         attrs = [{"FID": i} for i in range(len(wkbs))]
+    elif fields is None:
+        fields = _derive_fields(attrs)
     return {
         "shp": shp,
         "shx": shx,
-        "dbf": dbf_encode(attrs, fields or []),
+        "dbf": dbf_encode(attrs, fields),
     }
+
+
+def _derive_fields(attrs: list[dict]) -> list[tuple[str, str, int, int]]:
+    """Field specs from attribute values: every key across all rows, N
+    (decimals 6 if any float) when all non-null values are numeric,
+    else C sized to the longest rendering."""
+    names: list[str] = []
+    for row in attrs:
+        for k in row:
+            if k not in names:
+                names.append(k)
+    fields = []
+    for name in names:
+        vals = [r.get(name) for r in attrs]
+        vals = [v for v in vals if v is not None and v != ""]
+        numeric = vals and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in vals
+        )
+        if numeric:
+            dec = 6 if any(isinstance(v, float) for v in vals) else 0
+            width = max(
+                (len(f"{float(v):.{dec}f}" if dec else str(int(v)))
+                 for v in vals), default=1,
+            )
+            fields.append((name, "N", min(max(width, 1), 18), dec))
+        else:
+            width = max((len(str(v)) for v in vals), default=1)
+            fields.append((name, "C", min(max(width, 1), 254), 0))
+    return fields
 
 
 def shapefile_read(
     shp: bytes, dbf: bytes | None = None
 ) -> list[tuple[bytes, dict]]:
     geoms = shp_decode(shp)
-    rows = dbf_decode(dbf) if dbf is not None else [{}] * len(geoms)
+    rows = (
+        dbf_decode(dbf) if dbf is not None
+        else [{} for _ in geoms]  # distinct dicts — callers mutate
+    )
     if len(rows) != len(geoms):
         raise ValueError(
             f".dbf has {len(rows)} rows for {len(geoms)} shapes"

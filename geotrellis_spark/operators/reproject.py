@@ -66,10 +66,8 @@ def _crs_pair(from_crs: str, to_crs: str):
     the core/proj registry."""
     from ..core.proj import crs_transforms
 
-    _, src_to_ll = crs_transforms(from_crs)
-    dst_from_ll, _ = crs_transforms(to_crs)
-    _, dst_to_ll = crs_transforms(to_crs)
-    src_from_ll, _ = crs_transforms(from_crs)
+    src_from_ll, src_to_ll = crs_transforms(from_crs)
+    dst_from_ll, dst_to_ll = crs_transforms(to_crs)
 
     def fwd(x, y):
         return dst_from_ll(*src_to_ll(x, y))
@@ -139,15 +137,12 @@ def reproject_layer_floating(
 
     The target grid needs the DATA extent, which is one bounded 4-value
     aggregate over the layer's keys (never a per-row collect): corner
-    keys -> source extent -> a 3x3 boundary sample through the CRS pair
-    (edge midpoints included because projected coordinates need not be
-    monotone along an edge — TM northing across the central meridian,
-    polar stereographic around the pole — so corners alone can
-    under-cover).  ``cell_size`` defaults to the source cell size
-    warped at the data extent's center, preserving native resolution."""
+    keys -> source extent -> :func:`fit_floating_layout`'s dense warp
+    sample (projected extremes can sit at interior critical points, so
+    corners alone under-cover).  ``cell_size`` defaults to the source
+    cell size warped at the data extent's center, preserving native
+    resolution."""
     from pyspark.sql import functions as F
-
-    from ..core.layout import Extent, FloatingLayoutScheme
 
     src_ld = ZoomedLayoutScheme(from_crs, tile_size).level_for_zoom(zoom)
     fwd, inv = _crs_pair(from_crs, to_crs)
@@ -160,27 +155,52 @@ def reproject_layer_floating(
         raise ValueError("reproject_layer_floating: empty layer")
     x0, _, _, y1 = src_ld.key_to_extent(int(lo[0]), int(lo[2]))
     _, y0, x1, _ = src_ld.key_to_extent(int(lo[1]), int(lo[3]))
-    gx, gy = np.meshgrid(
-        np.linspace(float(x0), float(x1), 3),
-        np.linspace(float(y0), float(y1), 3),
+    dst_ld = fit_floating_layout(
+        (float(x0), float(y0), float(x1), float(y1)),
+        fwd, src_ld.cell_width, src_ld.cell_height, tile_size, cell_size,
     )
+    return _reproject(
+        tiles, src_ld, dst_ld, fwd, inv, 0, to_crs, tile_size, method
+    )
+
+
+def fit_floating_layout(
+    src_extent: tuple[float, float, float, float],
+    fwd,
+    src_cw: float,
+    src_ch: float,
+    tile_size: int,
+    cell_size: tuple[float, float] | None = None,
+):
+    """FloatingLayoutScheme layout covering ``src_extent`` warped
+    through ``fwd``.  Uses a DENSE 33x33 sample grid, not just corners
+    or the boundary: projected extremes can sit at interior critical
+    points (polar stereographic x peaks at one specific longitude of a
+    wide ring — a 3x3 sample of a full-ring layer collapses the bbox
+    to ~0).  33 samples per axis bound the bbox underestimate at <0.5%
+    of span for the registered CRS family; a 1%-plus-one-tile margin
+    covers the remainder (margin tiles get no source pieces and simply
+    never materialize)."""
+    from ..core.layout import Extent, FloatingLayoutScheme
+
+    x0, y0, x1, y1 = src_extent
+    gx, gy = np.meshgrid(np.linspace(x0, x1, 33), np.linspace(y0, y1, 33))
     tx, ty = fwd(gx.ravel(), gy.ravel())
     if cell_size is None:
-        cx, cy = (float(x0) + float(x1)) / 2.0, (float(y0) + float(y1)) / 2.0
+        cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
         px, py = fwd(
-            np.array([cx, cx + src_ld.cell_width, cx]),
-            np.array([cy, cy, cy + src_ld.cell_height]),
+            np.array([cx, cx + src_cw, cx]),
+            np.array([cy, cy, cy + src_ch]),
         )
         cell_size = (
             float(np.hypot(px[1] - px[0], py[1] - py[0])),
             float(np.hypot(px[2] - px[0], py[2] - py[0])),
         )
-    dst_ld = FloatingLayoutScheme(tile_size).level_for(
-        Extent(tx.min(), ty.min(), tx.max(), ty.max()),
+    mx = 0.01 * float(tx.max() - tx.min()) + tile_size * cell_size[0]
+    my = 0.01 * float(ty.max() - ty.min()) + tile_size * cell_size[1]
+    return FloatingLayoutScheme(tile_size).level_for(
+        Extent(tx.min() - mx, ty.min() - my, tx.max() + mx, ty.max() + my),
         cell_size[0], cell_size[1],
-    )
-    return _reproject(
-        tiles, src_ld, dst_ld, fwd, inv, 0, to_crs, tile_size, method
     )
 
 

@@ -20,7 +20,6 @@ a world-scale basemap build is exactly this plan fanned wider.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
@@ -48,12 +47,14 @@ TILE_SCHEMA = StructType(
 
 def cell_extent(key_col: int, key_row: int, zoom: int
                 ) -> tuple[float, float, float, float]:
-    """World bounds of layout cell (key_col, key_row) at ``zoom``."""
-    n = 1 << zoom
-    cw, ch = 360.0 / n, 180.0 / n
-    x0 = -180.0 + key_col * cw
-    y1 = 90.0 - key_row * ch
-    return (x0, y1 - ch, x0 + cw, y1)
+    """World bounds of layout cell (key_col, key_row) at ``zoom`` —
+    delegated to the ONE latlng world-grid definition (core/layout.py)
+    rather than re-deriving the formula here."""
+    from ..core.layout import ZoomedLayoutScheme
+
+    ld = ZoomedLayoutScheme("latlng").level_for_zoom(zoom)
+    x0, y0, x1, y1 = ld.key_to_extent(key_col, key_row)
+    return (float(x0), float(y0), float(x1), float(y1))
 
 
 def vector_tiles(

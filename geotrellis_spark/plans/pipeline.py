@@ -78,14 +78,16 @@ def run_pipeline(spark: SparkSession, ast: list[dict] | str) -> dict:
                 spark, _req(node, "warehouse"), zoom=int(_req(node, "zoom"))
             )
             zoom = int(node["zoom"])
+            tile_size = int(node.get("tile_size", 256))
             state_kind = "tiles"
         elif t == "read.cogs":
+            tile_size = int(node.get("tile_size", 256))
             value = cog_source.read_cog_layer(
                 spark,
                 _req(node, "path"),
                 tuple(_req(node, "extent")),
                 int(_req(node, "zoom")),
-                int(node.get("tile_size", 256)),
+                tile_size,
             )
             zoom = int(node["zoom"])
             state_kind = "tiles"
@@ -157,6 +159,10 @@ def run_pipeline(spark: SparkSession, ast: list[dict] | str) -> dict:
                     f"write.layer needs tiles/levels, have {state_kind}"
                 )
         elif t == "write.parquet":
+            if state_kind == "empty":
+                raise PipelineError(
+                    f"write.parquet needs an upstream read (node {i})"
+                )
             df = value[-1][1] if state_kind == "levels" else value
             df.write.mode("overwrite").parquet(_req(node, "path"))
             writes.append({"path": node["path"]})

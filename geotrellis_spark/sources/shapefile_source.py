@@ -41,14 +41,12 @@ def read_shapefile(
             "vector data"
         )
     fields = []
-    if dbf_bytes is not None and feats:
-        sample = feats[0][1]
-        for name, v in sample.items():
-            t = (
-                "string"
-                if isinstance(v, str) or v is None
-                else ("double" if isinstance(v, float) else "long")
-            )
+    if dbf_bytes is not None:
+        # types come from the dbf FIELD DESCRIPTORS, never from the
+        # first record's values (a blank numeric in record 0 would
+        # mistype the whole column)
+        for name, ftype, _ln, dec in shp.dbf_fields(dbf_bytes):
+            t = "string" if ftype == "C" else ("double" if dec else "long")
             fields.append((name, t))
     schema = "fid long, wkb binary" + "".join(
         f", {n} {t}" for n, t in fields
@@ -74,14 +72,16 @@ def write_shapefile(
     'dbf'} blobs. ``order_col`` pins record order (shapefiles are
     ordered containers; an unordered collect would be
     nondeterministic)."""
-    if df.count() > max_records:
+    if order_col is not None:
+        df = df.orderBy(order_col)
+    # one Spark job: collect the (bounded) rows, then enforce the guard
+    # on the collected count instead of paying a separate count() scan
+    rows = df.limit(max_records + 1).collect()
+    if len(rows) > max_records:
         raise ValueError(
             f"DataFrame exceeds max_records={max_records}; a shapefile "
             "is a dimension artifact, not a fact-table sink"
         )
-    if order_col is not None:
-        df = df.orderBy(order_col)
-    rows = df.collect()
     wkbs = [bytes(r[wkb_col]) for r in rows]
     if attr_fields:
         attrs = [

@@ -125,3 +125,60 @@ def test_spark_dimension_roundtrip(spark):
 
     with pytest.raises(ValueError, match="max_records"):
         src.write_shapefile(polys, max_records=10)
+
+
+def test_dbf_null_numeric_roundtrip():
+    """dBase blank numerics are NULL: None / '' encode as all-spaces
+    and decode back to None (regression: int('') used to crash)."""
+    shp = SF
+
+    fields = [("POP", "N", 10, 0), ("AREA", "N", 12, 3),
+              ("NAME", "C", 8, 0)]
+    rows = [
+        {"POP": None, "AREA": 1.5, "NAME": "a"},
+        {"POP": 7, "AREA": "", "NAME": None},
+        {},  # all keys missing
+    ]
+    back = shp.dbf_decode(shp.dbf_encode(rows, fields))
+    assert back[0] == {"POP": None, "AREA": 1.5, "NAME": "a"}
+    assert back[1] == {"POP": 7, "AREA": None, "NAME": ""}
+    assert back[2] == {"POP": None, "AREA": None, "NAME": ""}
+
+
+def test_shapefile_write_derives_fields_and_distinct_attr_dicts():
+    shp = SF
+
+    wkbs = [
+        G.wkb_write_point(1.0, 2.0),
+        G.wkb_write_point(3.0, 4.0),
+    ]
+    blobs = shp.shapefile_write(
+        wkbs, attrs=[{"NAME": "ab", "POP": 10}, {"NAME": "c", "POP": None}]
+    )
+    feats = shp.shapefile_read(blobs["shp"], blobs["dbf"])
+    assert feats[0][1] == {"NAME": "ab", "POP": 10}
+    assert feats[1][1] == {"NAME": "c", "POP": None}
+    # no dbf: each feature gets its OWN attr dict
+    feats = shp.shapefile_read(blobs["shp"])
+    feats[0][1]["x"] = 1
+    assert feats[1][1] == {}
+
+
+def test_read_shapefile_types_from_descriptors(spark):
+    """Column types come from the dbf field descriptors: a blank
+    numeric in record 0 must not mistype the column as string."""
+    shp = SF
+    from geotrellis_spark.sources import shapefile_source
+
+    wkbs = [G.wkb_write_point(0.0, 0.0), G.wkb_write_point(1.0, 1.0)]
+    blobs = shp.shapefile_write(
+        wkbs,
+        attrs=[{"POP": None}, {"POP": 1234}],
+        fields=[("POP", "N", 10, 0)],
+    )
+    df = shapefile_source.read_shapefile(
+        spark, blobs["shp"], blobs["dbf"]
+    )
+    assert dict(df.dtypes)["POP"] == "bigint"
+    got = {r["fid"]: r["POP"] for r in df.collect()}
+    assert got == {0: None, 1: 1234}

@@ -94,28 +94,16 @@ def test_reproject_layer_utm_gradient(spark):
         px = codecs.decode_tile(
             bytes(r["tile"]), T, T, r["fmt"]
         ).astype(np.float64)
-        # recompute the layout exactly as the operator does
-        from geotrellis_spark.core.layout import (
-            Extent, FloatingLayoutScheme, ZoomedLayoutScheme as _Z,
-        )
+        # the same layout the operator fits (shared helper)
+        from geotrellis_spark.core.layout import ZoomedLayoutScheme as _Z
+
         src_ld = _Z("latlng", T).level_for_zoom(zoom)
         x0, _, _, y1 = src_ld.key_to_extent(16, 6)
         _, y0, x1, _ = src_ld.key_to_extent(17, 8)
         fwd, inv = reproject._crs_pair("latlng", "utm:33n")
-        gx, gy = np.meshgrid(
-            np.linspace(float(x0), float(x1), 3),
-            np.linspace(float(y0), float(y1), 3),
-        )
-        tx, ty = fwd(gx.ravel(), gy.ravel())
-        cx, cy = (float(x0) + float(x1)) / 2, (float(y0) + float(y1)) / 2
-        pxs, pys = fwd(
-            np.array([cx, cx + src_ld.cell_width, cx]),
-            np.array([cy, cy, cy + src_ld.cell_height]),
-        )
-        dst_ld = FloatingLayoutScheme(T).level_for(
-            Extent(tx.min(), ty.min(), tx.max(), ty.max()),
-            float(np.hypot(pxs[1] - pxs[0], pys[1] - pys[0])),
-            float(np.hypot(pxs[2] - pxs[0], pys[2] - pys[0])),
+        dst_ld = reproject.fit_floating_layout(
+            (float(x0), float(y0), float(x1), float(y1)),
+            fwd, src_ld.cell_width, src_ld.cell_height, T,
         )
         xs, ys = dst_ld.cell_lattice(r["key_col"], r["key_row"])
         ggx, ggy = np.meshgrid(xs, ys)
@@ -166,27 +154,14 @@ def test_reproject_layer_polar_gradient(spark):
 
     src_ch = 5.625 / T
     fwd, inv = reproject._crs_pair("latlng", "polar:n")
-    from geotrellis_spark.core.layout import (
-        Extent, FloatingLayoutScheme, ZoomedLayoutScheme as _Z,
-    )
+    from geotrellis_spark.core.layout import ZoomedLayoutScheme as _Z
 
     src_ld = _Z("latlng", T).level_for_zoom(zoom)
     x0, _, _, y1 = src_ld.key_to_extent(10, 0)
     _, y0, x1, _ = src_ld.key_to_extent(13, 1)
-    gx, gy = np.meshgrid(
-        np.linspace(float(x0), float(x1), 3),
-        np.linspace(float(y0), float(y1), 3),
-    )
-    tx, ty = fwd(gx.ravel(), gy.ravel())
-    cx, cy = (float(x0) + float(x1)) / 2, (float(y0) + float(y1)) / 2
-    pxs, pys = fwd(
-        np.array([cx, cx + src_ld.cell_width, cx]),
-        np.array([cy, cy, cy + src_ld.cell_height]),
-    )
-    dst_ld = FloatingLayoutScheme(T).level_for(
-        Extent(tx.min(), ty.min(), tx.max(), ty.max()),
-        float(np.hypot(pxs[1] - pxs[0], pys[1] - pys[0])),
-        float(np.hypot(pxs[2] - pxs[0], pys[2] - pys[0])),
+    dst_ld = reproject.fit_floating_layout(
+        (float(x0), float(y0), float(x1), float(y1)),
+        fwd, src_ld.cell_width, src_ld.cell_height, T,
     )
     checked = 0
     for r in rows:
@@ -209,3 +184,43 @@ def test_reproject_layer_polar_gradient(spark):
                                        atol=1.01)
             checked += 1
     assert checked >= 3
+
+
+def test_polar_full_ring_extent_not_collapsed(spark):
+    """Regression: a layer spanning the FULL longitude ring warped to
+    polar:s used to collapse the fitted bbox to ~0 width (3x3 extent
+    sample hit sin(lam)~0 at lons {-180,0,180}) and silently dropped
+    nearly everything. The dense-sample fit must cover the ring: output
+    tiles exist in all four quadrants of the polar plane."""
+    from geotrellis_spark.core import proj
+
+    zoom = 3  # latlng tiles 45 x 22.5 deg
+    keys = [(c, 7) for c in range(8)]  # lat [-90, -67.5], all lons
+    src = _layer(spark, lambda lon, lat: np.full(lon.shape, 7.0),
+                 zoom=zoom, keys=keys)
+    out = reproject.reproject_layer_floating(src, zoom, "polar:s",
+                                             tile_size=T)
+    rows = out.collect()
+    assert len(rows) >= 4
+    # locate each output tile's center in polar coords via the shared
+    # layout fit; quadrant coverage proves the bbox spanned the ring
+    from geotrellis_spark.core.layout import ZoomedLayoutScheme as _Z
+
+    src_ld = _Z("latlng", T).level_for_zoom(zoom)
+    x0, _, _, y1 = src_ld.key_to_extent(0, 7)
+    _, y0, x1, _ = src_ld.key_to_extent(7, 7)
+    fwd, _ = reproject._crs_pair("latlng", "polar:s")
+    dst_ld = reproject.fit_floating_layout(
+        (float(x0), float(y0), float(x1), float(y1)),
+        fwd, src_ld.cell_width, src_ld.cell_height, T,
+    )
+    quads = set()
+    valid = 0
+    for r in rows:
+        px = codecs.decode_tile(bytes(r["tile"]), T, T, r["fmt"])
+        if (px == 7).any():
+            valid += 1
+            xs, ys = dst_ld.cell_lattice(r["key_col"], r["key_row"])
+            quads.add((xs.mean() > 0, ys.mean() > 0))
+    assert valid >= 4
+    assert len(quads) == 4, quads
