@@ -151,6 +151,85 @@ def s2_parent(cell, level: int, delta: int = 1) -> np.ndarray:
     return np.asarray(cell, dtype=np.int64) >> (2 * delta)
 
 
+def _cell_lonlat_box(cell: int, level: int, samples: int = 9):
+    """Conservative lon/lat bounding box of one cell: its ij-perimeter
+    sampled ``samples`` points per edge, dilated by the largest gap
+    between adjacent samples (the smooth boundary cannot wander further
+    between samples than their spacing at these curvatures).  A cell
+    whose samples reach a pole gets the full longitude range."""
+    n = 1 << level
+    fa, ia, ja = s2_decode(np.array([cell], dtype=np.int64), level)
+    face, i, j = int(fa[0]), int(ia[0]), int(ja[0])
+    t = np.linspace(0.0, 1.0, samples)
+    per = np.concatenate([
+        np.stack([i + t, np.full_like(t, float(j))], 1),
+        np.stack([np.full_like(t, i + 1.0), j + t], 1),
+        np.stack([i + 1.0 - t, np.full_like(t, j + 1.0)], 1),
+        np.stack([np.full_like(t, float(i)), j + 1.0 - t], 1),
+    ])
+    u = _s_to_u(per[:, 0] / n)
+    v = _s_to_u(per[:, 1] / n)
+    x, y, z = _uv_from_face(np.full(len(per), face, np.int64), u, v)
+    lon = np.degrees(np.arctan2(y, x))
+    lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+    # dilation: max angular step between neighboring samples
+    dlat = np.abs(np.diff(lat)).max()
+    dlon = np.abs((np.diff(lon) + 180.0) % 360.0 - 180.0).max()
+    pad = float(max(dlat, dlon))
+    # a cell containing a pole (the (s,t)=(0.5,0.5) point of face 2 or
+    # 5) spans every longitude; its boundary lats bound the other edge
+    if face in (2, 5) and i <= n / 2 <= i + 1 and j <= n / 2 <= j + 1:
+        if face == 2:
+            return -180.0, float(lat.min()) - pad, 180.0, 90.0
+        return -180.0, -90.0, 180.0, float(lat.max()) + pad
+    if np.abs(np.diff(lon)).max() > 180.0:  # crosses the antimeridian:
+        # express lons in [0, 360) — the caller's +/-360 shifts match
+        lonw = np.where(lon < 0.0, lon + 360.0, lon)
+        return (
+            float(lonw.min()) - pad, float(lat.min()) - pad,
+            float(lonw.max()) + pad, float(lat.max()) + pad,
+        )
+    return (
+        float(lon.min()) - pad, float(lat.min()) - pad,
+        float(lon.max()) + pad, float(lat.max()) + pad,
+    )
+
+
+def s2_cover(
+    bbox: tuple[float, float, float, float], level: int
+) -> np.ndarray:
+    """Cells at ``level`` conservatively covering a lon/lat box
+    (lon0, lat0, lon1, lat1), found by recursive refinement from the
+    six faces with a dilated-bbox intersection test — the CellUnion
+    role: feed :func:`s2_range`/``merge_ranges`` for a prune-then-
+    refine scan (T13's MergeQueue on the sphere).  Conservative
+    (superset) by construction; the pytest gate proves empirically
+    that every point inside the box lands in a cover cell.  No
+    antimeridian-wrapping query boxes (split the box first)."""
+    lon0, lat0, lon1, lat1 = (float(v) for v in bbox)
+    if lon0 > lon1:
+        raise ValueError("antimeridian-wrapping bbox: split it first")
+    out: list[int] = []
+    stack: list[tuple[int, int]] = [(f, 0) for f in range(6)]
+    while stack:
+        cell, lvl = stack.pop()
+        cx0, cy0, cx1, cy1 = _cell_lonlat_box(cell, lvl)
+        # lon overlap with 360-wrap candidates
+        lon_hit = any(
+            cx0 + s <= lon1 and cx1 + s >= lon0
+            for s in (-360.0, 0.0, 360.0)
+        )
+        if not (lon_hit and cy0 <= lat1 and cy1 >= lat0):
+            continue
+        if lvl == level:
+            out.append(int(cell))
+        else:
+            stack.extend(
+                (cell * 4 + k, lvl + 1) for k in range(4)
+            )
+    return np.array(sorted(out), dtype=np.int64)
+
+
 def s2_range(cell, level: int, to_level: int):
     """[lo, hi) of the descendants of ``cell`` (at ``level``) at the
     finer ``to_level`` — contiguous, so a cover of S2 cells turns into

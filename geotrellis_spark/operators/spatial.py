@@ -128,6 +128,38 @@ def s2_assign(
     return df.withColumn(out_col, s2_udf(F.col(lon_col), F.col(lat_col)))
 
 
+def s2_range_filter(
+    df: DataFrame,
+    level: int,
+    lon_min: float,
+    lat_min: float,
+    lon_max: float,
+    lat_max: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cell_col: str = "s2_cell",
+) -> DataFrame:
+    """Prune-then-refine bbox filter on an S2-keyed table (Q1/T13 on
+    the sphere): the box's conservative cell cover (core/s2cell.py)
+    collapses to a handful of merged contiguous id ranges — a pure
+    codegen'd OR-of-BETWEEN predicate that prunes on the stored cell
+    column (sort/partition the table by it and this reaches row-group
+    stats) — then the exact lon/lat predicate refines survivors."""
+    from ..core import s2cell
+
+    cover = s2cell.s2_cover((lon_min, lat_min, lon_max, lat_max), level)
+    ranges = sfc.merge_ranges([(int(c), int(c) + 1) for c in cover])
+    pred = None
+    for lo, hi in ranges:
+        p = (F.col(cell_col) >= lo) & (F.col(cell_col) < hi)
+        pred = p if pred is None else (pred | p)
+    out = df.where(pred)
+    return out.where(
+        (F.col(lon_col) >= lon_min) & (F.col(lon_col) <= lon_max)
+        & (F.col(lat_col) >= lat_min) & (F.col(lat_col) <= lat_max)
+    )
+
+
 def cell_range_filter(
     df: DataFrame,
     zoom: int,

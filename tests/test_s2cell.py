@@ -130,3 +130,60 @@ def test_spark_s2_assign_matches_kernel(spark):
     }
     want = s2.s2_cell(lon, lat, 12)
     assert got == {k: int(want[k]) for k in range(500)}
+
+
+@pytest.mark.parametrize("bbox", [
+    (-10.0, 40.0, 25.0, 60.0),     # mid-latitudes, crosses faces
+    (160.0, -40.0, 180.0, -10.0),  # touches the antimeridian
+    (-180.0, 70.0, 180.0, 90.0),   # full north polar cap
+    (-1.0, -1.0, 1.0, 1.0),        # equator, face center
+    (-120.0, -89.9, -60.0, -80.0),  # south polar neighborhood
+])
+def test_cover_is_superset(bbox):
+    """The conservative-cover contract that prune-then-refine relies
+    on: EVERY point inside the box must land in a cover cell."""
+    rng = np.random.default_rng(11)
+    for lvl in (2, 5, 8):
+        cover = set(s2.s2_cover(bbox, lvl).tolist())
+        assert cover
+        lon = rng.uniform(bbox[0], bbox[2], 15000)
+        lat = rng.uniform(bbox[1], bbox[3], 15000)
+        cells = np.unique(s2.s2_cell(lon, lat, lvl))
+        assert not (set(cells.tolist()) - cover)
+
+
+def test_cover_is_reasonably_tight():
+    # conservative, but not the whole sphere: a 2x2-degree box at
+    # level 8 (cells ~0.35 deg) must stay within a few x of the ideal
+    cover = s2.s2_cover((-1.0, -1.0, 1.0, 1.0), 8)
+    assert len(cover) < 200       # ideal ~33, sphere = 393k
+    with pytest.raises(ValueError):
+        s2.s2_cover((170.0, 0.0, -170.0, 10.0), 5)  # wrapping box
+
+
+def test_spark_s2_range_filter_prune_equals_brute(spark):
+    from geotrellis_spark.operators import spatial
+
+    rng = np.random.default_rng(12)
+    lon = rng.uniform(-180.0, 180.0, 4000)
+    lat = np.degrees(np.arcsin(rng.uniform(-1.0, 1.0, 4000)))
+    df = spark.createDataFrame(
+        [(int(k), float(lon[k]), float(lat[k])) for k in range(4000)],
+        "id long, lon double, lat double",
+    )
+    keyed = spatial.s2_assign(df, "lon", "lat", 8).cache()
+    try:
+        for bbox in ((-10.0, 40.0, 25.0, 60.0), (-180.0, 70.0, 180.0, 90.0)):
+            got = sorted(
+                r["id"] for r in spatial.s2_range_filter(
+                    keyed, 8, *bbox
+                ).collect()
+            )
+            want = sorted(
+                int(k) for k in range(4000)
+                if bbox[0] <= lon[k] <= bbox[2]
+                and bbox[1] <= lat[k] <= bbox[3]
+            )
+            assert got == want and got
+    finally:
+        keyed.unpersist()
