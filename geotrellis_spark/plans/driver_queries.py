@@ -1122,6 +1122,34 @@ def sql_s2_cell() -> str:
     """
 
 
+_S2P_BOX = (-10.0, 40.0, 25.0, 60.0)
+
+
+def q_s2_prune(spark, sf_dir) -> DataFrame:
+    """Q1/T13 on the sphere: the S2 prune-then-refine path end to end.
+    Events get an S2 cell key (full trig path), the bbox collapses to a
+    conservative cell cover -> merged BETWEEN-ranges prune -> exact
+    lon/lat refine. The REFINE makes the output exactly the brute bbox
+    filter, so the oracle is plain SQL — and any cover under-coverage
+    (the one failure mode a conservative cover can have) shows up as
+    missing rows and a red hash."""
+    from ..operators import spatial
+
+    pts = _events_pts(spark, sf_dir)
+    keyed = spatial.s2_assign(pts, "lon", "lat", 8)
+    out = spatial.s2_range_filter(keyed, 8, *_S2P_BOX)
+    return out.select("event_id", "lon", "lat")
+
+
+def sql_s2_prune() -> str:
+    x0, y0, x1, y1 = _S2P_BOX
+    return f"""
+    SELECT event_id, lon, lat
+    FROM ({_EV_LONLAT_SQL})
+    WHERE lon >= {x0} AND lon <= {x1} AND lat >= {y0} AND lat <= {y1}
+    """
+
+
 def q_sessionize(spark, sf_dir) -> DataFrame:
     """TS parity-plus: gap-based sessionization (new session when >30
     minutes since the user's previous event), pure window functions."""
@@ -1913,6 +1941,7 @@ QUERIES = {
     "cog_prune": (q_cog_prune, sql_cog_prune),
     "hilbert_assign": (q_hilbert_assign, sql_hilbert_assign),
     "s2_cell": (q_s2_cell, sql_s2_cell),
+    "s2_prune": (q_s2_prune, sql_s2_prune),
     "rollup_cube": (q_rollup_cube, sql_rollup_cube),
     "asof_join": (q_asof_join, sql_asof_join),
     "group_percentiles": (q_group_percentiles, sql_group_percentiles),
@@ -1952,7 +1981,6 @@ QUERIES = {
     "tfidf": (q_tfidf, sql_tfidf),
     "pack_concat": (q_pack_concat, sql_pack_concat),
     "kernel_density": (q_kernel_density, sql_kernel_density),
-    "bm25": (q_bm25, sql_bm25),
     "lang_id": (q_lang_id, sql_lang_id),
     "spacetime_join": (q_spacetime_join, sql_spacetime_join),
     "class_breaks": (q_class_breaks, sql_class_breaks),
@@ -1975,10 +2003,13 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "phash_capped": (q_phash_capped, sql_phash_capped),
     "sessionize": (q_sessionize, sql_sessionize),
-    # doc_chunks demoted to the tail when s2_cell took a prefix slot:
-    # its bounded-explode machinery is the same shape kernel_density
-    # gates, and pack_concat covers the chunk-packing family
+    # doc_chunks/bm25 demoted to the tail when s2_cell/s2_prune took
+    # prefix slots: doc_chunks' bounded-explode machinery is the shape
+    # kernel_density gates (pack_concat covers chunk packing), and
+    # bm25's broadcast-df-join + top-k machinery is gated by tfidf
+    # (Okapi scoring is variant arithmetic on the same plan)
     "doc_chunks": (q_doc_chunks, sql_doc_chunks),
+    "bm25": (q_bm25, sql_bm25),
     "retention": (q_retention, sql_retention),
     "countmin": (q_countmin, sql_countmin),
     "minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),

@@ -251,6 +251,23 @@ def main() -> None:
         dq.q_rp_project(spark, "/root/testdata/sf0.01"),
     )
 
+    cap(
+        "S2 global range prune (s2_range_filter): the bbox's cell cover "
+        "collapses to merged contiguous id ranges — a codegen'd "
+        "OR-of-BETWEEN predicate on the stored s2_cell column plus the "
+        "exact lon/lat refine, all inside one WholeStageCodegen filter "
+        "over the scan (on a cell-partitioned store the same predicate "
+        "reaches row-group stats); the only Python stage is the key "
+        "assignment itself",
+        spatial.s2_range_filter(
+            spatial.s2_assign(
+                dq._events_pts(spark, "/root/testdata/sf0.01"),
+                "lon", "lat", 8,
+            ),
+            8, -10.0, 40.0, 25.0, 60.0,
+        ).select("event_id", "lon", "lat"),
+    )
+
     from geotrellis_spark import synth
     from geotrellis_spark.sources import cog_source
 
