@@ -230,6 +230,60 @@ def s2_cover(
     return np.array(sorted(out), dtype=np.int64)
 
 
+def angular_distance(lon1, lat1, lon2, lat2):
+    """Great-circle angular distance in DEGREES (haversine)."""
+    p1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    p2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    dl = np.radians(
+        np.asarray(lon2, dtype=np.float64)
+        - np.asarray(lon1, dtype=np.float64)
+    )
+    a = (
+        np.sin((p2 - p1) / 2.0) ** 2
+        + np.cos(p1) * np.cos(p2) * np.sin(dl / 2.0) ** 2
+    )
+    return np.degrees(
+        2.0 * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+    )
+
+
+def s2_cover_cap(
+    lon: float, lat: float, radius_deg: float, level: int
+) -> np.ndarray:
+    """Cells at ``level`` conservatively covering the spherical cap of
+    angular radius ``radius_deg`` around (lon, lat) — the circle twin
+    of :func:`s2_cover` (radius queries, geofences, kNN seeds).
+
+    Conservative inclusion: a cell is kept when the haversine distance
+    from the cap center to its dilated lon/lat box's clamped point is
+    <= radius + the box's degree-diagonal.  Any point of an
+    intersecting cell is within diag of the clamped point, so
+    intersecting cells can never be excluded (plain-degree diagonal
+    over-estimates the angular diagonal — safe); the cost is one ring
+    of extra cells, and the exact refine downstream pays for it."""
+    lon, lat = float(lon), float(lat)
+    out: list[int] = []
+    stack: list[tuple[int, int]] = [(f, 0) for f in range(6)]
+    while stack:
+        cell, lvl = stack.pop()
+        cx0, cy0, cx1, cy1 = _cell_lonlat_box(cell, lvl)
+        # clamp with the +-360 lon candidates (boxes may be in [0,360))
+        best = None
+        for s in (-360.0, 0.0, 360.0):
+            cl = min(max(lon, cx0 + s), cx1 + s)
+            cp = min(max(lat, cy0), cy1)
+            d = float(angular_distance(lon, lat, cl, cp))
+            best = d if best is None else min(best, d)
+        diag = float(np.hypot(cx1 - cx0, cy1 - cy0))
+        if best > radius_deg + diag:
+            continue
+        if lvl == level:
+            out.append(int(cell))
+        else:
+            stack.extend((cell * 4 + k, lvl + 1) for k in range(4))
+    return np.array(sorted(out), dtype=np.int64)
+
+
 def s2_range(cell, level: int, to_level: int):
     """[lo, hi) of the descendants of ``cell`` (at ``level``) at the
     finer ``to_level`` — contiguous, so a cover of S2 cells turns into

@@ -160,6 +160,41 @@ def s2_range_filter(
     )
 
 
+def s2_radius_filter(
+    df: DataFrame,
+    level: int,
+    lon: float,
+    lat: float,
+    radius_deg: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cell_col: str = "s2_cell",
+) -> DataFrame:
+    """Radius (spherical-cap) query via S2 prune-then-refine: the
+    cap's conservative cell cover (s2_cover_cap) prunes on merged id
+    ranges, then the exact haversine predicate (JVM trig expressions,
+    codegen'd — no Python in the refine) keeps rows within
+    ``radius_deg`` of (lon, lat)."""
+    from ..core import s2cell
+
+    cover = s2cell.s2_cover_cap(lon, lat, radius_deg, level)
+    ranges = sfc.merge_ranges([(int(c), int(c) + 1) for c in cover])
+    pred = None
+    for lo, hi in ranges:
+        p = (F.col(cell_col) >= lo) & (F.col(cell_col) < hi)
+        pred = p if pred is None else (pred | p)
+    out = df.where(pred)
+    p1 = F.radians(F.lit(float(lat)))
+    p2 = F.radians(F.col(lat_col))
+    dl = F.radians(F.col(lon_col) - F.lit(float(lon)))
+    hav = (
+        F.pow(F.sin((p2 - p1) / 2.0), 2.0)
+        + F.cos(p1) * F.cos(p2) * F.pow(F.sin(dl / 2.0), 2.0)
+    )
+    dist_deg = F.degrees(2.0 * F.asin(F.sqrt(hav)))
+    return out.where(dist_deg <= float(radius_deg))
+
+
 def cell_range_filter(
     df: DataFrame,
     zoom: int,

@@ -158,6 +158,34 @@ def run_pipeline(spark: SparkSession, ast: list[dict] | str) -> dict:
                 raise PipelineError(
                     f"write.layer needs tiles/levels, have {state_kind}"
                 )
+        elif t == "write.pngs":
+            # the saveAsGeoTiffs/render sink role (S7) inside the DSL:
+            # colormap-render every tile to an RGBA PNG column and land
+            # (zoom, key_col, key_row, png) as parquet
+            if state_kind not in ("tiles", "levels"):
+                raise PipelineError(
+                    f"write.pngs needs tiles/levels, have {state_kind}"
+                )
+            from ..operators import render
+
+            cmap = render.ColorMap(
+                [int(b) for b in _req(node, "breaks")],
+                [int(c) for c in _req(node, "colors")],
+                nodata_color=int(node.get("nodata_color", 0)),
+                fallback=int(node.get("fallback", 0)),
+            )
+            dfs = (
+                [lv for _z, lv in value] if state_kind == "levels"
+                else [value]
+            )
+            path = _req(node, "path")
+            for k, df in enumerate(dfs):
+                render.render_png(df, cmap).select(
+                    "zoom", "key_col", "key_row", "png"
+                ).write.mode("overwrite" if k == 0 else "append").parquet(
+                    path
+                )
+            writes.append({"path": path, "levels": len(dfs)})
         elif t == "write.parquet":
             if state_kind == "empty":
                 raise PipelineError(

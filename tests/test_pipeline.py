@@ -136,3 +136,54 @@ def test_reproject_node_utm_and_type_state(spark):
             [{"type": "read.synth", "n": 5},
              {"type": "transform.reproject", "to_crs": "webmercator"}],
         )
+
+
+def test_write_pngs_node(spark, tmp_path):
+    """write.pngs: the render sink inside the DSL — PNGs land as
+    parquet and equal render_png applied directly."""
+    import numpy as np
+
+    from geotrellis_spark import synth
+    from geotrellis_spark.core import codecs
+    from geotrellis_spark.operators import render, tiling
+
+    path = str(tmp_path / "pngs")
+    breaks = [1000, 20000, 40000, 65535]
+    colors = [0x0000FFFF, 0x00FF00FF, 0xFF0000FF, 0xFFFFFFFF]
+    out = run_pipeline(
+        spark,
+        [
+            {"type": "read.synth", "n": 25},
+            {"type": "transform.tile", "zoom": 4, "tile_size": 64},
+            {"type": "write.pngs", "path": path,
+             "breaks": breaks, "colors": colors},
+        ],
+    )
+    assert out["writes"][0]["levels"] == 1
+    got = {
+        (r["key_col"], r["key_row"]): bytes(r["png"])
+        for r in spark.read.parquet(path).collect()
+    }
+    cmap = render.ColorMap(breaks, colors)
+    direct = render.render_png(
+        tiling.tile_images(
+            synth.synth_images(spark, 25, partitions=4), 4, 64
+        ),
+        cmap,
+    )
+    want = {
+        (r["key_col"], r["key_row"]): bytes(r["png"])
+        for r in direct.collect()
+    }
+    assert got == want and got
+    # decoded RGBA matches the colormap of the decoded tile
+    (kc, kr), png = next(iter(got.items()))
+    rgba = codecs.png_decode_rgba(png)
+    assert rgba.shape == (64, 64, 4)
+
+    with pytest.raises(PipelineError, match="needs tiles"):
+        run_pipeline(spark, [
+            {"type": "read.synth", "n": 2},
+            {"type": "write.pngs", "path": path, "breaks": [1],
+             "colors": [2]},
+        ])

@@ -187,3 +187,58 @@ def test_spark_s2_range_filter_prune_equals_brute(spark):
             assert got == want and got
     finally:
         keyed.unpersist()
+
+
+@pytest.mark.parametrize("cap", [
+    (10.0, 50.0, 3.0),      # mid-latitude small cap
+    (0.0, 89.5, 2.0),       # cap containing the north pole
+    (179.0, -20.0, 5.0),    # cap straddling the antimeridian
+    (-60.0, 0.0, 20.0),     # big equatorial cap
+])
+def test_cap_cover_is_superset(cap):
+    lonc, latc, r = cap
+    rng = np.random.default_rng(13)
+    for lvl in (3, 6, 9):
+        cover = set(s2.s2_cover_cap(lonc, latc, r, lvl).tolist())
+        assert cover
+        # rejection-sample points inside the cap (uniform on sphere)
+        lon = rng.uniform(-180.0, 180.0, 400000)
+        lat = np.degrees(np.arcsin(rng.uniform(-1.0, 1.0, 400000)))
+        d = s2.angular_distance(lonc, latc, lon, lat)
+        lon, lat = lon[d <= r], lat[d <= r]
+        assert len(lon) > 50
+        cells = np.unique(s2.s2_cell(lon, lat, lvl))
+        assert not (set(cells.tolist()) - cover)
+
+
+def test_cap_cover_reasonably_tight():
+    # 3-degree cap at level 9 (cells ~0.18 deg): disc ~ pi*(3/0.176)^2
+    # ~ 900 ideal; conservative ring stays within a few x
+    cover = s2.s2_cover_cap(10.0, 50.0, 3.0, 9)
+    assert 200 < len(cover) < 6000
+
+
+def test_spark_s2_radius_filter_equals_brute(spark):
+    from geotrellis_spark.operators import spatial
+
+    rng = np.random.default_rng(14)
+    lon = rng.uniform(-180.0, 180.0, 4000)
+    lat = np.degrees(np.arcsin(rng.uniform(-1.0, 1.0, 4000)))
+    df = spark.createDataFrame(
+        [(int(k), float(lon[k]), float(lat[k])) for k in range(4000)],
+        "id long, lon double, lat double",
+    )
+    keyed = spatial.s2_assign(df, "lon", "lat", 7).cache()
+    try:
+        for lonc, latc, r in ((10.0, 50.0, 8.0), (179.0, -20.0, 6.0),
+                              (0.0, 88.0, 4.0)):
+            got = sorted(
+                x["id"] for x in spatial.s2_radius_filter(
+                    keyed, 7, lonc, latc, r
+                ).collect()
+            )
+            d = s2.angular_distance(lonc, latc, lon, lat)
+            want = sorted(int(k) for k in range(4000) if d[k] <= r)
+            assert got == want
+    finally:
+        keyed.unpersist()
