@@ -58,6 +58,8 @@ HEADLINE = [
     "bm25",
     "dup_spans",
     "rep_filter",
+    "s2_prune",
+    "s2_radius",
     "segment_dedup",
     "semdedup",
     "mix_sample",

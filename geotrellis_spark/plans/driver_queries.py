@@ -1150,6 +1150,41 @@ def sql_s2_prune() -> str:
     """
 
 
+_S2R_CAP = (-170.0, 10.0, 25.0)  # lon, lat, radius (deg) — antimeridian
+
+
+def q_s2_radius(spark, sf_dir) -> DataFrame:
+    """Q1/T13 spherical-cap variant: radius query via the S2 cap cover
+    (s2_cover_cap) — conservative cell cover of the cap -> merged
+    Hilbert BETWEEN-range prune -> exact haversine refine (JVM trig,
+    codegen). The refine makes the output exactly the brute haversine
+    filter, so the oracle is plain SQL; cap-cover under-coverage (the
+    conservative cover's one failure mode) surfaces as missing rows and
+    a red hash. The cap straddles the antimeridian, exercising the
+    cover's +-360 lon-shift logic; sf0.01 boundary margin
+    min|d - r| = 0.018 deg >> cross-engine trig ulp noise."""
+    from ..operators import spatial
+
+    pts = _events_pts(spark, sf_dir)
+    keyed = spatial.s2_assign(pts, "lon", "lat", 6)
+    out = spatial.s2_radius_filter(keyed, 6, *_S2R_CAP)
+    return out.select("event_id", "lon", "lat")
+
+
+def sql_s2_radius() -> str:
+    lonc, latc, r = _S2R_CAP
+    hav = (
+        f"pow(sin((radians(lat) - radians({latc})) / 2), 2)"
+        f" + cos(radians({latc})) * cos(radians(lat))"
+        f" * pow(sin((radians(lon) - radians({lonc})) / 2), 2)"
+    )
+    return f"""
+    SELECT event_id, lon, lat
+    FROM ({_EV_LONLAT_SQL})
+    WHERE degrees(2 * asin(sqrt({hav}))) <= {r}
+    """
+
+
 def q_sessionize(spark, sf_dir) -> DataFrame:
     """TS parity-plus: gap-based sessionization (new session when >30
     minutes since the user's previous event), pure window functions."""
@@ -1942,6 +1977,7 @@ QUERIES = {
     "hilbert_assign": (q_hilbert_assign, sql_hilbert_assign),
     "s2_cell": (q_s2_cell, sql_s2_cell),
     "s2_prune": (q_s2_prune, sql_s2_prune),
+    "s2_radius": (q_s2_radius, sql_s2_radius),
     "rollup_cube": (q_rollup_cube, sql_rollup_cube),
     "asof_join": (q_asof_join, sql_asof_join),
     "group_percentiles": (q_group_percentiles, sql_group_percentiles),
@@ -1977,7 +2013,6 @@ QUERIES = {
     "contamination": (q_contamination, sql_contamination),
     "dedup_cluster": (q_dedup_cluster, sql_dedup_cluster),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
-    "mix_sample": (q_mix_sample, sql_mix_sample),
     "tfidf": (q_tfidf, sql_tfidf),
     "pack_concat": (q_pack_concat, sql_pack_concat),
     "kernel_density": (q_kernel_density, sql_kernel_density),
@@ -1999,6 +2034,11 @@ QUERIES = {
     # band+refine by phash_neardup; quality_score is the same narrow
     # per-doc codegen-chain shape lang_id anchors, and the quality-gate
     # family is covered deeper by rep_filter/unigram_surprisal) ----
+    # mix_sample demoted when s2_radius took a prefix slot: its
+    # salted-hash ordering is stratified_sample's machinery and its
+    # per-source streaming running-sum window is the cumulative-window
+    # shape rolling_window gates in the prefix
+    "mix_sample": (q_mix_sample, sql_mix_sample),
     "quality_score": (q_quality, sql_quality),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "phash_capped": (q_phash_capped, sql_phash_capped),

@@ -268,6 +268,24 @@ def main() -> None:
         ).select("event_id", "lon", "lat"),
     )
 
+    cap(
+        "S2 spherical-cap radius prune (s2_radius_filter): the cap's "
+        "conservative cell cover (s2_cover_cap, antimeridian-straddling "
+        "here) merges to ~41 Hilbert BETWEEN-ranges — codegen'd "
+        "OR-of-BETWEEN on the stored s2_cell column, and Catalyst "
+        "pushes the exact haversine refine (pure JVM trig) BELOW the "
+        "Python key-assignment stage, straight onto the scan — on a "
+        "cell-keyed store both predicates are scan-side and no Python "
+        "runs in prune or refine",
+        spatial.s2_radius_filter(
+            spatial.s2_assign(
+                dq._events_pts(spark, "/root/testdata/sf0.01"),
+                "lon", "lat", 6,
+            ),
+            6, -170.0, 10.0, 25.0,
+        ).select("event_id", "lon", "lat"),
+    )
+
     from geotrellis_spark import synth
     from geotrellis_spark.sources import cog_source
 
