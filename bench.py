@@ -63,6 +63,7 @@ HEADLINE = [
     "segment_dedup",
     "semdedup",
     "mix_sample",
+    "domain_cap",
     # the capped production LSH semantic at sf0.1 (its uncapped twin
     # minhash_lsh runs last, outside this list, for GC-debt reasons)
     "minhash_capped",

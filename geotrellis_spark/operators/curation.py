@@ -38,7 +38,8 @@ def curate(spark, docs, per_stratum: int, salt: int = 42,
            contaminated=None, scrub_pii: bool = False,
            rep_gate: bool = False,
            surprisal_band: "tuple | None" = None,
-           dup_span_milli: "int | None" = None) -> "tuple":
+           dup_span_milli: "int | None" = None,
+           domain_share_milli: "int | None" = None) -> "tuple":
     """Run the 4-stage curation over a documents DataFrame. Returns
     (curated_df, stats dict). ``metrics``: optional (base, job_id)
     tuple to persist per-stage counts. ``signatures``: optional
@@ -81,7 +82,15 @@ def curate(spark, docs, per_stratum: int, salt: int = 42,
       precomputed ``pairs`` store: under a cap these gates can drop
       a bucket representative whose tail pairs are already stored,
       stranding the tails (pass ``signatures`` instead — banding
-      then re-runs over survivors)."""
+      then re-runs over survivors).
+    - ``domain_share_milli``: stage 3.5 — corpus-relative domain
+      balancing (sampling.domain_cap): after near-dup collapse no
+      domain may hold more than this per-mille of the survivors'
+      total tokens. Runs AFTER dedup on purpose (duplicates must not
+      count toward a domain's share) and BEFORE the stratified
+      sample (the sample draws from the balanced corpus). Pure
+      function of the survivor multiset — store-compatible and
+      streaming-safe."""
     if scrub_pii and (
         signatures is not None or pairs is not None
         or contaminated is not None
@@ -170,6 +179,14 @@ def curate(spark, docs, per_stratum: int, salt: int = 42,
     drop = clusters.where("doc_id <> cluster").select("doc_id")
     neardup = exact.join(drop, "doc_id", "left_anti").localCheckpoint()
     metric("neardup", "kept", neardup.count())
+
+    # 3.5 (optional): corpus-relative domain balancing over survivors
+    if domain_share_milli is not None:
+        keep = sampling.domain_cap(
+            neardup, domain_share_milli, salt=salt
+        ).select("doc_id")
+        neardup = neardup.join(keep, "doc_id").localCheckpoint()
+        metric("domain_cap", "kept", neardup.count())
 
     # 4. deterministic stratified sample per (lang, source)
     curated = sampling.stratified_sample(

@@ -151,6 +151,96 @@ def mix_sample(
     )
 
 
+def domain_cap(
+    df: DataFrame,
+    max_share_milli: int,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    text_col: str = "text",
+    salt: int = 0,
+) -> DataFrame:
+    """Corpus-relative domain balancing (the RefinedWeb/Dolma-style
+    "no domain may dominate" rule): each domain keeps docs in
+    deterministic salted-hash order until it holds ``max_share_milli``
+    per-mille of the CORPUS-TOTAL tokens; the rest drop. Unlike
+    ``mix_sample`` (absolute per-source budgets fixed up front), the
+    cap is RELATIVE — it reflows automatically as the corpus grows, so
+    the same stage works at sf0.001 and at 100 TB without retuning.
+
+    A doc is kept iff it STARTS inside the cap (cum - tokens < cap),
+    mirroring mix_sample's within-one-doc guarantee. All integer
+    arithmetic (milli * total div 1000) — engine-exact.
+
+    Output: (doc_id, domain, n_tokens, cum_tokens, cap_tokens).
+
+    100 TB shape: one codegen token-count projection, ONE scalar
+    hash-agg for the corpus total (broadcast back as a 1-row cross
+    join — no second pass over the data), one window per domain
+    (single shuffle on the domain key, streaming running sum). Monster
+    domains are one partition each; pre-thin with hash_sample if a
+    single domain's row count breaks a task.
+    """
+    toks = df.select(
+        F.col(id_col), F.col(domain_col),
+        F.expr(f"size(split({text_col}, ' '))")
+        .cast("long").alias("n_tokens"),
+    )
+    total = toks.agg(F.sum("n_tokens").alias("_total"))
+    h = F.expr(_hash_sql(id_col, salt))
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+    )
+    return (
+        toks.crossJoin(F.broadcast(total))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "cap_tokens",
+            F.expr(f"({int(max_share_milli)} * _total) div 1000"),
+        )
+        .where(F.col("cum_tokens") - F.col("n_tokens") < F.col("cap_tokens"))
+        .selectExpr(
+            id_col, domain_col,
+            "n_tokens",
+            "cast(cum_tokens as bigint) as cum_tokens",
+            "cap_tokens",
+        )
+    )
+
+
+def domain_cap_sql(
+    max_share_milli: int,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    salt: int = 0,
+    source_sql: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`domain_cap` (``//`` floors like Spark's
+    ``div`` truncates — identical on the non-negative values here)."""
+    h = _hash_sql(id_col, salt)
+    return f"""
+    SELECT {id_col}, {domain_col}, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(({int(max_share_milli)} * _total) // 1000 AS BIGINT)
+             AS cap_tokens
+    FROM (
+      SELECT {id_col}, {domain_col}, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY {domain_col} ORDER BY {h} ASC, {id_col} ASC
+             ) AS cum_tokens,
+             sum(n_tokens) OVER () AS _total
+      FROM (
+        SELECT {id_col}, {domain_col},
+               CAST(length(string_split(text, ' ')) AS BIGINT)
+                 AS n_tokens
+        FROM {source_sql}
+      )
+    )
+    WHERE cum_tokens - n_tokens
+          < ({int(max_share_milli)} * _total) // 1000
+    """
+
+
 def mix_sample_sql(
     budgets: dict[str, int],
     id_col: str = "doc_id",

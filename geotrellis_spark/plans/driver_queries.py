@@ -726,6 +726,27 @@ def sql_mix_sample() -> str:
     return sampling.mix_sample_sql(_MIX_BUDGETS, salt=7)
 
 
+def q_domain_cap(spark, sf_dir) -> DataFrame:
+    """Corpus-relative domain balancing (sampling.domain_cap — the
+    RefinedWeb/Dolma "no domain dominates" curation stage): each
+    source keeps salted-hash-ordered docs until it holds 40 per-mille
+    of the corpus-total tokens. 100 TB shape: one scalar hash-agg
+    broadcast back as a 1-row cross join + one window per domain —
+    single data shuffle; the cap reflows with corpus growth, no
+    retuning."""
+    from ..operators import sampling
+
+    return sampling.domain_cap(
+        _t(spark, sf_dir, "documents"), 40, salt=7
+    )
+
+
+def sql_domain_cap() -> str:
+    from ..operators import sampling
+
+    return sampling.domain_cap_sql(40, salt=7)
+
+
 def q_simhash(spark, sf_dir) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
@@ -2037,8 +2058,10 @@ QUERIES = {
     # mix_sample demoted when s2_radius took a prefix slot: its
     # salted-hash ordering is stratified_sample's machinery and its
     # per-source streaming running-sum window is the cumulative-window
-    # shape rolling_window gates in the prefix
+    # shape rolling_window gates in the prefix; domain_cap shares that
+    # same shape plus a scalar-total broadcast
     "mix_sample": (q_mix_sample, sql_mix_sample),
+    "domain_cap": (q_domain_cap, sql_domain_cap),
     "quality_score": (q_quality, sql_quality),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "phash_capped": (q_phash_capped, sql_phash_capped),

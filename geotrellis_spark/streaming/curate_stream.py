@@ -59,6 +59,7 @@ def recurate(
     bench=None,
     min_shared: int = 25,
     rep_gate: bool = False,
+    domain_share_milli: int | None = None,
 ) -> dict:
     """Fold everything staged so far into the curated snapshot. Called
     by the stream on its recuration cadence, and callable standalone
@@ -127,14 +128,14 @@ def recurate(
         curated, stats = curate(
             spark, docs, per_stratum, salt, pairs=pairs,
             bench=bench, min_shared=min_shared, contaminated=contaminated,
-            rep_gate=rep_gate,
+            rep_gate=rep_gate, domain_share_milli=domain_share_milli,
         )
     else:
         sigs = spark.read.parquet(sig_store).dropDuplicates(["doc_id"])
         curated, stats = curate(
             spark, docs, per_stratum, salt, signatures=sigs,
             bench=bench, min_shared=min_shared, contaminated=contaminated,
-            rep_gate=rep_gate,
+            rep_gate=rep_gate, domain_share_milli=domain_share_milli,
         )
     curated.write.mode("overwrite").parquet(snap)
     tag = "final" if batch_id is None else str(batch_id)
@@ -159,6 +160,7 @@ def curate_stream(
     min_shared: int = 25,
     scrub_pii: bool = False,
     rep_gate: bool = False,
+    domain_share_milli: int | None = None,
 ):
     """Start the streaming curation. ``docs_stream`` must carry the
     documents columns plus an event-time ``ts`` timestamp column.
@@ -284,6 +286,7 @@ def curate_stream(
                         batch_id=int(batch_id),
                         use_pair_store=pair_store, bench=bench,
                         min_shared=min_shared, rep_gate=rep_gate,
+                        domain_share_milli=domain_share_milli,
                     )
                 return
             bands_new.write.mode("append").partitionBy("pb").parquet(
@@ -338,7 +341,7 @@ def curate_stream(
         recurate(
             spark, out_dir, per_stratum, salt, batch_id=int(batch_id),
             use_pair_store=pair_store, bench=bench, min_shared=min_shared,
-            rep_gate=rep_gate,
+            rep_gate=rep_gate, domain_share_milli=domain_share_milli,
         )
 
     writer = deduped.writeStream.foreachBatch(process).option(

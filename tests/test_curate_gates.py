@@ -196,3 +196,29 @@ def test_streaming_scrub_and_rep_gate_equals_batch(spark, tmp_path):
         .select("text").toPandas()["text"]
     )
     assert "@example.com" not in staged and "<EMAIL>" in staged
+
+
+def test_curate_domain_share_stage(spark):
+    """domain_share_milli: stage 3.5 caps each domain at the given
+    per-mille of the SURVIVORS' total tokens, between near-dup
+    collapse and the sample. With an identity sample (huge
+    per_stratum), curate(domain_share_milli=m) == domain_cap(m) applied
+    to the plain curate's survivors."""
+    from geotrellis_spark.operators import sampling
+
+    docs = _docs(spark)
+    plain, s_plain = curate(spark, docs, per_stratum=10_000)
+    capped, s_cap = curate(spark, docs, per_stratum=10_000,
+                           domain_share_milli=40)
+    want = set(
+        r["doc_id"]
+        for r in sampling.domain_cap(
+            plain.select("doc_id", "text", "lang", "source"), 40, salt=42
+        ).collect()
+    )
+    got = set(r["doc_id"] for r in capped.select("doc_id").collect())
+    assert got == want and got
+    assert s_cap["domain_cap.kept"] == len(want)
+    assert s_cap["neardup.kept"] == s_plain["neardup.kept"]
+    assert s_cap["domain_cap.kept"] < s_cap["neardup.kept"]
+    assert s_cap["sample.kept"] == s_cap["domain_cap.kept"]

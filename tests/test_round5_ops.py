@@ -152,3 +152,64 @@ def test_mix_sample_repartition_invariant(spark):
         docs.repartition(17, F.col("lang")), budgets, salt=11
     ).orderBy("doc_id").collect()
     assert a == b and len(a) > 0
+
+
+def _py_hash(doc_id: int, salt: int) -> int:
+    m31, mult, m32 = sampling.M31, sampling.MULT, sampling.M32
+    return ((doc_id % m31 + m31 + salt) % m31 * mult) % m32
+
+
+def test_domain_cap_equals_brute_force(spark):
+    """domain_cap == a pandas replication of the spec: per domain, in
+    salted-hash order, keep docs that START below 40 per-mille of the
+    corpus-total tokens."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sampling.domain_cap(docs, 40, salt=7).toPandas()
+
+    pdf = docs.select("doc_id", "source", "text").toPandas()
+    pdf["n_tokens"] = pdf["text"].str.split(" ").map(len)
+    total = int(pdf["n_tokens"].sum())
+    cap = (40 * total) // 1000
+    want: set[int] = set()
+    for _src, part in pdf.groupby("source"):
+        part = part.assign(h=[_py_hash(d, 7) for d in part["doc_id"]])
+        part = part.sort_values(["h", "doc_id"])
+        cum = 0
+        for _, row in part.iterrows():
+            if cum < cap:
+                want.add(int(row["doc_id"]))
+            cum += int(row["n_tokens"])
+    assert set(out["doc_id"]) == want and want
+    assert (out["cap_tokens"] == cap).all()
+    # some domain must actually have been capped for the test to bite
+    assert len(want) < len(pdf)
+
+
+def test_domain_cap_reflows_with_corpus(spark):
+    """The cap is RELATIVE: appending a fat new domain raises the
+    corpus total, so every existing domain's cap_tokens grows and its
+    kept set can only grow (prefix of the same per-domain order)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sampling.domain_cap(docs, 40, salt=7).toPandas()
+    fat = spark.createDataFrame(
+        [(10_000 + i, " ".join(["tok"] * 500), "en", "srcfat")
+         for i in range(40)],
+        "doc_id long, text string, lang string, source string",
+    )
+    b = sampling.domain_cap(
+        docs.select("doc_id", "text", "lang", "source").unionByName(fat),
+        40, salt=7,
+    ).toPandas()
+    assert b["cap_tokens"].iloc[0] > a["cap_tokens"].iloc[0]
+    old = b[b["source"] != "srcfat"]
+    assert set(a["doc_id"]) <= set(old["doc_id"])
+    assert len(set(old["doc_id"])) > len(set(a["doc_id"]))
+
+
+def test_domain_cap_repartition_invariant(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sampling.domain_cap(docs, 55, salt=3).orderBy("doc_id").collect()
+    b = sampling.domain_cap(
+        docs.repartition(13, F.col("lang")), 55, salt=3
+    ).orderBy("doc_id").collect()
+    assert a == b and len(a) > 0
