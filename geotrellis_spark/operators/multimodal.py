@@ -275,6 +275,114 @@ def image_resize(
     return imgs.mapInPandas(gen, imgs.schema)
 
 
+def augment_params(
+    ordinal: np.ndarray,
+    w: np.ndarray,
+    h: np.ndarray,
+    crop: int,
+    salt: int = 0,
+) -> dict:
+    """Deterministic per-image augmentation parameters from the salted
+    multiplicative hash of the image ORDINAL (the same engine-exact
+    integer arithmetic sampling._hash_sql uses, one sub-salt per
+    parameter) — reproducible across re-runs, repartitions, and the SQL
+    oracle. crop_size = min(w, h, crop); crop offsets are uniform over
+    the valid anchor range; flip is a coin; rot is k*90 degrees."""
+    from .sampling import M31, M32, MULT
+
+    i = np.asarray(ordinal, dtype=np.int64)
+
+    def _h(sub: int) -> np.ndarray:
+        return (i % M31 + M31 + salt * 10 + sub) % M31 * MULT % M32
+
+    c = np.minimum(np.minimum(w, h), crop).astype(np.int64)
+    return {
+        "crop_size": c,
+        "crop_x": _h(1) % (np.asarray(w, np.int64) - c + 1),
+        "crop_y": _h(2) % (np.asarray(h, np.int64) - c + 1),
+        "flip": _h(3) % 2,
+        "rot": _h(4) % 4,
+    }
+
+
+def augment_pixels(
+    px: np.ndarray, cx: int, cy: int, c: int, flip: int, rot: int
+) -> np.ndarray:
+    """Apply one augmentation plan: crop -> horizontal flip -> k*90
+    rotation. Pure numpy views + one copy; shared by the Spark operator
+    and the pytest goldens."""
+    out = px[cy : cy + c, cx : cx + c]
+    if flip:
+        out = out[:, ::-1]
+    if rot:
+        out = np.rot90(out, k=int(rot))
+    return np.ascontiguousarray(out)
+
+
+def augment_images(
+    imgs: DataFrame,
+    crop: int,
+    salt: int = 0,
+    id_col: str = "image_id",
+    ordinal_col: str | None = None,
+    bytes_col: str = "img",
+) -> DataFrame:
+    """Deterministic training-time image augmentation: every image gets
+    a hash-derived random-crop + horizontal-flip + k*90-rotation plan
+    (augment_params) and its payload is rewritten to the augmented
+    raw16 crop — the standard vision-pretraining input transform, made
+    reproducible (re-running the pipeline regenerates byte-identical
+    batches, so training runs are comparable and resumable).
+
+    ``ordinal_col``: integer column driving the hash; defaults to
+    ``id_col`` when that is already integral. Output: (id, ordinal,
+    crop_x, crop_y, flip, rot, w, h, img) with w = h = crop_size and
+    img raw16-encoded.
+
+    100 TB shape: ONE partition-preserving narrow mapInPandas — no
+    shuffle, no Python on the driver; params are per-row integer
+    arithmetic and the pixel kernel is numpy views + one copy per
+    image."""
+    ord_col = ordinal_col or id_col
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            i = pdf[ord_col].to_numpy(np.int64)
+            ws = pdf["w"].to_numpy(np.int64)
+            hs = pdf["h"].to_numpy(np.int64)
+            p = augment_params(i, ws, hs, crop, salt)
+            payloads = []
+            for k in range(len(pdf)):
+                px = decode_image(
+                    bytes(pdf[bytes_col].iloc[k]), int(ws[k]),
+                    int(hs[k]), pdf["fmt"].iloc[k],
+                )
+                aug = augment_pixels(
+                    px, int(p["crop_x"][k]), int(p["crop_y"][k]),
+                    int(p["crop_size"][k]), int(p["flip"][k]),
+                    int(p["rot"][k]),
+                )
+                payloads.append(codecs.encode_tile(aug, "raw16"))
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "ordinal": i,
+                "crop_x": p["crop_x"],
+                "crop_y": p["crop_y"],
+                "flip": p["flip"],
+                "rot": p["rot"],
+                "w": p["crop_size"],
+                "h": p["crop_size"],
+                "img": payloads,
+            })
+
+    id_type = dict(imgs.dtypes)[id_col]
+    return imgs.mapInPandas(
+        gen,
+        f"id {id_type}, ordinal long, crop_x long, crop_y long, "
+        "flip long, rot long, w long, h long, img binary",
+    )
+
+
 def image_features(imgs: DataFrame) -> DataFrame:
     """Per-image features: 64-bit perceptual hash + integer mean/std
     surrogates (milli-units, so downstream comparisons are exact)."""

@@ -1416,6 +1416,91 @@ def sql_image_phash_check() -> str:
     """
 
 
+_AUG_CROP, _AUG_SALT = 48, 5
+
+
+def q_augment_plan(spark, sf_dir) -> DataFrame:
+    """Deterministic image augmentation (multimodal.augment_images):
+    hash-derived crop/flip/rot plan + payload rewrite, oracle-gated two
+    ways — the PLAN columns are engine-exact integer hash arithmetic
+    the DuckDB twin re-derives from the ordinal, and ``match`` proves
+    the PIXELS: the augmented payload decodes equal to the same plan
+    applied to an independently re-synthesized source image
+    (imagery.synth_pixels directly — never touches the operator's
+    decode path)."""
+    from ..core import codecs as _codecs, imagery
+    from ..operators import multimodal
+
+    images = synth.synth_images(spark, 300, partitions=8)
+    imgs = images.withColumn(
+        "ordinal", F.expr("cast(substring(image_id, 4) as long)")
+    )
+    aug = multimodal.augment_images(
+        imgs, crop=_AUG_CROP, salt=_AUG_SALT,
+        id_col="image_id", ordinal_col="ordinal", bytes_col="bytes",
+    )
+
+    def check(batches):
+        for pdf in batches:
+            match = []
+            for k in range(len(pdf)):
+                i = int(pdf["ordinal"].iloc[k])
+                sw = (64, 128, 256)[(i * 7) % 3]
+                sh = (64, 128, 256)[(i * 13) % 3]
+                golden = multimodal.augment_pixels(
+                    imagery.synth_pixels(i, sw, sh),
+                    int(pdf["crop_x"].iloc[k]), int(pdf["crop_y"].iloc[k]),
+                    int(pdf["w"].iloc[k]), int(pdf["flip"].iloc[k]),
+                    int(pdf["rot"].iloc[k]),
+                )
+                got = _codecs.decode_tile(
+                    bytes(pdf["img"].iloc[k]), int(pdf["w"].iloc[k]),
+                    int(pdf["h"].iloc[k]), "raw16",
+                )
+                match.append(bool(np.array_equal(got, golden)))
+            yield pd.DataFrame({
+                "image_id": pdf["id"],
+                "crop_x": pdf["crop_x"], "crop_y": pdf["crop_y"],
+                "flip": pdf["flip"], "rot": pdf["rot"],
+                "crop_size": pdf["w"], "match": match,
+            })
+
+    return aug.mapInPandas(
+        check,
+        "image_id string, crop_x long, crop_y long, flip long, "
+        "rot long, crop_size long, match boolean",
+    )
+
+
+def sql_augment_plan() -> str:
+    from ..operators.sampling import M31, M32, MULT
+
+    base = _AUG_SALT * 10
+
+    def h(sub: int) -> str:
+        return f"((i % {M31} + {M31} + {base + sub}) % {M31} * {MULT}) % {M32}"
+
+    return f"""
+    WITH imgs AS (
+      SELECT i,
+        CASE (i*7)%3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END AS w,
+        CASE (i*13)%3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END AS h
+      FROM range(300) t(i)
+    ),
+    plan AS (
+      SELECT i, w, h, least(w, h, {_AUG_CROP}) AS c FROM imgs
+    )
+    SELECT printf('img%012d', i) AS image_id,
+           ({h(1)}) % (w - c + 1) AS crop_x,
+           ({h(2)}) % (h - c + 1) AS crop_y,
+           ({h(3)}) % 2 AS flip,
+           ({h(4)}) % 4 AS rot,
+           c AS crop_size,
+           TRUE AS match
+    FROM plan
+    """
+
+
 # COG windowed-read prune: a 300x250-pixel lattice window cutting
 # through the hot-spot box at zoom 5 (global pixels [4200,4500) x
 # [1900,2150)) — clips hot-cluster images on every edge.
@@ -1994,6 +2079,7 @@ QUERIES = {
     "image_pyramid": (q_image_pyramid, sql_image_pyramid),
     "image_focal": (q_image_focal, sql_image_focal),
     "image_phash_check": (q_image_phash_check, sql_image_phash_check),
+    "augment_plan": (q_augment_plan, sql_augment_plan),
     "cog_prune": (q_cog_prune, sql_cog_prune),
     "hilbert_assign": (q_hilbert_assign, sql_hilbert_assign),
     "s2_cell": (q_s2_cell, sql_s2_cell),
@@ -2003,7 +2089,6 @@ QUERIES = {
     "asof_join": (q_asof_join, sql_asof_join),
     "group_percentiles": (q_group_percentiles, sql_group_percentiles),
     "funnel": (q_funnel, sql_funnel),
-    "phash_neardup": (q_phash_neardup, sql_phash_neardup),
     "crossmodal_dedup": (q_crossmodal_dedup, sql_crossmodal_dedup),
     "ann_recall": (q_ann_recall, sql_ann_recall),
     "semdedup": (q_semdedup, sql_semdedup),
@@ -2062,6 +2147,10 @@ QUERIES = {
     # same shape plus a scalar-total broadcast
     "mix_sample": (q_mix_sample, sql_mix_sample),
     "domain_cap": (q_domain_cap, sql_domain_cap),
+    # phash_neardup demoted when augment_plan took a prefix slot: its
+    # band equi-join + bit_count refine runs INSIDE crossmodal_dedup's
+    # oracle (prefix) and its hot-bucket cap variant is phash_capped
+    "phash_neardup": (q_phash_neardup, sql_phash_neardup),
     "quality_score": (q_quality, sql_quality),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "phash_capped": (q_phash_capped, sql_phash_capped),
