@@ -64,6 +64,7 @@ HEADLINE = [
     "semdedup",
     "mix_sample",
     "domain_cap",
+    "token_shards",
     # the capped production LSH semantic at sf0.1 (its uncapped twin
     # minhash_lsh runs last, outside this list, for GC-debt reasons)
     "minhash_capped",

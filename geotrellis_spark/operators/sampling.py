@@ -208,6 +208,114 @@ def domain_cap(
     )
 
 
+def token_shards(
+    df: DataFrame,
+    target_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: int = 0,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Token-balanced training-shard assignment over the deterministic
+    epoch order — the output stage of a pretraining data pipeline:
+    docs are globally ordered by salted hash (a reshuffle per epoch =
+    a new salt), the GLOBAL running token total is computed, and each
+    doc lands in shard ``(cum - n_tokens) div target_tokens`` — shard
+    boundaries fall on token counts, so every shard holds ~target
+    tokens regardless of document-length skew.
+
+    The global running sum is the point: Spark's own
+    ``Window.orderBy`` without a partition key collapses to ONE task —
+    the textbook 100 TB scale-killer. This implements the two-phase
+    distributed scan instead: range-partition on the hash order, local
+    per-partition running sums, then a bounded per-PARTITION total
+    collect (``num_parts`` rows — 32 locally, a few thousand on a real
+    cluster, never row-scaled) broadcast back as start offsets. The
+    ranged frame is localCheckpoint-pinned: the offsets are only valid
+    for the exact partitioning they were measured on (range boundaries
+    are sampled, so an un-pinned re-evaluation could re-draw them
+    between the two phases).
+
+    Output: (id, n_tokens, cum_tokens, shard) where cum_tokens is the
+    INCLUSIVE global prefix sum in (hash, id) order — engine-exact vs
+    a plain ``sum() OVER (ORDER BY hash, id)``.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    if num_parts is None:
+        num_parts = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.selectExpr(
+        f"{id_col}",
+        f"cast(size(split({text_col}, ' ')) as long) as n_tokens",
+        f"cast({_hash_sql(id_col, salt)} as long) as _h",
+    )
+    ranged = toks.repartitionByRange(
+        num_parts, F.col("_h"), F.col(id_col)
+    ).sortWithinPartitions("_h", id_col).localCheckpoint()
+
+    partials = {
+        r["pid"]: r["tot"]
+        for r in ranged.groupBy(
+            F.spark_partition_id().alias("pid")
+        ).agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    offsets = {}
+    run = 0
+    for pid in range(ranged.rdd.getNumPartitions()):
+        offsets[pid] = run
+        run += int(partials.get(pid, 0))
+
+    target = int(target_tokens)
+
+    def scan(batches):
+        pid = TaskContext.get().partitionId()
+        cum = offsets.get(pid, 0)
+        for pdf in batches:
+            n = pdf["n_tokens"].to_numpy("int64")
+            local = n.cumsum() + cum
+            cum = int(local[-1]) if len(local) else cum
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "n_tokens": n,
+                "cum_tokens": local,
+                "shard": (local - n) // target,
+            })
+
+    id_type = dict(df.dtypes)[id_col]
+    return ranged.mapInPandas(
+        scan,
+        f"id {id_type}, n_tokens long, cum_tokens long, shard long",
+    ).withColumnRenamed("id", id_col)
+
+
+def token_shards_sql(
+    target_tokens: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    source_sql: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`token_shards` — the plain (single-node)
+    global cumulative window the distributed scan must equal."""
+    h = _hash_sql(id_col, salt)
+    return f"""
+    SELECT {id_col}, n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens,
+           CAST((cum - n_tokens) // {int(target_tokens)} AS BIGINT)
+             AS shard
+    FROM (
+      SELECT {id_col}, n_tokens,
+             sum(n_tokens) OVER (ORDER BY {h}, {id_col}) AS cum
+      FROM (
+        SELECT {id_col},
+               CAST(length(string_split(text, ' ')) AS BIGINT)
+                 AS n_tokens
+        FROM {source_sql}
+      )
+    )
+    """
+
+
 def domain_cap_sql(
     max_share_milli: int,
     id_col: str = "doc_id",

@@ -726,6 +726,28 @@ def sql_mix_sample() -> str:
     return sampling.mix_sample_sql(_MIX_BUDGETS, salt=7)
 
 
+def q_token_shards(spark, sf_dir) -> DataFrame:
+    """Token-balanced shard assignment via the two-phase distributed
+    scan (sampling.token_shards): range-partition on the deterministic
+    epoch order, per-partition running sums, bounded per-PARTITION
+    offset collect — the scalable replacement for Spark's
+    single-task global ``Window.orderBy``. The oracle is exactly that
+    single-node global window, so a green hash proves the distributed
+    scan (boundaries, offsets, tie-breaks) equals the textbook
+    definition."""
+    from ..operators import sampling
+
+    return sampling.token_shards(
+        _t(spark, sf_dir, "documents"), 3000, salt=11
+    )
+
+
+def sql_token_shards() -> str:
+    from ..operators import sampling
+
+    return sampling.token_shards_sql(3000, salt=11)
+
+
 def q_domain_cap(spark, sf_dir) -> DataFrame:
     """Corpus-relative domain balancing (sampling.domain_cap — the
     RefinedWeb/Dolma "no domain dominates" curation stage): each
@@ -2097,7 +2119,7 @@ QUERIES = {
     "simhash_neardup": (q_simhash_neardup, sql_simhash_neardup),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),
     "tile_assign": (q_tile_assign, sql_tile_assign),
-    "cell_agg": (q_cell_agg, sql_cell_agg),
+    "token_shards": (q_token_shards, sql_token_shards),
     "cell_extent": (q_cell_extent, sql_cell_extent),
     "range_query": (q_range_query, sql_range_query),
     "spacetime_cell": (q_spacetime_cell, sql_spacetime_cell),
@@ -2151,6 +2173,12 @@ QUERIES = {
     # band equi-join + bit_count refine runs INSIDE crossmodal_dedup's
     # oracle (prefix) and its hot-bucket cap variant is phash_capped
     "phash_neardup": (q_phash_neardup, sql_phash_neardup),
+    # cell_agg demoted when token_shards took a prefix slot (the
+    # two-phase distributed scan has no other anchor): cell_agg's
+    # two-phase hash-agg-on-derived-cell-key shape is exactly
+    # zonal_stats'/temporal_rollup's prefix machinery, and T1/Z5 stay
+    # anchored by tile_assign + cell_extent
+    "cell_agg": (q_cell_agg, sql_cell_agg),
     "quality_score": (q_quality, sql_quality),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "phash_capped": (q_phash_capped, sql_phash_capped),

@@ -213,3 +213,53 @@ def test_domain_cap_repartition_invariant(spark):
         docs.repartition(13, F.col("lang")), 55, salt=3
     ).orderBy("doc_id").collect()
     assert a == b and len(a) > 0
+
+
+def test_token_shards_partitioning_invariant(spark):
+    """The two-phase distributed scan is partition-count invariant:
+    1 partition (degenerate: pure local cumsum) == 8 == 32, and equals
+    a pandas replication of the global (hash, id)-ordered running
+    sum."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    outs = []
+    for parts in (1, 8, 32):
+        outs.append(
+            sampling.token_shards(docs, 2500, salt=5, num_parts=parts)
+            .orderBy("doc_id").toPandas()
+        )
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    pdf["n_tokens"] = pdf["text"].str.split(" ").map(len)
+    pdf["h"] = [_py_hash(d, 5) for d in pdf["doc_id"]]
+    pdf = pdf.sort_values(["h", "doc_id"]).reset_index(drop=True)
+    pdf["cum"] = pdf["n_tokens"].cumsum()
+    want_shard = dict(
+        zip(pdf["doc_id"], (pdf["cum"] - pdf["n_tokens"]) // 2500)
+    )
+    want_cum = dict(zip(pdf["doc_id"], pdf["cum"]))
+    got = outs[0]
+    assert dict(zip(got["doc_id"], got["shard"])) == want_shard
+    assert dict(zip(got["doc_id"], got["cum_tokens"])) == want_cum
+
+
+def test_token_shards_balance_and_epoch_reshuffle(spark):
+    """Every shard except the last holds >= target tokens and every
+    shard STARTS strictly inside its token bracket (balance within one
+    doc); a new salt (epoch) yields a different permutation but the
+    same doc multiset."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = 2000
+    a = sampling.token_shards(docs, target, salt=1).toPandas()
+    per = a.groupby("shard")["n_tokens"].sum()
+    assert (per.iloc[:-1] >= 0).all()
+    # each shard's span [min start, max cum) sits inside its bracket
+    starts = (a["cum_tokens"] - a["n_tokens"]) // target
+    assert (starts == a["shard"]).all()
+    full = per.iloc[:-1]
+    assert (full + a["n_tokens"].max() >= target).all()
+    b = sampling.token_shards(docs, target, salt=2).toPandas()
+    assert set(a["doc_id"]) == set(b["doc_id"])
+    ord_a = a.sort_values(["shard", "cum_tokens"])["doc_id"].tolist()
+    ord_b = b.sort_values(["shard", "cum_tokens"])["doc_id"].tolist()
+    assert ord_a != ord_b
