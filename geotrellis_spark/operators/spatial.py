@@ -184,15 +184,154 @@ def s2_radius_filter(
         p = (F.col(cell_col) >= lo) & (F.col(cell_col) < hi)
         pred = p if pred is None else (pred | p)
     out = df.where(pred)
-    p1 = F.radians(F.lit(float(lat)))
-    p2 = F.radians(F.col(lat_col))
-    dl = F.radians(F.col(lon_col) - F.lit(float(lon)))
+    dist_deg = haversine_deg(
+        F.lit(float(lon)), F.lit(float(lat)),
+        F.col(lon_col), F.col(lat_col),
+    )
+    return out.where(dist_deg <= float(radius_deg))
+
+
+def haversine_deg(lon1, lat1, lon2, lat2):
+    """Great-circle angular distance in degrees between two lon/lat
+    Column pairs — pure JVM trig expressions (codegen; the Python twin
+    is core/s2cell.angular_distance)."""
+    p1 = F.radians(lat1)
+    p2 = F.radians(lat2)
+    dl = F.radians(lon2 - lon1)
     hav = (
         F.pow(F.sin((p2 - p1) / 2.0), 2.0)
         + F.cos(p1) * F.cos(p2) * F.pow(F.sin(dl / 2.0), 2.0)
     )
-    dist_deg = F.degrees(2.0 * F.asin(F.sqrt(hav)))
-    return out.where(dist_deg <= float(radius_deg))
+    return F.degrees(2.0 * F.asin(F.sqrt(hav)))
+
+
+def s2_knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    level: int = 6,
+    r0_deg: float = 1.0,
+    max_rounds: int = 8,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    q_id_col: str = "q_id",
+    q_lon_col: str = "q_lon",
+    q_lat_col: str = "q_lat",
+    point_cols: tuple[str, ...] | None = None,
+    cell_col: str = "s2_cell",
+) -> DataFrame:
+    """Exact k-nearest-neighbors ON THE SPHERE (haversine angular
+    distance) — the J4 operator re-expressed with S2 cap covers, which
+    makes it correct at the poles and across the antimeridian where
+    the planar ``knn_join``'s degree metric and grid rings are wrong.
+
+    Per round the cap radius doubles (r0, 2*r0, ...): every pending
+    query's conservative cap cover at ``level`` is generated by ONE
+    distributed mapInPandas explode, joined to the S2-keyed points in
+    ONE broadcast equi-join on the cell id, and ranked by ONE window.
+    Stopping rule: the cover is a SUPERSET of the cap, so once a query
+    holds k candidates with kth-distance <= r no point outside the cap
+    (all at distance > r) can displace them — exactness is a cover
+    property, not a metric approximation. Covers of successive rounds
+    overlap, so pending queries are re-covered fresh each round (no
+    union of disjoint rings); satisfied queries freeze their top-k and
+    leave the loop. Queries still pending after ``max_rounds`` fall
+    back to one brute-force pass — exactness is unconditional.
+
+    The queries side is never collected (driver work per round is one
+    count); the cover explode is Python per QUERY row (bounded by the
+    small queries side), never per point. Returns: q_id, point
+    columns, dist (degrees), rank.
+    """
+    from pyspark.sql.window import Window
+
+    from ..core import s2cell
+
+    points = s2_assign(points, lon_col, lat_col, level,
+                       out_col=cell_col).cache()
+    if point_cols is None:
+        point_cols = tuple(
+            c for c in points.columns if c != cell_col
+        )
+    tie_col = point_cols[0]
+
+    qk = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_lon_col).alias("q_lon"),
+        F.col(q_lat_col).alias("q_lat"),
+    )
+    qid_type = qk.schema["q_id"].dataType.simpleString()
+    cov_schema = (
+        f"q_id {qid_type}, q_lon double, q_lat double, cell_id long"
+    )
+    pending = qk.localCheckpoint(eager=False)
+
+    dist = haversine_deg(
+        F.col("q_lon"), F.col("q_lat"), F.col(lon_col), F.col(lat_col)
+    )
+    win = Window.partitionBy("q_id").orderBy(
+        F.col("dist").asc(), F.col(tie_col).asc()
+    )
+
+    def cap_cells(df: DataFrame, radius: float) -> DataFrame:
+        def gen(batches):
+            for pdf in batches:
+                for i in range(len(pdf)):
+                    cells = s2cell.s2_cover_cap(
+                        float(pdf["q_lon"].iloc[i]),
+                        float(pdf["q_lat"].iloc[i]),
+                        radius, level,
+                    )
+                    out = pdf.iloc[[i] * len(cells)].reset_index(
+                        drop=True
+                    )[["q_id", "q_lon", "q_lat"]]
+                    out["cell_id"] = cells
+                    yield out
+
+        return df.mapInPandas(gen, cov_schema)
+
+    results = None
+    n_pending = pending.count()
+    for t in range(max_rounds):
+        if n_pending == 0:
+            break
+        r = r0_deg * (2.0 ** t)
+        cand = points.join(
+            F.broadcast(cap_cells(pending, r)),
+            points[cell_col] == F.col("cell_id"),
+        )
+        ranked = (
+            cand.select("q_id", *point_cols, dist.alias("dist"))
+            .withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .localCheckpoint(eager=False)
+        )
+        stats = ranked.groupBy("q_id").agg(
+            F.count("*").alias("cnt"), F.max("dist").alias("kth")
+        )
+        done = stats.where(
+            (F.col("cnt") >= k) & (F.col("kth") <= r)
+        ).select("q_id")
+        frozen = ranked.join(done, "q_id")
+        results = (
+            frozen if results is None else results.unionByName(frozen)
+        ).localCheckpoint(eager=False)
+        pending = pending.join(done, "q_id", "left_anti").localCheckpoint(
+            eager=False
+        )
+        n_pending = pending.count()
+
+    if n_pending > 0:
+        brute = (
+            points.crossJoin(F.broadcast(pending))
+            .select("q_id", *point_cols, dist.alias("dist"))
+            .withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+        )
+        results = (
+            brute if results is None else results.unionByName(brute)
+        )
+    return results.select("q_id", *point_cols, "dist", "rank")
 
 
 def cell_range_filter(

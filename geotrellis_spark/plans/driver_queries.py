@@ -388,6 +388,53 @@ def sql_knn() -> str:
     """
 
 
+def q_s2_knn(spark, sf_dir) -> DataFrame:
+    """J4 on the sphere: exact haversine kNN via doubling S2 cap
+    covers (spatial.s2_knn_join) — correct at poles and across the
+    antimeridian where the planar grid-ring kNN is not. Oracle: the
+    brute-force haversine top-k window. sf0.01 margin: the minimum
+    consecutive-rank distance gap is 4.8e-3 deg, so cross-engine trig
+    ulp noise cannot flip a rank."""
+    pts = _events_pts(spark, sf_dir).select("event_id", "lon", "lat")
+    queries = _t(spark, sf_dir, "nation").selectExpr(
+        "cast(n_nationkey as bigint) as q_id",
+        f"{exprs.lon_sql('(n_nationkey + 3) * 41')} as q_lon",
+        f"{exprs.lat_sql('(n_nationkey + 7) * 59')} as q_lat",
+    )
+    out = spatial.s2_knn_join(
+        pts, queries, k=5, level=6, r0_deg=4.0, max_rounds=5,
+        point_cols=("event_id", "lon", "lat"),
+    )
+    return out.select(
+        "q_id", "event_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def sql_s2_knn() -> str:
+    qlon = exprs.lon_sql("(n_nationkey + 3) * 41")
+    qlat = exprs.lat_sql("(n_nationkey + 7) * 59")
+    return f"""
+    WITH pts AS ({_EV_LONLAT_SQL}),
+    q AS (SELECT CAST(n_nationkey AS BIGINT) AS q_id,
+                 {qlon} AS q_lon, {qlat} AS q_lat FROM nation),
+    scored AS (
+      SELECT q.q_id, p.event_id,
+             degrees(2 * asin(sqrt(
+               pow(sin((radians(p.lat) - radians(q.q_lat)) / 2), 2)
+               + cos(radians(q.q_lat)) * cos(radians(p.lat))
+                 * pow(sin((radians(p.lon) - radians(q.q_lon)) / 2), 2)
+             ))) AS dist
+      FROM pts p, q
+    )
+    SELECT q_id, event_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q_id, event_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dist ASC, event_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
 # --------------------------------------------- Z1 zonal / J1 layer join
 
 def q_zonal_stats(spark, sf_dir) -> DataFrame:
@@ -2125,7 +2172,7 @@ QUERIES = {
     "spacetime_cell": (q_spacetime_cell, sql_spacetime_cell),
     "pip_grid": (q_pip_grid, sql_pip_grid),
     "vector_join": (q_vector_join, sql_vector_join),
-    "knn": (q_knn, sql_knn),
+    "s2_knn": (q_s2_knn, sql_s2_knn),
     "zonal_stats": (q_zonal_stats, sql_zonal_stats),
     "layer_join": (q_layer_join, sql_layer_join),
     "temporal_rollup": (q_temporal_rollup, sql_temporal_rollup),
@@ -2173,6 +2220,12 @@ QUERIES = {
     # band equi-join + bit_count refine runs INSIDE crossmodal_dedup's
     # oracle (prefix) and its hot-bucket cap variant is phash_capped
     "phash_neardup": (q_phash_neardup, sql_phash_neardup),
+    # knn demoted when s2_knn took its prefix slot: both are the J4
+    # batched-round machinery (candidate explode + broadcast equi-join
+    # + rank window + stopping guarantee); the spherical cap-cover
+    # variant is the stronger anchor (correct metric at poles and the
+    # antimeridian), the planar grid-ring variant stays here
+    "knn": (q_knn, sql_knn),
     # cell_agg demoted when token_shards took a prefix slot (the
     # two-phase distributed scan has no other anchor): cell_agg's
     # two-phase hash-agg-on-derived-cell-key shape is exactly

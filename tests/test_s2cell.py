@@ -242,3 +242,73 @@ def test_spark_s2_radius_filter_equals_brute(spark):
             assert got == want
     finally:
         keyed.unpersist()
+
+
+def _brute_knn(qlon, qlat, lon, lat, ids, k):
+    d = s2.angular_distance(qlon, qlat, lon, lat)
+    order = np.lexsort((ids, d))
+    return [int(ids[j]) for j in order[:k]]
+
+
+def test_spark_s2_knn_pole_and_antimeridian(spark):
+    """s2_knn_join is exact where the planar metric breaks: query at
+    the north pole (every direction is 'south') and on the
+    antimeridian (nearest neighbors straddle the lon=+-180 seam)."""
+    from geotrellis_spark.operators import spatial
+
+    rng = np.random.default_rng(21)
+    lon = rng.uniform(-180.0, 180.0, 3000)
+    lat = np.degrees(np.arcsin(rng.uniform(-1.0, 1.0, 3000)))
+    # guarantee near-seam and near-pole neighbors exist
+    lon[:20] = rng.uniform(179.0, 180.0, 20)
+    lat[:20] = rng.uniform(-25.0, -15.0, 20)
+    lon[20:40] = rng.uniform(-180.0, -179.0, 20)
+    lat[20:40] = rng.uniform(-25.0, -15.0, 20)
+    lat[40:60] = rng.uniform(88.0, 90.0, 20)
+    ids = np.arange(3000)
+    pts = spark.createDataFrame(
+        [(int(i), float(lon[i]), float(lat[i])) for i in ids],
+        "pid long, lon double, lat double",
+    )
+    queries = [(0, 179.9, -20.0), (1, 0.0, 90.0), (2, -179.95, -20.5)]
+    qdf = spark.createDataFrame(
+        queries, "q_id long, q_lon double, q_lat double"
+    )
+    out = spatial.s2_knn_join(
+        pts, qdf, k=7, level=5, r0_deg=2.0, max_rounds=6,
+        point_cols=("pid", "lon", "lat"),
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["q_id"], []).append((r["rank"], r["pid"]))
+    for qid, qlon, qlat in queries:
+        want = _brute_knn(qlon, qlat, lon, lat, ids, 7)
+        assert [p for _, p in sorted(got[qid])] == want
+    # the antimeridian query's k-set must straddle the seam: both
+    # lon signs present (this is exactly what planar rings miss)
+    seam = [p for _, p in sorted(got[0])]
+    assert any(lon[p] > 0 for p in seam) and any(lon[p] < 0 for p in seam)
+
+
+def test_spark_s2_knn_brute_fallback_path(spark):
+    """max_rounds=0 forces every query through the brute-force
+    fallback — same exact answer."""
+    from geotrellis_spark.operators import spatial
+
+    rng = np.random.default_rng(22)
+    lon = rng.uniform(-180.0, 180.0, 400)
+    lat = np.degrees(np.arcsin(rng.uniform(-1.0, 1.0, 400)))
+    ids = np.arange(400)
+    pts = spark.createDataFrame(
+        [(int(i), float(lon[i]), float(lat[i])) for i in ids],
+        "pid long, lon double, lat double",
+    )
+    qdf = spark.createDataFrame(
+        [(0, 10.0, 50.0)], "q_id long, q_lon double, q_lat double"
+    )
+    out = spatial.s2_knn_join(
+        pts, qdf, k=5, level=5, max_rounds=0,
+        point_cols=("pid", "lon", "lat"),
+    ).collect()
+    want = _brute_knn(10.0, 50.0, lon, lat, ids, 5)
+    assert [r["pid"] for r in sorted(out, key=lambda r: r["rank"])] == want
