@@ -316,6 +316,38 @@ def token_shards_sql(
     """
 
 
+def write_token_shards(
+    df: DataFrame,
+    path: str,
+    target_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: int = 0,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Materialize the training shards: token_shards assignment joined
+    back to the full rows, written hive-partitioned by ``shard`` with
+    rows in epoch order inside every shard file (``sortWithinPartitions``
+    must LEAD with the partition column — the dynamic-partition writer
+    re-sorts by it otherwise and would scramble the epoch order).
+    A trainer streams shard directories in shard order and rows in file
+    order and sees exactly the deterministic epoch permutation.
+    Returns the assignment frame for inspection."""
+    plan = token_shards(
+        df, target_tokens, id_col=id_col, text_col=text_col,
+        salt=salt, num_parts=num_parts,
+    )
+    out = df.join(plan.select(id_col, "cum_tokens", "shard"), id_col)
+    (
+        out.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "cum_tokens")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return plan
+
+
 def domain_cap_sql(
     max_share_milli: int,
     id_col: str = "doc_id",

@@ -263,3 +263,27 @@ def test_token_shards_balance_and_epoch_reshuffle(spark):
     ord_a = a.sort_values(["shard", "cum_tokens"])["doc_id"].tolist()
     ord_b = b.sort_values(["shard", "cum_tokens"])["doc_id"].tolist()
     assert ord_a != ord_b
+
+
+def test_write_token_shards_epoch_order(spark, tmp_path):
+    """Shard files land hive-partitioned and each shard reads back in
+    epoch (cum_tokens) order; the union equals the corpus."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "shards")
+    plan = sampling.write_token_shards(docs, path, 2500, salt=5)
+    want = plan.toPandas().set_index("doc_id")
+    back = spark.read.parquet(path)
+    assert set(r["doc_id"] for r in back.select("doc_id").collect()) \
+        == set(want.index)
+    import glob
+    import pyarrow.parquet as pq
+    for shard_dir in sorted(glob.glob(f"{path}/shard=*")):
+        shard = int(shard_dir.rsplit("=", 1)[1])
+        rows = []
+        for f in sorted(glob.glob(f"{shard_dir}/*.parquet")):
+            rows.extend(pq.read_table(f).to_pandas().to_dict("records"))
+        cums = [want.loc[r["doc_id"], "cum_tokens"] for r in rows]
+        assert cums == sorted(cums) and rows
+        assert all(
+            want.loc[r["doc_id"], "shard"] == shard for r in rows
+        )
