@@ -269,6 +269,31 @@ def main() -> None:
     )
 
     cap(
+        "domain_cap (corpus-relative domain balancing): the corpus "
+        "total is ONE scalar hash-agg broadcast back via "
+        "BroadcastNestedLoopJoin (1 row — free), then a single "
+        "Exchange on the domain key feeds the streaming running-sum "
+        "window; the cap comparison is codegen arithmetic. Two passes "
+        "over the token projection, one data shuffle",
+        dq.q_domain_cap(spark, "/root/testdata/sf0.01"),
+    )
+
+    cap(
+        "token_shards (two-phase distributed prefix-sum): NO global "
+        "sort and NO single-partition Window. The Scan ExistingRDD "
+        "below IS the checkpoint-pinned RangePartitioning of the hash "
+        "order (pinned so the phase-2 offsets stay valid for exactly "
+        "the partitioning phase 1 measured — the range Exchange + "
+        "partition-local sort ran once at pin time); per-partition "
+        "running sums live in the one MapInPandas, and cross-partition "
+        "offsets come from a bounded per-PARTITION aggregate (32 rows "
+        "here, never row-scaled). Contrast: sum() OVER (ORDER BY h) "
+        "would plan a SinglePartition Exchange — the textbook 100 TB "
+        "scale-killer",
+        dq.q_token_shards(spark, "/root/testdata/sf0.01"),
+    )
+
+    cap(
         "S2 spherical-cap radius prune (s2_radius_filter): the cap's "
         "conservative cell cover (s2_cover_cap, antimeridian-straddling "
         "here) merges to ~41 Hilbert BETWEEN-ranges — codegen'd "
