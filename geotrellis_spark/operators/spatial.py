@@ -912,6 +912,75 @@ def knn_join(
 
 # --------------------------------------------- persisted vector index
 
+def write_s2_store(
+    df: DataFrame,
+    base: str,
+    level: int,
+    coarse_level: int = 3,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> None:
+    """Persist a point table as an S2-keyed query-many store: rows get
+    the level-``level`` cell id, land hive-partitioned by their
+    COARSE-LEVEL PARENT cell (``s2_cell >> 2*(level-coarse)`` — the
+    shift-nesting parent, so any cover's merged fine ranges map to an
+    explicit partition IN-list) and SFC-sorted within files (min-max
+    row-group stats on the sorted cell column). This is the layout the
+    PLANS.md S2 captures assume when they say the prune 'reaches
+    row-group stats on a cell-keyed store' — read back with
+    :func:`read_s2_store`, whose plans show non-empty PartitionFilters
+    AND pushed cell bounds. Store metadata rides along so readers
+    cannot desync from the write layout."""
+    keyed = s2_assign(df, lon_col, lat_col, level)
+    shift = 2 * (level - coarse_level)
+    (
+        keyed.withColumn(
+            "s2_part", F.expr(f"s2_cell div {1 << shift}")
+        )
+        # s2_part FIRST: the dynamic-partition writer re-sorts by the
+        # partition column otherwise, destroying the SFC file order
+        .repartition("s2_part")
+        .sortWithinPartitions("s2_part", "s2_cell")
+        .write.mode("overwrite")
+        .partitionBy("s2_part")
+        .parquet(f"{base}/rows")
+    )
+    df.sparkSession.createDataFrame(
+        [(level, coarse_level)], "level int, coarse_level int"
+    ).write.mode("overwrite").parquet(f"{base}/_store_meta")
+
+
+def read_s2_store(
+    spark,
+    base: str,
+    lon_min: float,
+    lat_min: float,
+    lon_max: float,
+    lat_max: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Bbox query over a :func:`write_s2_store` store, all three prune
+    layers explicit in the plan: (1) the bbox's COARSE cover becomes a
+    partition IN-list on ``s2_part`` — directories never listed, shows
+    as PartitionFilters; (2) the FINE cover's merged BETWEEN ranges on
+    the sorted ``s2_cell`` column — pushed to the scan, skipping
+    row-groups via min-max stats; (3) the exact lon/lat refine, also
+    scan-pushed codegen. No Python anywhere in the read path."""
+    from ..core import s2cell
+
+    meta = spark.read.parquet(f"{base}/_store_meta").collect()[0]
+    level, coarse = int(meta["level"]), int(meta["coarse_level"])
+    bbox = (lon_min, lat_min, lon_max, lat_max)
+    parts = [int(c) for c in s2cell.s2_cover(bbox, coarse)]
+    df = spark.read.parquet(f"{base}/rows").where(
+        F.col("s2_part").isin(parts)
+    )
+    return s2_range_filter(
+        df, level, *bbox, lon_col=lon_col, lat_col=lat_col
+    )
+
+
 def write_vector_index(
     polys: DataFrame,
     base: str,

@@ -312,3 +312,41 @@ def test_spark_s2_knn_brute_fallback_path(spark):
     ).collect()
     want = _brute_knn(10.0, 50.0, lon, lat, ids, 5)
     assert [r["pid"] for r in sorted(out, key=lambda r: r["rank"])] == want
+
+
+def test_s2_store_prune_layers_and_equality(spark, tmp_path):
+    """write_s2_store/read_s2_store: result == brute bbox filter, and
+    the read plan shows all three prune layers — PartitionFilters on
+    the coarse parent, pushed s2_cell bounds, pushed lon/lat refine."""
+    import re
+
+    from geotrellis_spark.operators import spatial
+
+    rng = np.random.default_rng(31)
+    lon = rng.uniform(-180.0, 180.0, 5000)
+    lat = np.degrees(np.arcsin(rng.uniform(-1.0, 1.0, 5000)))
+    df = spark.createDataFrame(
+        [(int(i), float(lon[i]), float(lat[i])) for i in range(5000)],
+        "id long, lon double, lat double",
+    )
+    base = str(tmp_path / "s2store")
+    spatial.write_s2_store(df, base, level=8, coarse_level=3)
+
+    for box in ((-10.0, 40.0, 25.0, 60.0), (160.0, -30.0, 180.0, -5.0)):
+        out = spatial.read_s2_store(spark, base, *box)
+        got = sorted(r["id"] for r in out.collect())
+        x0, y0, x1, y1 = box
+        want = sorted(
+            int(i) for i in range(5000)
+            if x0 <= lon[i] <= x1 and y0 <= lat[i] <= y1
+        )
+        assert got == want and got
+
+    plan = spatial.read_s2_store(
+        spark, base, -10.0, 40.0, 25.0, 60.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*s2_part", plan), \
+        plan[-2000:]
+    assert re.search(r"PushedFilters: \[[^\]]*s2_cell", plan), \
+        plan[-2000:]
+    assert re.search(r"PushedFilters: \[[^\]]*lon", plan), plan[-2000:]

@@ -311,6 +311,25 @@ def main() -> None:
         ).select("event_id", "lon", "lat"),
     )
 
+    s2_store = "/tmp/plans_s2_store"
+    spatial.write_s2_store(
+        dq._events_pts(spark, "/root/testdata/sf0.01").select(
+            "event_id", "lon", "lat"
+        ),
+        s2_store, level=8, coarse_level=3,
+    )
+    cap(
+        "S2 store read (write_s2_store/read_s2_store): the claim the "
+        "other S2 captures make — 'on a cell-keyed store the prune "
+        "reaches the scan' — proven on an actual store: non-empty "
+        "PartitionFilters on the coarse parent cell (directories never "
+        "listed), the fine cover's BETWEEN ranges in PushedFilters on "
+        "the SFC-sorted s2_cell column (row-group min-max skipping), "
+        "and the exact lon/lat refine pushed beside them. Zero Python "
+        "in the read path",
+        spatial.read_s2_store(spark, s2_store, -10.0, 40.0, 25.0, 60.0),
+    )
+
     from geotrellis_spark import synth
     from geotrellis_spark.sources import cog_source
 
