@@ -59,7 +59,11 @@ def run_pipeline(spark: SparkSession, ast: list[dict] | str) -> dict:
     if not isinstance(ast, list) or not ast:
         raise PipelineError("pipeline AST must be a non-empty list")
 
-    state_kind = "empty"  # empty -> images -> tiles -> levels
+    # raster flow: empty -> images -> tiles -> levels;
+    # training-data flow: empty -> docs (domain_cap/shards) and
+    # images -> augmented (augment) — parity-plus over the reference's
+    # raster-only AST
+    state_kind = "empty"
     value = None
     zoom = None
     tile_size = 256
@@ -91,6 +95,62 @@ def run_pipeline(spark: SparkSession, ast: list[dict] | str) -> dict:
             )
             zoom = int(node["zoom"])
             state_kind = "tiles"
+        elif t == "read.documents":
+            value = spark.read.parquet(_req(node, "path"))
+            state_kind = "docs"
+        elif t == "transform.domain_cap":
+            if state_kind != "docs":
+                raise PipelineError(
+                    f"transform.domain_cap needs a documents input, "
+                    f"have {state_kind} (node {i})"
+                )
+            from ..operators import sampling
+
+            keep = sampling.domain_cap(
+                value,
+                int(_req(node, "max_share_milli")),
+                salt=int(node.get("salt", 0)),
+            ).select("doc_id")
+            value = value.join(keep, "doc_id")
+            state_kind = "docs"
+        elif t == "transform.augment":
+            if state_kind != "images":
+                raise PipelineError(
+                    f"transform.augment needs an images input, have "
+                    f"{state_kind} (node {i})"
+                )
+            from ..operators import multimodal
+
+            imgs = value.selectExpr(
+                "*", "cast(substring(image_id, 4) as long) as ordinal"
+            )
+            value = multimodal.augment_images(
+                imgs,
+                crop=int(_req(node, "crop")),
+                salt=int(node.get("salt", 0)),
+                id_col="image_id",
+                ordinal_col="ordinal",
+                bytes_col="bytes",
+            )
+            state_kind = "augmented"
+        elif t == "write.shards":
+            if state_kind != "docs":
+                raise PipelineError(
+                    f"write.shards needs a documents input, have "
+                    f"{state_kind} (node {i})"
+                )
+            from ..operators import sampling
+
+            path = _req(node, "path")
+            plan = sampling.write_token_shards(
+                value, path,
+                int(_req(node, "target_tokens")),
+                salt=int(node.get("salt", 0)),
+            )
+            writes.append({
+                "path": path,
+                "n_shards": plan.select("shard").distinct().count(),
+            })
         elif t == "transform.tile":
             if state_kind != "images":
                 raise PipelineError(

@@ -187,3 +187,68 @@ def test_write_pngs_node(spark, tmp_path):
             {"type": "write.pngs", "path": path, "breaks": [1],
              "colors": [2]},
         ])
+
+
+def test_documents_flow_nodes(spark, tmp_path):
+    """read.documents -> transform.domain_cap -> write.shards: the
+    training-data flow through the DSL equals calling the operators
+    directly."""
+    from geotrellis_spark.operators import sampling
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    path = str(tmp_path / "shards")
+    out = run_pipeline(spark, [
+        {"type": "read.documents", "path": src},
+        {"type": "transform.domain_cap", "max_share_milli": 40,
+         "salt": 7},
+        {"type": "write.shards", "path": path, "target_tokens": 2000,
+         "salt": 3},
+    ])
+    assert out["kind"] == "docs" and out["writes"][0]["n_shards"] > 1
+    docs = spark.read.parquet(src)
+    keep = sampling.domain_cap(docs, 40, salt=7).select("doc_id")
+    want = sampling.token_shards(docs.join(keep, "doc_id"), 2000, salt=3)
+    got = spark.read.parquet(path)
+    assert sorted(
+        (r["doc_id"], r["shard"]) for r in got.select(
+            "doc_id", "shard").collect()
+    ) == sorted(
+        (r["doc_id"], r["shard"]) for r in want.select(
+            "doc_id", "shard").collect()
+    )
+    with pytest.raises(PipelineError, match="needs a documents"):
+        run_pipeline(spark, [
+            {"type": "read.synth", "n": 2},
+            {"type": "transform.domain_cap", "max_share_milli": 10},
+        ])
+
+
+def test_augment_node(spark, tmp_path):
+    """transform.augment == augment_images called directly; type-state
+    rejects augmenting a tile layer."""
+    from geotrellis_spark import synth
+    from geotrellis_spark.operators import multimodal
+
+    out = run_pipeline(spark, [
+        {"type": "read.synth", "n": 10},
+        {"type": "transform.augment", "crop": 32, "salt": 4},
+    ])
+    assert out["kind"] == "augmented"
+    got = {r["id"]: bytes(r["img"]) for r in out["result"].collect()}
+    imgs = synth.synth_images(spark, 10).selectExpr(
+        "*", "cast(substring(image_id, 4) as long) as ordinal"
+    )
+    want = {
+        r["id"]: bytes(r["img"])
+        for r in multimodal.augment_images(
+            imgs, crop=32, salt=4, id_col="image_id",
+            ordinal_col="ordinal", bytes_col="bytes",
+        ).collect()
+    }
+    assert got == want and len(got) == 10
+    with pytest.raises(PipelineError, match="needs an images"):
+        run_pipeline(spark, [
+            {"type": "read.synth", "n": 2},
+            {"type": "transform.tile", "zoom": 3},
+            {"type": "transform.augment", "crop": 8},
+        ])
