@@ -243,6 +243,10 @@ def token_shards(
     import pandas as pd
     from pyspark import TaskContext
 
+    if int(target_tokens) <= 0:
+        raise ValueError(
+            f"target_tokens must be positive, got {target_tokens}"
+        )
     if num_parts is None:
         num_parts = df.sparkSession.sparkContext.defaultParallelism
     toks = df.selectExpr(

@@ -240,8 +240,9 @@ def s2_knn_join(
 
     The queries side is never collected (driver work per round is one
     count); the cover explode is Python per QUERY row (bounded by the
-    small queries side), never per point. Returns: q_id, point
-    columns, dist (degrees), rank.
+    small queries side), never per point. ``points`` must not already
+    carry a ``cell_id`` column (the cover join binds that name).
+    Returns: q_id, point columns, dist (degrees), rank.
     """
     from pyspark.sql.window import Window
 
@@ -330,6 +331,15 @@ def s2_knn_join(
         )
         results = (
             brute if results is None else results.unionByName(brute)
+        )
+    if results is None:  # empty queries side
+        spark = points.sparkSession
+        fields = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in points.schema.fields if f.name in point_cols
+        )
+        return spark.createDataFrame(
+            [], f"q_id {qid_type}, {fields}, dist double, rank int"
         )
     return results.select("q_id", *point_cols, "dist", "rank")
 
