@@ -275,6 +275,35 @@ def image_resize(
     return imgs.mapInPandas(gen, imgs.schema)
 
 
+def image_quality_gate(
+    imgs: DataFrame,
+    min_std_milli: int = 500_000,
+    mean_lo_milli: int = 1_000_000,
+    mean_hi_milli: int = 64_000_000,
+) -> DataFrame:
+    """Image-corpus curation gate (the vision twin of the text
+    quality_score stage): flag near-black / blown-out images (mean
+    luma outside [lo, hi]) and flat / low-information images (stddev
+    below the floor). Stats are image_features' exact INTEGER
+    milli-units on the raw uint16 scale, so the gate is a pure codegen
+    comparison over an already-proven decode path — deterministic,
+    engine-exact, and cheap to recompute in any store. Output:
+    (image_id, mean_milli, std_milli, flagged); filter on NOT flagged
+    ahead of phash/crossmodal dedup so junk never becomes a cluster
+    representative."""
+    from pyspark.sql import functions as F
+
+    feats = image_features(imgs)
+    return feats.select(
+        "image_id", "mean_milli", "std_milli",
+        (
+            (F.col("std_milli") < int(min_std_milli))
+            | (F.col("mean_milli") < int(mean_lo_milli))
+            | (F.col("mean_milli") > int(mean_hi_milli))
+        ).alias("flagged"),
+    )
+
+
 def augment_params(
     ordinal: np.ndarray,
     w: np.ndarray,

@@ -187,3 +187,35 @@ def test_augment_images_spark_matches_local(spark, images_df):
         assert np.array_equal(got, want)
         r2 = out2[i]
         assert bytes(r2["img"]) == bytes(r["img"])
+
+
+def test_image_quality_gate_flags(spark):
+    """Constructed corpus: a near-black image, a flat constant image,
+    a blown-out image, and textured synth images — the junk and the
+    genuinely-flat synth crops are flagged, textured ones pass, with
+    thresholds honored on the exact integer stats."""
+    rows = []
+    for i in range(6):
+        px = imagery.synth_pixels(i, 32, 32)
+        rows.append({"image_id": i,
+                     "img": codecs.encode_tile(px, "raw16"),
+                     "w": 32, "h": 32, "fmt": "raw16"})
+    dark = np.full((32, 32), 3, np.uint16)          # mean ~3 -> low
+    flat = np.full((32, 32), 30000, np.uint16)      # std 0 -> flat
+    blown = np.full((32, 32), 65500, np.uint16)     # mean high
+    blown[0, 0] = 60000                             # nonzero std
+    for j, px in ((100, dark), (101, flat), (102, blown)):
+        rows.append({"image_id": j,
+                     "img": codecs.encode_tile(px, "raw16"),
+                     "w": 32, "h": 32, "fmt": "raw16"})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r["image_id"]: r for r in mm.image_quality_gate(df).collect()}
+    assert out[100]["flagged"] and out[101]["flagged"] \
+        and out[102]["flagged"]
+    # synth crops 1/3/4 are textured (std ~18-20M milli) -> pass;
+    # 0/5 are constant 32x32 crops -> correctly flagged as flat
+    assert not any(out[i]["flagged"] for i in (1, 3, 4))
+    assert out[0]["flagged"] and out[5]["flagged"]
+    # exact integer stats: flat image has std_milli == 0, mean exact
+    assert out[101]["std_milli"] == 0
+    assert out[101]["mean_milli"] == 30000 * 1000
