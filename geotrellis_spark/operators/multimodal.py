@@ -290,10 +290,13 @@ def image_quality_gate(
     engine-exact, and cheap to recompute in any store. Output:
     (image_id, mean_milli, std_milli, flagged); filter on NOT flagged
     ahead of phash/crossmodal dedup so junk never becomes a cluster
-    representative."""
+    representative. Uses the stats-only kernel (image_stats), NOT
+    image_features: the gate runs over the raw corpus including the
+    junk it discards, and paying a per-image DCT phash there only to
+    throw it away would double the pre-dedup decode cost at 100 TB."""
     from pyspark.sql import functions as F
 
-    feats = image_features(imgs)
+    feats = image_stats(imgs)
     return feats.select(
         "image_id", "mean_milli", "std_milli",
         (
@@ -404,11 +407,40 @@ def augment_images(
                 "img": payloads,
             })
 
-    id_type = dict(imgs.dtypes)[id_col]
+    dtypes = dict(imgs.dtypes)
+    if dtypes[ord_col] not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"augment_images ordinal column {ord_col!r} must be "
+            f"integral, got {dtypes[ord_col]!r} — pass ordinal_col= "
+            "pointing at an integer column (the hash input)"
+        )
     return imgs.mapInPandas(
         gen,
-        f"id {id_type}, ordinal long, crop_x long, crop_y long, "
+        f"id {dtypes[id_col]}, ordinal long, crop_x long, crop_y long, "
         "flip long, rot long, w long, h long, img binary",
+    )
+
+
+def image_stats(imgs: DataFrame) -> DataFrame:
+    """Integer mean/std surrogates per image (milli-units, exact) —
+    the cheap decode-only kernel image_quality_gate runs over the raw
+    corpus; no perceptual hash is computed."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "mean_milli": [], "std_milli": []}
+            for i in range(len(pdf)):
+                px = decode_image(
+                    bytes(pdf["img"].iloc[i]), int(pdf["w"].iloc[i]),
+                    int(pdf["h"].iloc[i]), pdf["fmt"].iloc[i],
+                ).astype(np.float64)
+                out["image_id"].append(int(pdf["image_id"].iloc[i]))
+                out["mean_milli"].append(int(np.floor(px.mean() * 1000)))
+                out["std_milli"].append(int(np.floor(px.std() * 1000)))
+            yield pd.DataFrame(out)
+
+    return imgs.mapInPandas(
+        gen, "image_id long, mean_milli long, std_milli long"
     )
 
 

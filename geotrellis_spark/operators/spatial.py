@@ -148,12 +148,7 @@ def s2_range_filter(
     from ..core import s2cell
 
     cover = s2cell.s2_cover((lon_min, lat_min, lon_max, lat_max), level)
-    ranges = sfc.merge_ranges([(int(c), int(c) + 1) for c in cover])
-    pred = None
-    for lo, hi in ranges:
-        p = (F.col(cell_col) >= lo) & (F.col(cell_col) < hi)
-        pred = p if pred is None else (pred | p)
-    out = df.where(pred)
+    out = df.where(_cell_ranges_pred(cover, cell_col))
     return out.where(
         (F.col(lon_col) >= lon_min) & (F.col(lon_col) <= lon_max)
         & (F.col(lat_col) >= lat_min) & (F.col(lat_col) <= lat_max)
@@ -177,18 +172,28 @@ def s2_radius_filter(
     ``radius_deg`` of (lon, lat)."""
     from ..core import s2cell
 
+    if float(radius_deg) < 0.0:
+        raise ValueError(f"radius_deg must be >= 0, got {radius_deg}")
     cover = s2cell.s2_cover_cap(lon, lat, radius_deg, level)
-    ranges = sfc.merge_ranges([(int(c), int(c) + 1) for c in cover])
-    pred = None
-    for lo, hi in ranges:
-        p = (F.col(cell_col) >= lo) & (F.col(cell_col) < hi)
-        pred = p if pred is None else (pred | p)
-    out = df.where(pred)
+    out = df.where(_cell_ranges_pred(cover, cell_col))
     dist_deg = haversine_deg(
         F.lit(float(lon)), F.lit(float(lat)),
         F.col(lon_col), F.col(lat_col),
     )
     return out.where(dist_deg <= float(radius_deg))
+
+
+def _cell_ranges_pred(cover, cell_col: str):
+    """Merged contiguous [lo, hi) id ranges of a cell cover as one
+    codegen'd OR-of-BETWEEN Column (shared by every S2 prune path).
+    An empty cover yields literal false — nothing can match — rather
+    than a None predicate."""
+    ranges = sfc.merge_ranges([(int(c), int(c) + 1) for c in cover])
+    pred = None
+    for lo, hi in ranges:
+        p = (F.col(cell_col) >= lo) & (F.col(cell_col) < hi)
+        pred = p if pred is None else (pred | p)
+    return F.lit(False) if pred is None else pred
 
 
 def haversine_deg(lon1, lat1, lon2, lat2):
@@ -334,10 +339,9 @@ def s2_knn_join(
         )
     if results is None:  # empty queries side
         spark = points.sparkSession
-        fields = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}"
-            for f in points.schema.fields if f.name in point_cols
-        )
+        types = {f.name: f.dataType.simpleString()
+                 for f in points.schema.fields}
+        fields = ", ".join(f"`{c}` {types[c]}" for c in point_cols)
         return spark.createDataFrame(
             [], f"q_id {qid_type}, {fields}, dist double, rank int"
         )

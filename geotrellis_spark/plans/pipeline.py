@@ -121,15 +121,28 @@ def run_pipeline(spark: SparkSession, ast: list[dict] | str) -> dict:
                 )
             from ..operators import multimodal
 
-            imgs = value.selectExpr(
-                "*", "cast(substring(image_id, 4) as long) as ordinal"
-            )
+            # hash-plan ordinal: an explicit integer column when given,
+            # the id itself when integral, else a stable hash of the id
+            # string — never a format-specific substring that would
+            # silently collide on foreign id shapes
+            ordc = node.get("ordinal_col")
+            imgs = value
+            if ordc is None:
+                if dict(value.dtypes).get("image_id") in (
+                    "tinyint", "smallint", "int", "bigint"
+                ):
+                    ordc = "image_id"
+                else:
+                    imgs = value.selectExpr(
+                        "*", "xxhash64(image_id) as ordinal"
+                    )
+                    ordc = "ordinal"
             value = multimodal.augment_images(
                 imgs,
                 crop=int(_req(node, "crop")),
                 salt=int(node.get("salt", 0)),
                 id_col="image_id",
-                ordinal_col="ordinal",
+                ordinal_col=ordc,
                 bytes_col="bytes",
             )
             state_kind = "augmented"
@@ -147,9 +160,15 @@ def run_pipeline(spark: SparkSession, ast: list[dict] | str) -> dict:
                 int(_req(node, "target_tokens")),
                 salt=int(node.get("salt", 0)),
             )
+            from pyspark.sql import functions as F
+
+            # shards are a contiguous 0..max prefix by construction:
+            # one narrow max-agg, not a distinct shuffle + second scan
             writes.append({
                 "path": path,
-                "n_shards": plan.select("shard").distinct().count(),
+                "n_shards": int(
+                    plan.agg(F.max("shard")).collect()[0][0]
+                ) + 1,
             })
         elif t == "transform.tile":
             if state_kind != "images":

@@ -236,7 +236,7 @@ def test_augment_node(spark, tmp_path):
     assert out["kind"] == "augmented"
     got = {r["id"]: bytes(r["img"]) for r in out["result"].collect()}
     imgs = synth.synth_images(spark, 10).selectExpr(
-        "*", "cast(substring(image_id, 4) as long) as ordinal"
+        "*", "xxhash64(image_id) as ordinal"
     )
     want = {
         r["id"]: bytes(r["img"])

@@ -251,13 +251,20 @@ def test_token_shards_balance_and_epoch_reshuffle(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     target = 2000
     a = sampling.token_shards(docs, target, salt=1).toPandas()
-    per = a.groupby("shard")["n_tokens"].sum()
-    assert (per.iloc[:-1] >= 0).all()
     # each shard's span [min start, max cum) sits inside its bracket
     starts = (a["cum_tokens"] - a["n_tokens"]) // target
     assert (starts == a["shard"]).all()
-    full = per.iloc[:-1]
-    assert (full + a["n_tokens"].max() >= target).all()
+    # sharp bracket invariants: every doc STARTS at or past its
+    # shard's bracket start, and every non-final shard SPILLS past its
+    # bracket end (the next shard's first doc starts at its max cum)
+    g = a.groupby("shard")
+    assert ((a["cum_tokens"] - a["n_tokens"])
+            >= a["shard"] * target).all()
+    max_cum = g["cum_tokens"].max()
+    last = a["shard"].max()
+    nonfinal = max_cum[max_cum.index < last]
+    assert (nonfinal >= (nonfinal.index + 1) * target).all()
+    assert len(nonfinal) > 0
     b = sampling.token_shards(docs, target, salt=2).toPandas()
     assert set(a["doc_id"]) == set(b["doc_id"])
     ord_a = a.sort_values(["shard", "cum_tokens"])["doc_id"].tolist()
