@@ -230,6 +230,53 @@ def s2_cover(
     return np.array(sorted(out), dtype=np.int64)
 
 
+def s2_cover_polygon(ring, level: int) -> np.ndarray:
+    """Cells at ``level`` conservatively covering a simple lon/lat
+    polygon (exterior ring, (n,2) array) — the polygon twin of
+    :func:`s2_cover`/:func:`s2_cover_cap`. Refinement keeps a cell
+    when its dilated lon/lat box EXACTLY intersects the polygon
+    (core.geom.polygons_intersect on the box rectangle, tried at the
+    three +-360 lon shifts): the dilated box is a superset of the true
+    cell region, so the cover is a superset of the truly-intersecting
+    cells — refine downstream pays for the slack. Holes never widen a
+    polygon, so covering the exterior ring is conservative for any
+    polygon-with-holes. No antimeridian-wrapping rings (split first,
+    like s2_cover)."""
+    from . import geom as G
+
+    ext = np.asarray(ring, dtype=np.float64)
+    if not np.array_equal(ext[0], ext[-1]):
+        ext = np.vstack([ext, ext[:1]])
+    poly_wkb = G.wkb_write_polygon([ext])
+    px0, py0 = ext.min(axis=0)
+    px1, py1 = ext.max(axis=0)
+    out: list[int] = []
+    stack: list[tuple[int, int]] = [(f, 0) for f in range(6)]
+    while stack:
+        cell, lvl = stack.pop()
+        cx0, cy0, cx1, cy1 = _cell_lonlat_box(cell, lvl)
+        hit = False
+        for s in (-360.0, 0.0, 360.0):
+            if cx0 + s > px1 or cx1 + s < px0 or cy0 > py1 or cy1 < py0:
+                continue
+            box = np.array([
+                [cx0 + s, cy0], [cx1 + s, cy0],
+                [cx1 + s, cy1], [cx0 + s, cy1], [cx0 + s, cy0],
+            ])
+            if G.polygons_intersect(
+                G.wkb_write_polygon([box]), poly_wkb
+            ):
+                hit = True
+                break
+        if not hit:
+            continue
+        if lvl == level:
+            out.append(int(cell))
+        else:
+            stack.extend((cell * 4 + k, lvl + 1) for k in range(4))
+    return np.array(sorted(out), dtype=np.int64)
+
+
 def angular_distance(lon1, lat1, lon2, lat2):
     """Great-circle angular distance in DEGREES (haversine)."""
     p1 = np.radians(np.asarray(lat1, dtype=np.float64))

@@ -196,6 +196,53 @@ def _cell_ranges_pred(cover, cell_col: str):
     return F.lit(False) if pred is None else pred
 
 
+def s2_convex_region_filter(
+    df: DataFrame,
+    level: int,
+    ring,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cell_col: str = "s2_cell",
+) -> DataFrame:
+    """Convex-region query via S2 prune-then-refine: the polygon's
+    conservative cell cover (s2_cover_polygon) prunes on merged id
+    ranges, then the CONVEX refine is the half-plane test — for every
+    CCW edge (x0,y0)->(x1,y1), keep rows with
+    (x1-x0)*(lat-y0) - (y1-y0)*(lon-x0) >= 0. Pure IEEE multiply/
+    subtract: codegen on the JVM AND bit-identical in any engine that
+    evaluates the same arithmetic, so the refine needs no float
+    margin (unlike trig). Raises on non-convex/CW rings — arbitrary
+    polygons go through the pip_join machinery instead."""
+    ext = np.asarray(ring, dtype=np.float64)
+    if np.array_equal(ext[0], ext[-1]):
+        ext = ext[:-1]
+    n = len(ext)
+    # convexity + CCW check: every consecutive cross product positive
+    for k in range(n):
+        a, b, c = ext[k], ext[(k + 1) % n], ext[(k + 2) % n]
+        cross = (b[0] - a[0]) * (c[1] - a[1]) \
+            - (b[1] - a[1]) * (c[0] - a[0])
+        if cross <= 0:
+            raise ValueError(
+                "ring must be strictly convex and CCW; use pip_join "
+                "for general polygons"
+            )
+    from ..core import s2cell
+
+    cover = s2cell.s2_cover_polygon(ext, level)
+    out = df.where(_cell_ranges_pred(cover, cell_col))
+    pred = None
+    for k in range(n):
+        x0, y0 = float(ext[k][0]), float(ext[k][1])
+        x1, y1 = float(ext[(k + 1) % n][0]), float(ext[(k + 1) % n][1])
+        p = (
+            (F.lit(x1 - x0) * (F.col(lat_col) - F.lit(y0))
+             - F.lit(y1 - y0) * (F.col(lon_col) - F.lit(x0))) >= 0.0
+        )
+        pred = p if pred is None else (pred & p)
+    return out.where(pred)
+
+
 def haversine_deg(lon1, lat1, lon2, lat2):
     """Great-circle angular distance in degrees between two lon/lat
     Column pairs — pure JVM trig expressions (codegen; the Python twin

@@ -1275,6 +1275,44 @@ def sql_s2_radius() -> str:
     """
 
 
+_S2REG_RING = [
+    (30.0, -10.0), (45.0, -4.0), (47.0, 12.0),
+    (36.0, 20.0), (24.0, 14.0), (22.0, -2.0),
+]  # CCW convex hexagon
+
+
+def q_s2_region(spark, sf_dir) -> DataFrame:
+    """Q1 convex-region variant on the sphere: polygon cell cover
+    (s2_cover_polygon, exact box-vs-polygon refinement test) -> merged
+    range prune -> half-plane refine in pure IEEE multiply/subtract
+    (codegen; bit-identical in DuckDB — no float margin needed, unlike
+    trig refines). Cover under-coverage surfaces as missing rows."""
+    from ..operators import spatial as sp
+
+    pts = _events_pts(spark, sf_dir)
+    keyed = sp.s2_assign(pts, "lon", "lat", 7)
+    out = sp.s2_convex_region_filter(keyed, 7, _S2REG_RING)
+    return out.select("event_id", "lon", "lat")
+
+
+def sql_s2_region() -> str:
+    ring = _S2REG_RING
+    n = len(ring)
+    conds = []
+    for k in range(n):
+        x0, y0 = ring[k]
+        x1, y1 = ring[(k + 1) % n]
+        conds.append(
+            f"({x1 - x0!r}) * (lat - ({y0!r}))"
+            f" - ({y1 - y0!r}) * (lon - ({x0!r})) >= 0"
+        )
+    return f"""
+    SELECT event_id, lon, lat
+    FROM ({_EV_LONLAT_SQL})
+    WHERE {' AND '.join(conds)}
+    """
+
+
 def q_sessionize(spark, sf_dir) -> DataFrame:
     """TS parity-plus: gap-based sessionization (new session when >30
     minutes since the user's previous event), pure window functions."""
@@ -2209,6 +2247,11 @@ QUERIES = {
     # band+refine by phash_neardup; quality_score is the same narrow
     # per-doc codegen-chain shape lang_id anchors, and the quality-gate
     # family is covered deeper by rep_filter/unigram_surprisal) ----
+    # s2_region: the prune-then-refine query SHAPE is anchored by
+    # s2_prune/s2_radius in the prefix; what is new here (the polygon
+    # cover construction + convex half-plane refine) is additionally
+    # pytest-gated, so the tail slot loses no unique driver signal
+    "s2_region": (q_s2_region, sql_s2_region),
     # mix_sample demoted when s2_radius took a prefix slot: its
     # salted-hash ordering is stratified_sample's machinery and its
     # per-source streaming running-sum window is the cumulative-window

@@ -350,3 +350,78 @@ def test_s2_store_prune_layers_and_equality(spark, tmp_path):
     assert re.search(r"PushedFilters: \[[^\]]*s2_cell", plan), \
         plan[-2000:]
     assert re.search(r"PushedFilters: \[[^\]]*lon", plan), plan[-2000:]
+
+
+def _hexring():
+    return np.array([
+        (30.0, -10.0), (45.0, -4.0), (47.0, 12.0),
+        (36.0, 20.0), (24.0, 14.0), (22.0, -2.0),
+    ])
+
+
+def test_polygon_cover_is_superset():
+    from geotrellis_spark.core import geom as G
+
+    ring = _hexring()
+    closed = np.vstack([ring, ring[:1]])
+    rng = np.random.default_rng(41)
+    for lvl in (4, 6, 8):
+        cover = set(s2.s2_cover_polygon(ring, lvl).tolist())
+        assert cover
+        lon = rng.uniform(20.0, 50.0, 200000)
+        lat = rng.uniform(-12.0, 22.0, 200000)
+        inside = G.points_in_rings(lon, lat, [closed])
+        lon, lat = lon[inside], lat[inside]
+        assert len(lon) > 1000
+        cells = np.unique(s2.s2_cell(lon, lat, lvl))
+        assert not (set(cells.tolist()) - cover)
+    # tighter than the bbox cover (the polygon is ~55% of its bbox)
+    bbox_cover = s2.s2_cover((22.0, -10.0, 47.0, 20.0), 8)
+    assert len(s2.s2_cover_polygon(ring, 8)) < len(bbox_cover)
+
+
+def test_spark_s2_convex_region_equals_brute(spark):
+    from geotrellis_spark.core import geom as G
+    from geotrellis_spark.operators import spatial
+
+    ring = _hexring()
+    closed = np.vstack([ring, ring[:1]])
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(-180.0, 180.0, 4000)
+    lat = np.degrees(np.arcsin(rng.uniform(-1.0, 1.0, 4000)))
+    # densify inside the hexagon's bbox so the filter has signal
+    lon[:1500] = rng.uniform(20.0, 50.0, 1500)
+    lat[:1500] = rng.uniform(-12.0, 22.0, 1500)
+    df = spark.createDataFrame(
+        [(int(i), float(lon[i]), float(lat[i])) for i in range(4000)],
+        "id long, lon double, lat double",
+    )
+    keyed = spatial.s2_assign(df, "lon", "lat", 7)
+    got = sorted(
+        r["id"] for r in spatial.s2_convex_region_filter(
+            keyed, 7, ring
+        ).collect()
+    )
+    # brute half-plane replication (same arithmetic, boundary-exact)
+    keep = np.ones(4000, bool)
+    n = len(ring)
+    for k in range(n):
+        x0, y0 = ring[k]
+        x1, y1 = ring[(k + 1) % n]
+        keep &= ((x1 - x0) * (lat - y0) - (y1 - y0) * (lon - x0)) >= 0
+    want = sorted(int(i) for i in np.flatnonzero(keep))
+    assert got == want and len(got) > 300
+    # sanity: half-plane set == ray-cast interior (away from edges)
+    inside = G.points_in_rings(lon, lat, [closed])
+    assert set(np.flatnonzero(inside)) == set(want)
+
+    with pytest.raises(ValueError, match="convex"):
+        spatial.s2_convex_region_filter(
+            keyed, 7, np.array([(0, 0), (10, 0), (10, 10), (0, 10)])[::-1]
+        )
+    with pytest.raises(ValueError, match="convex"):
+        spatial.s2_convex_region_filter(
+            keyed, 7,
+            np.array([(0.0, 0.0), (10.0, 0.0), (5.0, 4.0),
+                      (10.0, 10.0), (0.0, 10.0)]),
+        )
