@@ -569,6 +569,47 @@ def transcode_audio(audio: DataFrame, to_codec: str = "adpcm") -> DataFrame:
     return audio.mapInPandas(gen, audio.schema)
 
 
+def audio_fingerprints(audio: DataFrame) -> DataFrame:
+    """(audio_id, afp): the 64-bit spectral fingerprint per clip
+    (core/av_codecs.audio_fingerprint64 — log-band-difference bits,
+    amplitude-scale-invariant). One partition-preserving narrow map."""
+    from ..core import av_codecs
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"audio_id": [], "afp": []}
+            for i in range(len(pdf)):
+                pcm = decode_audio(
+                    bytes(pdf["pcm"].iloc[i]), pdf["codec"].iloc[i]
+                )
+                out["audio_id"].append(int(pdf["audio_id"].iloc[i]))
+                out["afp"].append(
+                    av_codecs.audio_fingerprint64(pcm)
+                )
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(gen, "audio_id long, afp long")
+
+
+def audio_neardup(
+    audio: DataFrame,
+    max_hamming: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Audio near-duplicate pairs — the audio leg of the multimodal
+    dedup family: spectral fingerprints feed EXACTLY the
+    dedup.phash_neardup machinery (4 x 16-bit band equi-join +
+    bit_count refine, optional hot-bucket representative cap), so the
+    audio path inherits its proven scale shape and cap semantics."""
+    from . import dedup
+
+    fps = audio_fingerprints(audio)
+    return dedup.phash_neardup(
+        fps, id_col="audio_id", hash_col="afp",
+        max_hamming=max_hamming, max_bucket=max_bucket,
+    )
+
+
 def audio_features(
     audio: DataFrame, frame: int = 1024, hop: int = 512,
 ) -> DataFrame:

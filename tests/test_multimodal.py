@@ -219,3 +219,88 @@ def test_image_quality_gate_flags(spark):
     # exact integer stats: flat image has std_milli == 0, mean exact
     assert out[101]["std_milli"] == 0
     assert out[101]["mean_milli"] == 30000 * 1000
+
+
+def _ham64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_audio_fingerprint_contract():
+    """The candidate-generator contract: gain changes leave the
+    fingerprint EXACTLY unchanged (median normalization), ADPCM
+    re-encodes flip at most a few bits (recall on transcodes), and
+    structurally different content (tone / chord / noise) lands far
+    apart. Tonal content sharing a log band can collide — that is a
+    documented resolution limit: collisions are candidate pairs the
+    downstream exact/embedding stages refine away."""
+    from geotrellis_spark.core import av_codecs
+
+    fp = av_codecs.audio_fingerprint64
+    t = np.arange(16000) / 8000.0
+    rng = np.random.default_rng(7)
+    tone = 0.7 * np.sin(2 * np.pi * 440 * t)
+    chord = 0.3 * (np.sin(2 * np.pi * 330 * t)
+                   + np.sin(2 * np.pi * 880 * t)
+                   + np.sin(2 * np.pi * 1760 * t))
+    noise = rng.standard_normal(16000) * 0.3
+    a, b, c = fp(tone), fp(chord), fp(noise)
+    assert _ham64(a, fp(tone * 0.2)) == 0
+    assert _ham64(b, fp(chord * 3.0)) == 0
+    # broadband noise lights ALL bands -> far from any tonal clip;
+    # two sparse tonal clips differ in their (small) peak sets
+    assert _ham64(a, c) >= 30 and _ham64(b, c) >= 30
+    assert _ham64(a, b) >= 4
+    # ADPCM transcode recall across the synth corpus
+    for aid in range(16):
+        pcm16 = _synth_pcm(aid)
+        enc = av_codecs.adpcm_encode(
+            (pcm16.astype(np.int64) + 32768).astype(np.uint16)
+        )
+        dec = av_codecs.adpcm_decode(enc).astype(np.float64) / 32768.0 - 1.0
+        assert _ham64(fp(pcm16 / 32768.0), fp(dec)) <= 2
+
+
+def _synth_pcm(aid: int, n_samples: int = 16000, sr: int = 8000):
+    t = np.arange(n_samples) / sr
+    freq = 200.0 + (aid % 17) * 50.0
+    sig = 0.6 * np.sin(2 * np.pi * freq * t)
+    sig += 0.2 * np.sin(2 * np.pi * (freq + 7 * aid % 40) * t * t)
+    rng = np.random.Generator(np.random.Philox(key=aid))
+    sig += 0.05 * rng.standard_normal(n_samples)
+    return np.clip(sig * 32767, -32768, 32767).astype("<i2")
+
+
+def test_audio_neardup_finds_transcodes(spark):
+    """Planted corpus: structurally-different clips plus an ADPCM
+    transcode of one of them — audio_neardup pairs exactly the
+    transcode with its source."""
+    from geotrellis_spark.core import av_codecs
+
+    t = np.arange(16000) / 8000.0
+    rng = np.random.default_rng(9)
+    clips = {
+        0: 0.7 * np.sin(2 * np.pi * 440 * t),
+        1: 0.3 * (np.sin(2 * np.pi * 330 * t)
+                  + np.sin(2 * np.pi * 880 * t)
+                  + np.sin(2 * np.pi * 1760 * t)),
+        2: rng.standard_normal(16000) * 0.3,
+    }
+    rows = []
+    for aid, sig in clips.items():
+        pcm = np.clip(sig * 32767, -32768, 32767).astype("<i2")
+        rows.append((aid, bytearray(pcm.tobytes()), 8000, 16000, "pcm16"))
+    # id 3 = ADPCM transcode of id 0
+    pcm0 = np.clip(clips[0] * 32767, -32768, 32767).astype("<i2")
+    enc = av_codecs.adpcm_encode(
+        (pcm0.astype(np.int64) + 32768).astype(np.uint16)
+    )
+    rows.append((3, bytearray(bytes(enc)), 8000, 16000, "adpcm"))
+    audio = spark.createDataFrame(
+        rows,
+        "audio_id long, pcm binary, sample_rate int, n_samples int, "
+        "codec string",
+    )
+    out = mm.audio_neardup(audio, max_hamming=2)
+    a_col, b_col = out.columns[0], out.columns[1]
+    pairs = sorted((r[a_col], r[b_col]) for r in out.collect())
+    assert pairs == [(0, 3)]
