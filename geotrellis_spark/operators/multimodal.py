@@ -733,6 +733,50 @@ def frame_sample(
     )
 
 
+def video_neardup(
+    video: DataFrame,
+    every_k: int = 4,
+    max_hamming: int = 6,
+    min_matches: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Video near-duplicate pairs — the video leg of multimodal dedup,
+    a pure composition of proven pieces: byte-offset frame sampling
+    (frame_sample, cost proportional to frames KEPT) emits per-frame
+    perceptual hashes, frame pairs ride the phash_neardup band
+    machinery restricted to the SAME frame ordinal (temporal
+    alignment), and a video pair survives when >= ``min_matches``
+    sampled frames match within ``max_hamming`` bits — so a lossy
+    re-encode (ddct) pairs with its source while unrelated footage
+    shares no aligned near-identical frames. Output:
+    (video_a, video_b, n_frames_matched)."""
+    from pyspark.sql import functions as F
+
+    from . import dedup
+
+    frames = frame_sample(video, every_k=every_k).select(
+        (F.col("video_id") * 1_000_000 + F.col("frame_ord"))
+        .alias("fid"),
+        "phash",
+    )
+    pairs = dedup.phash_neardup(
+        frames, id_col="fid", hash_col="phash",
+        max_hamming=max_hamming, max_bucket=max_bucket,
+    )
+    a, b = pairs.columns[0], pairs.columns[1]
+    aligned = pairs.where(
+        (F.col(a) % 1_000_000) == (F.col(b) % 1_000_000)
+    ).select(
+        F.expr(f"{a} div 1000000").alias("video_a"),
+        F.expr(f"{b} div 1000000").alias("video_b"),
+    )
+    return (
+        aligned.groupBy("video_a", "video_b")
+        .agg(F.count("*").alias("n_frames_matched"))
+        .where(F.col("n_frames_matched") >= int(min_matches))
+    )
+
+
 def transcode_video(video: DataFrame, to_codec: str = "ddct",
                     quality: int = 95, keyframe_every: int = 8) -> DataFrame:
     """Transcode rawstack <-> ddct (keyframed delta-DCT,

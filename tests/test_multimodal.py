@@ -304,3 +304,21 @@ def test_audio_neardup_finds_transcodes(spark):
     a_col, b_col = out.columns[0], out.columns[1]
     pairs = sorted((r[a_col], r[b_col]) for r in out.collect())
     assert pairs == [(0, 3)]
+
+
+def test_video_neardup_finds_transcode(spark):
+    """Three distinct synth videos plus a lossy ddct re-encode of one:
+    video_neardup pairs exactly the re-encode with its source (aligned
+    frames, >= min_matches near-identical phashes)."""
+    vids = mm.synth_video(spark, 3, n_frames=16, w=32, h=32,
+                          partitions=2)
+    copy = mm.transcode_video(
+        vids.where("video_id = 1"), to_codec="ddct", quality=95
+    ).selectExpr(
+        "video_id + 100 as video_id", "frames", "n_frames", "w", "h",
+        "codec",
+    )
+    corpus = vids.unionByName(copy)
+    out = mm.video_neardup(corpus, every_k=4, min_matches=2).collect()
+    assert [(r["video_a"], r["video_b"]) for r in out] == [(1, 101)]
+    assert out[0]["n_frames_matched"] >= 2
