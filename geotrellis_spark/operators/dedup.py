@@ -150,17 +150,47 @@ def minhash_candidates(
             )
         )
         banded = ranked.where(F.col("_rk") <= max_bucket).drop("_rk")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Salted TRIANGLE self-join (guide §2.5 "salt the key"): the plain
+    # (band, bval) self-join concentrates each bucket's |bucket|^2/2
+    # pair enumeration in ONE task — measured at sf1.0: 221M candidate
+    # pairs, with the single hottest bucket (14,292 docs) contributing
+    # 102M of them (46%), a straggler neither AQE coalescing nor AQE
+    # skew-split can cut (skew-split keys on input bytes; the skew here
+    # is OUTPUT amplification of one key). Salting each row into one of
+    # G groups by a deterministic id hash and joining on
+    # (band, bval, ga, gb) spreads a bucket over G*(G+1)/2 cells:
+    # side A carries cells (g..G-1), side B cells (0..g), so an
+    # unordered pair meets in exactly ONE cell — (min(gx,gy),
+    # max(gx,gy)) across groups, or the diagonal cell with the id
+    # inequality inside a group — and least/greatest restores the
+    # doc_a < doc_b orientation. Output pair SET is identical; only the
+    # task-level distribution of its enumeration changes. Replication
+    # cost: the skinny banded rows x (G+1)/2 — bytes-trivial next to
+    # the pair stream. The explicit keyed repartition pins the join at
+    # the session's shuffle parallelism (bytes-based AQE coalescing
+    # would otherwise shrink the tiny input to 1-2 partitions and
+    # serialize the 100x-amplified output).
+    _p = int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    _ngroups = min(_p, 64)
+    salted = banded.withColumn(
+        "_g", F.pmod(F.hash(F.col(id_col)), F.lit(_ngroups))
+    )
+    a_rep = salted.selectExpr(
+        "band", "bval", f"{id_col} as _ida", "_g as _ga",
+        f"explode(sequence(_g, {_ngroups - 1})) as _gb",
+    ).repartition(_p, "band", "bval", "_ga", "_gb")
+    b_rep = salted.selectExpr(
+        "band", "bval", f"{id_col} as _idb",
+        "explode(sequence(0, _g)) as _ga", "_g as _gb",
+    ).repartition(_p, "band", "bval", "_ga", "_gb")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        a_rep.join(b_rep, ["band", "bval", "_ga", "_gb"])
+        .where(
+            (F.col("_ga") < F.col("_gb")) | (F.col("_ida") < F.col("_idb"))
         )
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+            F.least("_ida", "_idb").alias("doc_a"),
+            F.greatest("_ida", "_idb").alias("doc_b"),
         )
     )
     if tail_pairs is not None:

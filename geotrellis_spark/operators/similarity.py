@@ -24,7 +24,32 @@ DIM = 64
 N_PLANES = 4
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-input parallelism guard (guide §2.5 input skew / §6 split
+    sizing): an embedding table of a few MB arrives as 1-2 parquet
+    splits, and every downstream narrow op — including the corpus x
+    queries / corpus x centroids cross joins that dominate the ANN
+    family — inherits that 1-2-task ceiling (measured: ann_topk ran
+    ~50x under the box's core count). Round-robin repartition up to the
+    session's default parallelism; a no-op whenever the scan already
+    has that many splits (the 100 TB case), so this never SHRINKS
+    parallelism at scale and stays parameterised by the session's core
+    count rather than a constant."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def _dot_sql(a: str, b: str) -> str:
+    # NOTE (r6): an unrolled 64-term sum was A/B'd against this HOF
+    # fold and is 4-5x SLOWER: the generated projection method exceeds
+    # HotSpot's huge-method JIT limit and runs as interpreted bytecode,
+    # while the fold's internal loop stays tight. The fold is kept; the
+    # heavy cross-join scorers avoid per-pair self-dots via per-row
+    # norm precompute instead (guide §1.2: fix the algorithm, then the
+    # per-task work).
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
         f"cast(0.0 as double), (acc, v) -> acc + v)"
@@ -45,14 +70,19 @@ def cosine_topk(
     """Exact cosine top-k per query vector (queries selected by
     predicate, self excluded). Output: (q_id, vec_id, rank) — ranks
     only, so cross-engine float comparison never touches the hash."""
+    # norms precomputed ONCE per row on each side (n + q sqrt-folds,
+    # not 2 per pair — guide §2.3 "don't compute things you throw
+    # away"): sqrt on the identical fold value, then the identical
+    # (nv * nq) product, so every pair's cos double is bit-unchanged.
     q = emb.where(query_pred).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("q_n", F.sqrt(_dot("q_vec", "q_vec")))
+    base = _spread(emb).select(id_col, vec_col).withColumn(
+        "v_n", F.sqrt(_dot(vec_col, vec_col))
     )
-    pairs = emb.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("q_id"))
+    pairs = base.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("q_id"))
     scored = pairs.withColumn(
-        "cos",
-        _dot(vec_col, "q_vec")
-        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("q_vec", "q_vec"))),
+        "cos", _dot(vec_col, "q_vec") / (F.col("v_n") * F.col("q_n"))
     )
     win = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -135,7 +165,7 @@ def lsh_buckets(
     """Hyperplane-LSH bucket id per vector: bit j = sign of dot with
     plane j. Output: (vec_id, bucket). At 100 TB this is the shuffle
     key that turns ANN into per-bucket local top-k."""
-    return emb.select(id_col, vec_col).selectExpr(
+    return _spread(emb).select(id_col, vec_col).selectExpr(
         id_col, f"{_bucket_sql_spark(vec_col, n_planes)} as bucket"
     )
 
@@ -158,17 +188,20 @@ def lsh_topk(
     (q_id, vec_id, rank) over the bucketed candidates — deterministic,
     so the DuckDB twin is exact."""
     bucket = F.expr(_bucket_sql_spark(vec_col, n_planes))
-    withb = emb.select(id_col, vec_col).withColumn("bucket", bucket)
+    # per-row norm precompute: same fold + sqrt as before, computed
+    # once per side instead of once per candidate pair
+    withb = _spread(emb).select(id_col, vec_col).withColumn("bucket", bucket).withColumn(
+        "v_n", F.sqrt(_dot(vec_col, vec_col))
+    )
     q = withb.where(query_pred).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket"
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        "bucket", F.col("v_n").alias("q_n"),
     )
     if broadcast_queries:
         q = F.broadcast(q)
     pairs = withb.join(q, "bucket").where(F.col(id_col) != F.col("q_id"))
     scored = pairs.withColumn(
-        "cos",
-        _dot(vec_col, "q_vec")
-        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("q_vec", "q_vec"))),
+        "cos", _dot(vec_col, "q_vec") / (F.col("v_n") * F.col("q_n"))
     )
     win = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -231,22 +264,23 @@ def multiprobe_topk(
     if probes not in (0, 1):
         raise ValueError("probes in {0, 1} supported (flip-1 multi-probe)")
     bucket = F.expr(_bucket_sql_spark(vec_col, n_planes))
-    withb = emb.select(id_col, vec_col).withColumn("bucket", bucket)
+    withb = _spread(emb).select(id_col, vec_col).withColumn("bucket", bucket).withColumn(
+        "v_n", F.sqrt(_dot(vec_col, vec_col))
+    )
     probe_terms = ["bucket"] + [
         f"bucket ^ {1 << j}" for j in range(n_planes if probes else 0)
     ]
     q = withb.where(query_pred).selectExpr(
         f"{id_col} as q_id",
         f"{vec_col} as q_vec",
+        "v_n as q_n",
         f"explode(array({', '.join(probe_terms)})) as bucket",
     )
     if broadcast_queries:
         q = F.broadcast(q)
     pairs = withb.join(q, "bucket").where(F.col(id_col) != F.col("q_id"))
     scored = pairs.withColumn(
-        "cos",
-        _dot(vec_col, "q_vec")
-        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("q_vec", "q_vec"))),
+        "cos", _dot(vec_col, "q_vec") / (F.col("v_n") * F.col("q_n"))
     )
     win = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -308,7 +342,9 @@ def cosine_neardup_pairs(
     double compare is fine because both engines compute the identical
     sequential fold). Returns (vec_a, vec_b, cos_milli), vec_a < vec_b."""
     bucket = F.expr(_bucket_sql_spark(vec_col, n_planes))
-    withb = emb.select(id_col, vec_col).withColumn("bucket", bucket)
+    withb = _spread(emb).select(id_col, vec_col).withColumn("bucket", bucket).withColumn(
+        "v_n", F.sqrt(_dot(vec_col, vec_col))
+    )
     a = withb.alias("a")
     b = withb.alias("b")
     pairs = a.join(
@@ -318,10 +354,7 @@ def cosine_neardup_pairs(
     )
     cos = (
         _dot(f"a.{vec_col}", f"b.{vec_col}")
-        / (
-            F.sqrt(_dot(f"a.{vec_col}", f"a.{vec_col}"))
-            * F.sqrt(_dot(f"b.{vec_col}", f"b.{vec_col}"))
-        )
+        / (F.col("a.v_n") * F.col("b.v_n"))
     )
     return pairs.select(
         F.col(f"a.{id_col}").alias("vec_a"),
@@ -385,34 +418,55 @@ def ivf_topk(
     join); recall is the ``nprobe`` query-time knob. A vector lives in
     exactly ONE list, so (query, candidate) pairs are unique by
     construction — no dedup shuffle. Output: (q_id, vec_id, rank)."""
+    # per-row norms once per side (not per corpus x centroid pair)
     cents = F.broadcast(
         emb.where(f"{id_col} % {stride} = 0").select(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
-        )
+        ).withColumn("c_n", F.sqrt(_dot("c_vec", "c_vec")))
     )
-    base = emb.select(id_col, vec_col)
+    base = _spread(emb).select(id_col, vec_col).withColumn(
+        "v_n", F.sqrt(_dot(vec_col, vec_col))
+    )
     scored_c = base.crossJoin(cents).withColumn(
-        "ccos",
-        _dot(vec_col, "c_vec")
-        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("c_vec", "c_vec"))),
+        "ccos", _dot(vec_col, "c_vec") / (F.col("v_n") * F.col("c_n"))
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("ccos").desc(), F.col("cent_id").asc()
-    )
-    ranked = scored_c.withColumn("crank", F.row_number().over(w))
-    assign = ranked.where("crank = 1").select(id_col, vec_col, "cent_id")
+    # nearest-centroid argmax as a HASH-AGGREGATE (max_by), not a
+    # row_number window: the window sort-shuffles all n x k scored
+    # rows; max_by partial-aggregates map-side and never sorts (the
+    # ivf_assignments pattern). struct(ccos, -cent_id) max ==
+    # (ccos desc, cent_id asc) first — identical winner per vector.
+    assign = scored_c.groupBy(id_col).agg(
+        F.expr(
+            f"max_by(struct(cent_id, {vec_col}, v_n), struct(ccos, -cent_id))"
+        ).alias("_m")
+    ).select(id_col, f"_m.{vec_col}", "_m.v_n", "_m.cent_id")
+    # probe ranking only needs the QUERY rows: filtering before the
+    # centroid cross scores q x k pairs instead of n x k (the window
+    # partitions by the vector id, so ranks are unchanged), and the
+    # corpus x centroid pass runs once, not twice
     probes = F.broadcast(
-        ranked.where(query_pred)
+        base.where(query_pred)
+        .crossJoin(cents)
+        .withColumn(
+            "ccos", _dot(vec_col, "c_vec") / (F.col("v_n") * F.col("c_n"))
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("ccos").desc(), F.col("cent_id").asc()
+                )
+            ),
+        )
         .where(f"crank <= {nprobe}")
         .select(
-            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "cent_id"
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+            F.col("v_n").alias("q_n"), "cent_id",
         )
     )
     pairs = assign.join(probes, "cent_id").where(F.col(id_col) != F.col("q_id"))
     scored = pairs.withColumn(
-        "cos",
-        _dot(vec_col, "q_vec")
-        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("q_vec", "q_vec"))),
+        "cos", _dot(vec_col, "q_vec") / (F.col("v_n") * F.col("q_n"))
     )
     win = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -484,12 +538,111 @@ def _d2_sql(a: str, b: str) -> str:
 _MILLI = "transform({v}, x -> cast(floor(cast(x as double) * 1000.0 + 0.5) as double))"
 
 
+def _fold_dot_np(A, B):
+    """Row-wise dot of two (n, dim) float64 matrices in EXACT left-fold
+    order: acc starts at 0.0 and adds the per-element products in index
+    order, so every scalar accumulator replays the identical IEEE op
+    sequence as ``_dot_sql``'s aggregate/zip_with fold (and DuckDB's
+    list_dot_product)."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for i in range(A.shape[1]):
+        acc += A[:, i] * B[:, i]
+    return acc
+
+
+def _score_d2_np(qm, qq, C, cc):
+    """(n, dim) corpus block x (k, dim) centroid matrix -> (n, k) d2
+    with the exact op sequence of the JVM/DuckDB expression
+    ``(qq - 2.0 * fold_dot(qv, cv)) + cc``: the dot accumulates
+    products in index order (left fold), then per-scalar (qq - 2*dot)
+    + cc. Bit-identical to the crossJoin + _dot_sql projection it
+    replaces."""
+    import numpy as np
+
+    acc = np.zeros((qm.shape[0], C.shape[0]), dtype=np.float64)
+    for i in range(qm.shape[1]):
+        acc += qm[:, i:i + 1] * C[None, :, i]
+    return (qq[:, None] - 2.0 * acc) + cc[None, :]
+
+
+def _cent_matrix(cents: DataFrame):
+    """Collect the k-row centroid table to driver numpy arrays sorted
+    by cent_id. Same driver residency as the F.broadcast(cents) it
+    replaces (k rows — the known stride-proportional-k caveat is
+    unchanged); this is the MLlib-KMeans shape: centroids broadcast
+    out, per-cluster sums aggregated back."""
+    import numpy as np
+
+    rows = cents.orderBy("cent_id").collect()
+    ids = np.array([int(r["cent_id"]) for r in rows], dtype=np.int64)
+    C = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
+    cc = np.array([float(r["cc"]) for r in rows], dtype=np.float64)
+    return ids, C, cc
+
+
+def _batch_mat(batch, name: str, dim: int):
+    """(rows, dim) float64 matrix from an Arrow list column (offset-
+    aware flatten; zero-copy when the batch allows)."""
+    col = batch.column(batch.schema.get_field_index(name))
+    return (
+        col.flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype("float64", copy=False)
+        .reshape(-1, dim)
+    )
+
+
+def _nearest_assign_arrow(
+    q: DataFrame, cents: DataFrame, id_col: str, dim: int
+) -> DataFrame:
+    """Nearest-centroid assignment (argmin by d2 asc, cent_id asc) as
+    ONE Arrow-batched numpy pass over the corpus — replaces the
+    crossJoin(broadcast(cents)) + interpreted-fold d2 + max_by
+    hash-agg with identical results: _score_d2_np replays the exact
+    per-element fold/op sequence, and argmin's first-minimum over the
+    cent_id-sorted matrix IS the (d2, cent_id) tie rule. ``q`` must
+    carry (id_col, qv milli-array, qq self-dot); output adds cent_id
+    and passes qv/qq through untouched (same Arrow buffers)."""
+    spark = q.sparkSession
+    ids, C, cc = _cent_matrix(cents)
+    bc = spark.sparkContext.broadcast((ids, C, cc))
+
+    def assign_fn(batches, _bc=bc, _d=dim):
+        import pyarrow as pa
+
+        ids_, C_, cc_ = _bc.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            qm = _batch_mat(b, "qv", _d)
+            qq = b.column(
+                b.schema.get_field_index("qq")
+            ).to_numpy(zero_copy_only=False)
+            best = _score_d2_np(qm, qq, C_, cc_).argmin(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index(id_col)),
+                    b.column(b.schema.get_field_index("qv")),
+                    b.column(b.schema.get_field_index("qq")),
+                    pa.array(ids_[best], type=pa.int64()),
+                ],
+                [id_col, "qv", "qq", "cent_id"],
+            )
+
+    return q.select(id_col, "qv", "qq").mapInArrow(
+        assign_fn, f"{id_col} long, qv array<double>, qq double, cent_id long"
+    )
+
+
 def kmeans_milli(
     emb: DataFrame,
     stride: int = 61,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd k-means over milli-quantized embeddings —
     the 'sampled kmeans centroids' upgrade the IVF docstring promises,
@@ -510,10 +663,18 @@ def kmeans_milli(
     window argmin, one (cent, dim) two-phase aggregation. Returns
     (cent_id, cv: array<double> in milli space).
     """
+    # the per-dimension mean aggregation below needs the (uniform)
+    # vector length at plan time; oracle-facing callers pass dim=DIM,
+    # ad-hoc callers pay one LIMIT-1 lookup (ANSI qv[i] errors on an
+    # out-of-range index instead of yielding NULL, so guessing is not
+    # an option)
+    if dim is None:
+        row = emb.select(vec_col).head()
+        dim = len(row[0]) if row is not None else DIM
     # norms precomputed ONCE per vector/centroid as columns: the pair
     # loop then folds one dot product instead of three. d2 VALUES are
     # identical (same per-vector fold), so oracle ordering is unchanged.
-    q = emb.select(
+    q = _spread(emb).select(
         id_col, F.expr(_MILLI.format(v=vec_col)).alias("qv")
     ).withColumn("qq", F.expr(_dot_sql("qv", "qv")))
     cents = q.where(f"{id_col} % {stride} = 0").select(
@@ -521,34 +682,77 @@ def kmeans_milli(
         F.col("qv").alias("cv"),
         F.col("qq").alias("cc"),
     )
-    d2 = F.col("qq") - 2.0 * F.expr(_dot_sql("qv", "cv")) + F.col("cc")
-    w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cent_id").asc())
+    # Lloyd iterations in the MLlib-KMeans shape (guide §4.2 "hand
+    # whole batches to vectorized native libraries"): centroids
+    # broadcast OUT as a k-row matrix, the corpus x centroid scoring +
+    # per-cluster (count, sum-vector) partials run as ONE Arrow-batched
+    # numpy pass per iteration, and only tasks x k partial rows come
+    # back for the k-row centroid update — replacing the per-iteration
+    # 6.5M-row interpreted-fold cross join + two hash-aggs +
+    # localCheckpoint. Bit-exactness: _score_d2_np replays the exact
+    # fold/op sequence of the JVM expression; per-cluster sums are
+    # exact integers (order-free); the per-dimension s/n division and
+    # the cc self-fold repeat the identical IEEE ops. Driver residency
+    # stays k rows + tasks x k partials — the same class as the k-row
+    # broadcast it replaces (the stride-proportional-k caveat from
+    # VERDICT r5 is unchanged; it is the algorithm's published init).
+    import numpy as np
+
+    spark = emb.sparkSession
+    ids, C, cc = _cent_matrix(cents)
+    q2 = q.select("qv", "qq")
+    part_schema = "_ci long, _n long, " + ", ".join(
+        f"_s{i} double" for i in range(dim)
+    )
     for _ in range(iters):
-        scored = q.crossJoin(F.broadcast(cents)).withColumn("d2", d2)
-        assign = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .where("rk = 1")
-            .select(id_col, "qv", "cent_id")
+        bc = spark.sparkContext.broadcast((C, cc))
+
+        def partials(batches, _bc=bc, _k=len(ids), _d=dim):
+            import numpy as _np
+            import pyarrow as pa
+
+            C_, cc_ = _bc.value
+            cnt = _np.zeros(_k, dtype=_np.int64)
+            sums = _np.zeros((_k, _d), dtype=_np.float64)
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                qm = _batch_mat(b, "qv", _d)
+                qq = b.column(
+                    b.schema.get_field_index("qq")
+                ).to_numpy(zero_copy_only=False)
+                best = _score_d2_np(qm, qq, C_, cc_).argmin(axis=1)
+                _np.add.at(sums, best, qm)
+                cnt += _np.bincount(best, minlength=_k)
+            nz = _np.nonzero(cnt)[0]
+            arrays = [
+                pa.array(nz.astype("int64")),
+                pa.array(cnt[nz]),
+            ] + [pa.array(sums[nz, i]) for i in range(_d)]
+            yield pa.RecordBatch.from_arrays(
+                arrays, ["_ci", "_n"] + [f"_s{i}" for i in range(_d)]
+            )
+
+        pdf = q2.mapInArrow(partials, part_schema).toPandas()
+        cnt = np.zeros(len(ids), dtype=np.int64)
+        sums = np.zeros((len(ids), dim), dtype=np.float64)
+        ci = pdf["_ci"].to_numpy(dtype=np.int64)
+        np.add.at(cnt, ci, pdf["_n"].to_numpy(dtype=np.int64))
+        np.add.at(
+            sums, ci,
+            pdf[[f"_s{i}" for i in range(dim)]].to_numpy(dtype=np.float64),
         )
-        means = (
-            assign.select("cent_id", F.posexplode("qv").alias("pos", "val"))
-            .groupBy("cent_id", "pos")
-            .agg((F.sum("val") / F.count("*")).alias("m"))
-        )
-        newc = means.groupBy("cent_id").agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
-            ).alias("cv2")
-        )
-        cents = (
-            cents.join(newc, "cent_id", "left")
-            .select("cent_id", F.coalesce("cv2", "cv").alias("cv"))
-            .withColumn("cc", F.expr(_dot_sql("cv", "cv")))
-            # k rows: pin each round so iteration i+1's cross join does
-            # not re-run rounds 1..i through the lineage
-            .localCheckpoint()
-        )
-    return cents.select("cent_id", "cv", "cc")
+        upd = cnt > 0  # empty clusters keep their previous centroid
+        C = C.copy()
+        C[upd] = sums[upd] / cnt[upd, None]
+        cc = _fold_dot_np(C, C)
+    out = [
+        (int(ids[j]), [float(x) for x in C[j]], float(cc[j]))
+        for j in range(len(ids))
+    ]
+    return spark.createDataFrame(
+        out, "cent_id long, cv array<double>, cc double"
+    )
 
 
 def ivf_kmeans_topk(
@@ -560,28 +764,42 @@ def ivf_kmeans_topk(
     stride: int = 61,
     iters: int = 2,
     nprobe: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF ANN top-k over Lloyd-refined centroids (L2 in milli space):
     the production-shape IVF — kmeans_milli learns the coarse
     quantizer, then the same broadcast-assign / probe / inverted-list
-    equi-join plan as ``ivf_topk``. Output (q_id, vec_id, rank)."""
-    cents = F.broadcast(kmeans_milli(emb, stride, iters, id_col, vec_col))
-    q = emb.select(
+    equi-join plan as ``ivf_topk``. Output (q_id, vec_id, rank).
+    ``dim`` is the uniform vector length (kmeans_milli's per-dimension
+    mean aggregation needs it at plan time; None = one-row lookup)."""
+    if dim is None:
+        row = emb.select(vec_col).head()
+        dim = len(row[0]) if row is not None else DIM
+    cents = kmeans_milli(emb, stride, iters, id_col, vec_col, dim=dim)
+    q = _spread(emb).select(
         id_col, F.expr(_MILLI.format(v=vec_col)).alias("qv")
     ).withColumn("qq", F.expr(_dot_sql("qv", "qv")))
-    scored = q.crossJoin(cents).withColumn(
-        "d2",
-        F.col("qq") - 2.0 * F.expr(_dot_sql("qv", "cv")) + F.col("cc"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cent_id").asc())
-    # lazy-pin: assign and probes both read the ranked assignment —
-    # without this the corpus x centroid pass runs twice
-    ranked = scored.withColumn("rk", F.row_number().over(w)).localCheckpoint(
-        eager=False
-    )
-    assign = ranked.where("rk = 1").select(id_col, "qv", "qq", "cent_id")
+    d2 = F.col("qq") - 2.0 * F.expr(_dot_sql("qv", "cv")) + F.col("cc")
+    # nearest-centroid assignment as one Arrow/numpy pass (bit-exact
+    # fold replay — see _nearest_assign_arrow): no n x k cross join,
+    # no window, no checkpoint of scored rows
+    assign = _nearest_assign_arrow(q, cents, id_col, dim)
+    # probe ranking only needs the QUERY rows (the rank window
+    # partitions by the vector id, so filtering first scores q x k
+    # pairs instead of n x k with identical ranks) — this also removes
+    # the second corpus x centroid pass the checkpoint used to pin
     probes = F.broadcast(
-        ranked.where(query_pred)
+        q.where(query_pred)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("d2").asc(), F.col("cent_id").asc()
+                )
+            ),
+        )
         .where(f"rk <= {nprobe}")
         .select(
             F.col(id_col).alias("q_id"),
@@ -807,11 +1025,13 @@ def ivf_assignments(
     map-side and never sorts. Tie-break matches a
     (ccos desc, cent_id asc) ordering — struct comparison is
     lexicographic and -cent_id flips asc into the max."""
-    bcents = F.broadcast(cents)
-    scored = emb.select(id_col, vec_col).crossJoin(bcents).withColumn(
-        "ccos",
-        _dot(vec_col, "c_vec")
-        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("c_vec", "c_vec"))),
+    bcents = F.broadcast(
+        cents.withColumn("c_n", F.sqrt(_dot("c_vec", "c_vec")))
+    )
+    scored = _spread(emb).select(id_col, vec_col).withColumn(
+        "v_n", F.sqrt(_dot(vec_col, vec_col))
+    ).crossJoin(bcents).withColumn(
+        "ccos", _dot(vec_col, "c_vec") / (F.col("v_n") * F.col("c_n"))
     )
     # group by id ONLY (grouping by the array column would fall back
     # to SortAggregate — arrays aren't hash-aggregatable); the vector
@@ -895,6 +1115,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023
     arXiv:2303.09540): k-means clusters the embedding space, pairwise
@@ -920,50 +1141,58 @@ def semdedup(
     """
     from .dedup import dedup_clusters
 
-    cents = kmeans_milli(emb, stride, iters, id_col, vec_col)
-    q = emb.select(
+    if dim is None:
+        row = emb.select(vec_col).head()
+        dim = len(row[0]) if row is not None else DIM
+    cents = kmeans_milli(emb, stride, iters, id_col, vec_col, dim=dim)
+    # qq (self-dot) once per vector; the Arrow assignment pass replays
+    # the exact (qq - 2*dot) + cc fold/op sequence of _d2_sql.
+    # qn = sqrt(qq): the pair stage's per-side norm, computed once
+    # per vector instead of once per within-cluster pair
+    q = _spread(emb).select(
         id_col, F.expr(_MILLI.format(v=vec_col)).alias("qv")
+    ).withColumn("qq", F.expr(_dot_sql("qv", "qv")))
+    assign = _nearest_assign_arrow(q, cents, id_col, dim).select(
+        id_col, "cent_id", "qv", F.sqrt("qq").alias("qn")
     )
-    scored = q.crossJoin(F.broadcast(cents)).withColumn(
-        "d2", F.expr(_d2_sql("qv", "cv"))
+    # pin the within-cluster pair join's parallelism: the assignment
+    # table is bytes-small, so AQE coalesces the cent_id shuffle to 1-2
+    # partitions by input size — but the self-join amplifies ~cluster-
+    # size x, so pair scoring ran nearly single-threaded. The keyed
+    # repartition is exempt from coalescing and reused by the join
+    # (same fix as dedup.minhash_candidates' banded self-join).
+    assign = assign.repartition(
+        int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        "cent_id",
     )
-    # argmin as a hash-aggregate: group by id ONLY, vector rides in
-    # the max_by payload (grouping by an array column falls back to
-    # SortAggregate); struct(-d2, -cent_id) max == (d2, cent_id) min
-    assign = scored.groupBy(id_col).agg(
-        F.expr("max_by(struct(cent_id, qv), struct(-d2, -cent_id))")
-        .alias("_m")
-    ).select(id_col, "_m.cent_id", "_m.qv")
 
     a = assign.selectExpr(
-        "cent_id", f"{id_col} as vec_a", "qv as qa"
+        "cent_id", f"{id_col} as vec_a", "qv as qa", "qn as na"
     )
     b = assign.selectExpr(
-        "cent_id", f"{id_col} as vec_b", "qv as qb"
+        "cent_id", f"{id_col} as vec_b", "qv as qb", "qn as nb"
     )
     tail = None
     if max_cluster is not None:
         w = Window.partitionBy("cent_id").orderBy(F.col(id_col).asc())
         ranked = assign.withColumn("_rk", F.row_number().over(w))
         rep = ranked.where("_rk = 1").selectExpr(
-            "cent_id", f"{id_col} as vec_a", "qv as qa"
+            "cent_id", f"{id_col} as vec_a", "qv as qa", "qn as na"
         )
         tail = (
             ranked.where(F.col("_rk") > max_cluster)
-            .selectExpr("cent_id", f"{id_col} as vec_b", "qv as qb")
+            .selectExpr("cent_id", f"{id_col} as vec_b", "qv as qb", "qn as nb")
             .join(rep, "cent_id")
         )
         head = ranked.where(F.col("_rk") <= max_cluster)
-        a = head.selectExpr("cent_id", f"{id_col} as vec_a", "qv as qa")
-        b = head.selectExpr("cent_id", f"{id_col} as vec_b", "qv as qb")
+        a = head.selectExpr("cent_id", f"{id_col} as vec_a", "qv as qa", "qn as na")
+        b = head.selectExpr("cent_id", f"{id_col} as vec_b", "qv as qb", "qn as nb")
     cand = a.join(b, "cent_id").where("vec_a < vec_b")
     if tail is not None:
         cand = cand.unionByName(tail.where("vec_a < vec_b"))
     # identical float sequence to the DuckDB twin: sequential-fold
     # dots, cos first, then * 1000, then floor
-    cos = _dot("qa", "qb") / (
-        F.sqrt(_dot("qa", "qa")) * F.sqrt(_dot("qb", "qb"))
-    )
+    cos = _dot("qa", "qb") / (F.col("na") * F.col("nb"))
     pairs = cand.select(
         "vec_a", "vec_b",
         F.floor(cos * 1000).cast("bigint").alias("cos_milli"),
@@ -1051,7 +1280,7 @@ def rp_project(
         " as bigint)"
         for j in range(out_dim)
     ) + ")"
-    return emb.select(
+    return _spread(emb).select(
         F.col(id_col), F.expr(arr).alias("_p")
     ).select(
         id_col,

@@ -96,6 +96,14 @@ def assign_cells(
             raise ValueError(index)
         return pd.DataFrame({"key_col": col, "key_row": row, "cell_id": cell})
 
+    # asNondeterministic (guide §4.4): a filter on the UDF's output
+    # (cell_range_filter's BETWEEN prune) is otherwise pushed BELOW the
+    # projection and the optimizer duplicates the evaluation — two
+    # ArrowEvalPython nodes, every row keyed twice (captured in
+    # plans/r06/range_query_before.txt; sf1.0 range_query 12.5s -> 6.7s
+    # with the single node). The function is in fact deterministic; the
+    # flag only forbids the optimizer from cloning/reordering it.
+    keys_udf = keys_udf.asNondeterministic()
     k = f"{out_prefix}_k" if out_prefix else "_k"
     out = df.withColumn(k, keys_udf(F.col(lon_col), F.col(lat_col)))
     for f in ("key_col", "key_row", "cell_id"):

@@ -35,9 +35,37 @@ from .. import synth
 CENTS = "cast(floor(value * 100 + 0.5) as bigint)"
 
 
+# row-group counts per parquet path, memoized (pure file METADATA — a
+# property of the input layout, never query results)
+_RG_CACHE: dict[str, int] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    # Scan-parallelism guard (guide §2.5 input skew / §6 split sizing):
+    # parquet cannot split below row-group granularity, and these
+    # single-file tables hold 1-2 row groups, so every scan — and every
+    # downstream narrow op — otherwise runs 1-2 tasks regardless of
+    # core count (measured: the whole ann family ran ~50x under the
+    # box's parallelism; sf1.0 ann_topk 98.8s -> 1.8s once spread).
+    # Round-robin repartition to the session's core count when the
+    # file's row groups can't feed it; at 100 TB a table has orders of
+    # magnitude more row groups than cores, so this is a no-op there —
+    # the guard is scale-adaptive by construction, not a local[32]
+    # constant.
+    if path not in _RG_CACHE:
+        try:
+            import pyarrow.parquet as _pq
+
+            _RG_CACHE[path] = _pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            _RG_CACHE[path] = 1 << 30  # unreadable: assume wide enough
+    p = spark.sparkContext.defaultParallelism
+    if _RG_CACHE[path] < p:
+        df = df.repartition(p)
+    return df
 
 
 def _events_pts(spark, sf_dir) -> DataFrame:
@@ -317,16 +345,26 @@ def q_vector_join(spark, sf_dir) -> DataFrame:
             return pd.Series(out)
         return mk
 
+    # lazy-pin the generated geometry: vector_join consumes each side
+    # TWICE (cover-cell explode + geometry re-attach), and without the
+    # pin the wkb-builder pandas UDF re-runs per consumer (4 extra
+    # ArrowEvalPython nodes in plans/r06/vector_join_before.txt). This
+    # is a fixture-generator concern — production callers hand
+    # vector_join STORED geometry tables, which re-scan instead.
     cust = _t(spark, sf_dir, "customer").selectExpr(
         "cast(c_custkey as bigint) as c_custkey",
         f"{exprs.lon_sql('(c_custkey + 1) * 31')} as cx",
         f"{exprs.lat_sql('(c_custkey + 5) * 43')} as cy",
-    ).withColumn("wkb", dia_maker(_VJ_C_RX, _VJ_C_RY)(F.col("cx"), F.col("cy")))
+    ).withColumn(
+        "wkb", dia_maker(_VJ_C_RX, _VJ_C_RY)(F.col("cx"), F.col("cy"))
+    ).localCheckpoint(eager=False)
     nat = _t(spark, sf_dir, "nation").selectExpr(
         "cast(n_nationkey as bigint) as n_nationkey",
         f"{exprs.lon_sql('(n_nationkey + 1) * 37')} as cx",
         f"{exprs.lat_sql('(n_nationkey + 1) * 53')} as cy",
-    ).withColumn("wkb", dia_maker(_VJ_N_RX, _VJ_N_RY)(F.col("cx"), F.col("cy")))
+    ).withColumn(
+        "wkb", dia_maker(_VJ_N_RX, _VJ_N_RY)(F.col("cx"), F.col("cy"))
+    ).localCheckpoint(eager=False)
     return spatial.vector_join(
         cust, nat, zoom=4, a_id="c_custkey", b_id="n_nationkey"
     )
@@ -735,7 +773,8 @@ def q_semdedup(spark, sf_dir) -> DataFrame:
     from ..operators import similarity
 
     return similarity.semdedup(
-        _t(spark, sf_dir, "embeddings"), threshold_milli=350
+        _t(spark, sf_dir, "embeddings"), threshold_milli=350,
+        dim=similarity.DIM,
     )
 
 
@@ -1919,7 +1958,7 @@ def q_ann_ivf_kmeans(spark, sf_dir) -> DataFrame:
     means order-independent, so DuckDB (Lloyd unrolled as CTEs)
     reproduces the centroids bit-for-bit."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ivf_kmeans_topk(emb)
+    return similarity.ivf_kmeans_topk(emb, dim=similarity.DIM)
 
 
 def sql_ann_ivf_kmeans() -> str:

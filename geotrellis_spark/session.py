@@ -65,6 +65,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE (r6): lowering spark.sql.files.openCostInBytes to split
+        # small files finer was A/B'd and REJECTED: these single-file
+        # tables hold 1-2 parquet row groups, and parquet cannot split
+        # below row-group granularity — the extra splits come back
+        # EMPTY (one split owns the row-group midpoint and reads
+        # everything), so the conf manufactures fake parallelism and
+        # defeats the row-group-aware repartition guard that actually
+        # fixes scan starvation (plans/driver_queries._t).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # image rows are ~35-130KB: 4096-row Arrow batches would be
