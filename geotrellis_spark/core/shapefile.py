@@ -232,9 +232,16 @@ def dbf_encode(rows: list[dict], fields: list[tuple[str, str, int, int]]
                 s = " " * ln  # dBase blank numeric = NULL (decoder
                 # already reads all-spaces back as None)
             else:
-                s = (f"{float(v):.{dec}f}" if dec else str(int(v)))[
-                    :ln
-                ].rjust(ln)
+                s = f"{float(v):.{dec}f}" if dec else str(int(v))
+                if len(s) > ln:
+                    # truncating would silently drop the MOST
+                    # SIGNIFICANT digits (12345 in an N(3) field ->
+                    # '123'); fail loudly per the module convention
+                    raise ValueError(
+                        f"dbf numeric {name}={s} exceeds declared "
+                        f"field width {ln}"
+                    )
+                s = s.rjust(ln)
             out += s.encode("ascii")
     out += b"\x1a"
     return bytes(out)

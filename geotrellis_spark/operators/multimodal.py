@@ -754,9 +754,22 @@ def video_neardup(
 
     from . import dedup
 
-    frames = frame_sample(video, every_k=every_k).select(
-        (F.col("video_id") * 1_000_000 + F.col("frame_ord"))
-        .alias("fid"),
+    sampled = frame_sample(video, every_k=every_k)
+    # the composite fid = video_id * 1e6 + frame_ord is only injective
+    # for non-negative video_id and frame_ord < 1e6 (a ~9h 30fps clip);
+    # outside that envelope frame pairs would silently mis-align and
+    # attribute matches to the wrong videos — fail loudly instead
+    # (ANSI raise_error evaluates per row inside the same codegen span)
+    frames = sampled.select(
+        F.when(
+            (F.col("video_id") < 0) | (F.col("frame_ord") >= 1_000_000),
+            F.expr(
+                "raise_error('video_neardup: composite frame key needs "
+                "video_id >= 0 and frame_ord < 1000000')"
+            ).cast("long"),
+        ).otherwise(
+            F.col("video_id") * 1_000_000 + F.col("frame_ord")
+        ).alias("fid"),
         "phash",
     )
     pairs = dedup.phash_neardup(

@@ -401,6 +401,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     stride: int = 61,
     nprobe: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
     alongside LSH: every vector is assigned to its nearest centroid
@@ -418,28 +419,20 @@ def ivf_topk(
     join); recall is the ``nprobe`` query-time knob. A vector lives in
     exactly ONE list, so (query, candidate) pairs are unique by
     construction — no dedup shuffle. Output: (q_id, vec_id, rank)."""
+    if dim is None:
+        row = emb.select(vec_col).head()
+        dim = len(row[0]) if row is not None else DIM
     # per-row norms once per side (not per corpus x centroid pair)
-    cents = F.broadcast(
-        emb.where(f"{id_col} % {stride} = 0").select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
-        ).withColumn("c_n", F.sqrt(_dot("c_vec", "c_vec")))
-    )
+    cents_df = emb.where(f"{id_col} % {stride} = 0").select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("c_n", F.sqrt(_dot("c_vec", "c_vec")))
+    cents = F.broadcast(cents_df)
     base = _spread(emb).select(id_col, vec_col).withColumn(
         "v_n", F.sqrt(_dot(vec_col, vec_col))
     )
-    scored_c = base.crossJoin(cents).withColumn(
-        "ccos", _dot(vec_col, "c_vec") / (F.col("v_n") * F.col("c_n"))
-    )
-    # nearest-centroid argmax as a HASH-AGGREGATE (max_by), not a
-    # row_number window: the window sort-shuffles all n x k scored
-    # rows; max_by partial-aggregates map-side and never sorts (the
-    # ivf_assignments pattern). struct(ccos, -cent_id) max ==
-    # (ccos desc, cent_id asc) first — identical winner per vector.
-    assign = scored_c.groupBy(id_col).agg(
-        F.expr(
-            f"max_by(struct(cent_id, {vec_col}, v_n), struct(ccos, -cent_id))"
-        ).alias("_m")
-    ).select(id_col, f"_m.{vec_col}", "_m.v_n", "_m.cent_id")
+    # nearest-centroid argmax (ccos desc, cent_id asc) as one
+    # Arrow/numpy pass — the cosine twin of _nearest_assign_arrow
+    assign = _nearest_cos_assign_arrow(base, cents_df, id_col, vec_col, dim)
     # probe ranking only needs the QUERY rows: filtering before the
     # centroid cross scores q x k pairs instead of n x k (the window
     # partitions by the vector id, so ranks are unchanged), and the
@@ -633,6 +626,61 @@ def _nearest_assign_arrow(
 
     return q.select(id_col, "qv", "qq").mapInArrow(
         assign_fn, f"{id_col} long, qv array<double>, qq double, cent_id long"
+    )
+
+
+def _nearest_cos_assign_arrow(
+    base: DataFrame, cents: DataFrame, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """Cosine twin of ``_nearest_assign_arrow``: nearest centroid by
+    (ccos desc, cent_id asc) where ccos = fold_dot(v, c) / (v_n * c_n)
+    — identical op sequence to the JVM expression it replaces (fold
+    dot, then the division by the precomputed-norm product), with
+    argmax's first-maximum over the cent_id-sorted matrix as the tie
+    rule. ``base`` must carry (id_col, vec_col, v_n); ``cents``
+    (cent_id, c_vec, c_n). Output: (id_col, vec_col, v_n, cent_id),
+    vector buffers passed through."""
+    import numpy as np
+
+    spark = base.sparkSession
+    rows = cents.orderBy("cent_id").collect()
+    ids = np.array([int(r["cent_id"]) for r in rows], dtype=np.int64)
+    Cm = np.array([list(r["c_vec"]) for r in rows], dtype=np.float64)
+    cn = np.array([float(r["c_n"]) for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((ids, Cm, cn))
+    id_t = base.schema[id_col].dataType.simpleString()
+    vec_t = base.schema[vec_col].dataType.simpleString()
+
+    def assign_fn(batches, _bc=bc, _d=dim):
+        import numpy as _np
+        import pyarrow as pa
+
+        ids_, Cm_, cn_ = _bc.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            vm = _batch_mat(b, vec_col, _d)
+            vn = b.column(
+                b.schema.get_field_index("v_n")
+            ).to_numpy(zero_copy_only=False)
+            acc = _np.zeros((vm.shape[0], Cm_.shape[0]), dtype=_np.float64)
+            for i in range(_d):
+                acc += vm[:, i:i + 1] * Cm_[None, :, i]
+            ccos = acc / (vn[:, None] * cn_[None, :])
+            best = ccos.argmax(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index(id_col)),
+                    b.column(b.schema.get_field_index(vec_col)),
+                    b.column(b.schema.get_field_index("v_n")),
+                    pa.array(ids_[best], type=pa.int64()),
+                ],
+                [id_col, vec_col, "v_n", "cent_id"],
+            )
+
+    return base.select(id_col, vec_col, "v_n").mapInArrow(
+        assign_fn,
+        f"{id_col} {id_t}, {vec_col} {vec_t}, v_n double, cent_id long",
     )
 
 

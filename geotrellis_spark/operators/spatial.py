@@ -57,6 +57,7 @@ def assign_cells(
     index: str = "zorder",
     out_prefix: str = "",
     impl: str = "udf",
+    udf_once: bool = False,
 ) -> DataFrame:
     """Add key_col/key_row/cell_id for the LatLng ZoomedLayoutScheme at
     ``zoom``. Two implementations with identical output:
@@ -67,7 +68,17 @@ def assign_cells(
       use) — whole-stage-codegen'd, no python workers; the production
       hot path when key assignment is plumbing rather than the op
       under test (zorder only).
-    """
+
+    ``udf_once`` (guide §4.4): mark the keying UDF nondeterministic so
+    a downstream filter on its output (cell_range_filter's BETWEEN
+    prune) cannot be pushed below the projection and DUPLICATE the
+    evaluation — two ArrowEvalPython nodes, every row keyed twice
+    (plans/r06/range_query_before.txt; sf1.0 range_query 12.5 -> 3.5s).
+    Opt-in, not default: the nondeterminism flag also BLOCKS the
+    optimizer from pruning an unused UDF (a filterless consumer that
+    only counts keys would start paying the full evaluation), so turn
+    it on exactly where a filter consumes the keys. The function is in
+    fact deterministic; the flag only forbids cloning/reordering."""
     if impl == "expr" and index == "zorder":
         kc = exprs.key_col_sql(lon_col, zoom)
         kr = exprs.key_row_sql(lat_col, zoom)
@@ -96,14 +107,8 @@ def assign_cells(
             raise ValueError(index)
         return pd.DataFrame({"key_col": col, "key_row": row, "cell_id": cell})
 
-    # asNondeterministic (guide §4.4): a filter on the UDF's output
-    # (cell_range_filter's BETWEEN prune) is otherwise pushed BELOW the
-    # projection and the optimizer duplicates the evaluation — two
-    # ArrowEvalPython nodes, every row keyed twice (captured in
-    # plans/r06/range_query_before.txt; sf1.0 range_query 12.5s -> 6.7s
-    # with the single node). The function is in fact deterministic; the
-    # flag only forbids the optimizer from cloning/reordering it.
-    keys_udf = keys_udf.asNondeterministic()
+    if udf_once:
+        keys_udf = keys_udf.asNondeterministic()
     k = f"{out_prefix}_k" if out_prefix else "_k"
     out = df.withColumn(k, keys_udf(F.col(lon_col), F.col(lat_col)))
     for f in ("key_col", "key_row", "cell_id"):

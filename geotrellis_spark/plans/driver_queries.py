@@ -40,21 +40,32 @@ CENTS = "cast(floor(value * 100 + 0.5) as bigint)"
 _RG_CACHE: dict[str, int] = {}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read a test table; ``spread=True`` adds the scan-parallelism
+    guard (guide §2.5 input skew / §6 split sizing): parquet cannot
+    split below row-group granularity, and these single-file tables
+    hold 1-2 row groups, so every scan — and every downstream narrow op
+    — otherwise runs 1-2 tasks regardless of core count (measured: the
+    whole ann family ran ~50x under the box's parallelism; sf1.0
+    ann_topk 98.8s -> 1.8s once spread). Round-robin repartition to the
+    session's core count when the file's row groups can't feed it; at
+    100 TB a table has orders of magnitude more row groups than cores,
+    so the guard is a no-op there — scale-adaptive by construction.
+
+    OPT-IN per query, not blanket: the repartition is itself one extra
+    pass-shuffle of the table (~0.5-1.5s on the 1M-row events table),
+    which pays for itself only when the downstream per-row work dwarfs
+    it (string/trig/join-heavy chains: measured 2.7-5.8x). A cheap
+    narrow chain + small agg finishes FASTER single-task than it can
+    shuffle (full-bench A/B: tile_assign 0.38 -> 0.96, cell_agg 1.4 ->
+    3.1 with blanket spreading — hence opt-in)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    # Scan-parallelism guard (guide §2.5 input skew / §6 split sizing):
-    # parquet cannot split below row-group granularity, and these
-    # single-file tables hold 1-2 row groups, so every scan — and every
-    # downstream narrow op — otherwise runs 1-2 tasks regardless of
-    # core count (measured: the whole ann family ran ~50x under the
-    # box's parallelism; sf1.0 ann_topk 98.8s -> 1.8s once spread).
-    # Round-robin repartition to the session's core count when the
-    # file's row groups can't feed it; at 100 TB a table has orders of
-    # magnitude more row groups than cores, so this is a no-op there —
-    # the guard is scale-adaptive by construction, not a local[32]
-    # constant.
+    if not spread:
+        return df
     if path not in _RG_CACHE:
         try:
             import pyarrow.parquet as _pq
@@ -68,9 +79,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def _events_pts(spark, sf_dir) -> DataFrame:
+def _events_pts(spark, sf_dir, spread: bool = False) -> DataFrame:
     """events with derived lon/lat (JVM-side expressions)."""
-    return _t(spark, sf_dir, "events").selectExpr(
+    return _t(spark, sf_dir, "events", spread=spread).selectExpr(
         "*",
         f"{exprs.lon_sql('user_id')} as lon",
         f"{exprs.lat_sql('event_id')} as lat",
@@ -177,8 +188,8 @@ def q_range_query(spark, sf_dir) -> DataFrame:
     # The UDF output is opaque to Catalyst, so predicates reference the
     # column. On a STORED layer (the production case) cell_id is a
     # parquet column and the BETWEENs prune row groups either way.
-    pts = _events_pts(spark, sf_dir)
-    keyed = spatial.assign_cells(pts, "lon", "lat", 6)
+    pts = _events_pts(spark, sf_dir, spread=True)
+    keyed = spatial.assign_cells(pts, "lon", "lat", 6, udf_once=True)
     lon_min, lat_min, lon_max, lat_max = _RANGE_RECT
     return spatial.cell_range_filter(
         keyed, 6, lon_min, lat_min, lon_max, lat_max
@@ -261,7 +272,7 @@ def _grid_polys(spark) -> DataFrame:
 
 
 def q_pip_grid(spark, sf_dir) -> DataFrame:
-    pts = _events_pts(spark, sf_dir)
+    pts = _events_pts(spark, sf_dir, spread=True)
     out = spatial.pip_join(pts, _grid_polys(spark), zoom=5)
     return out.select("event_id", "geom_id")
 
@@ -351,7 +362,7 @@ def q_vector_join(spark, sf_dir) -> DataFrame:
     # ArrowEvalPython nodes in plans/r06/vector_join_before.txt). This
     # is a fixture-generator concern — production callers hand
     # vector_join STORED geometry tables, which re-scan instead.
-    cust = _t(spark, sf_dir, "customer").selectExpr(
+    cust = _t(spark, sf_dir, "customer", spread=True).selectExpr(
         "cast(c_custkey as bigint) as c_custkey",
         f"{exprs.lon_sql('(c_custkey + 1) * 31')} as cx",
         f"{exprs.lat_sql('(c_custkey + 5) * 43')} as cy",
@@ -504,9 +515,9 @@ def q_layer_join(spark, sf_dir) -> DataFrame:
     # keying is plumbing here (the op under test is the layer join):
     # codegen expr path, measured 2-3x over the pandas-UDF path
     ev = spatial.assign_cells(
-        _events_pts(spark, sf_dir), "lon", "lat", 6, impl="expr"
+        _events_pts(spark, sf_dir, spread=True), "lon", "lat", 6, impl="expr"
     )
-    orders = _t(spark, sf_dir, "orders").selectExpr(
+    orders = _t(spark, sf_dir, "orders", spread=True).selectExpr(
         "o_orderkey",
         f"{exprs.lon_sql('o_orderkey * 17')} as lon",
         f"{exprs.lat_sql('o_orderkey * 23')} as lat",
@@ -594,7 +605,7 @@ _DOUBLED = """
 
 
 def _doubled_docs(spark, sf_dir) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return d.unionByName(
         d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
@@ -624,7 +635,7 @@ def q_minhash_capped(spark, sf_dir) -> DataFrame:
     re-derivation). The documents corpus has buckets well over the cap,
     so the truncation branch is genuinely exercised."""
     return dedup.minhash_candidates(
-        _t(spark, sf_dir, "documents"), max_bucket=4
+        _t(spark, sf_dir, "documents", spread=True), max_bucket=4
     )
 
 
@@ -739,7 +750,7 @@ def q_dup_spans(spark, sf_dir) -> DataFrame:
     misses. 100 TB shape: one narrow span explode + two hash-aggs +
     one equi-join back on the span hash — the span stream shuffles
     exactly once, no windows, no Python."""
-    return dedup.dup_spans(_t(spark, sf_dir, "documents"))
+    return dedup.dup_spans(_t(spark, sf_dir, "documents", spread=True))
 
 
 def sql_dup_spans() -> str:
@@ -756,7 +767,7 @@ def q_segment_dedup(spark, sf_dir) -> DataFrame:
     than the span stream), one count-distinct hash-agg on the segment
     hash, one equi-join back, two per-doc hash-aggs (reassembly via
     sort_array(collect_list) — per-doc data, never a corpus window)."""
-    return dedup.segment_dedup(_t(spark, sf_dir, "documents"))
+    return dedup.segment_dedup(_t(spark, sf_dir, "documents", spread=True))
 
 
 def sql_segment_dedup() -> str:
@@ -824,7 +835,7 @@ def q_token_shards(spark, sf_dir) -> DataFrame:
     from ..operators import sampling
 
     return sampling.token_shards(
-        _t(spark, sf_dir, "documents"), 3000, salt=11
+        _t(spark, sf_dir, "documents", spread=True), 3000, salt=11
     )
 
 
@@ -845,7 +856,7 @@ def q_domain_cap(spark, sf_dir) -> DataFrame:
     from ..operators import sampling
 
     return sampling.domain_cap(
-        _t(spark, sf_dir, "documents"), 40, salt=7
+        _t(spark, sf_dir, "documents", spread=True), 40, salt=7
     )
 
 
@@ -979,7 +990,7 @@ def sql_embedding_neardup() -> str:
 def q_spacetime_join(spark, sf_dir) -> DataFrame:
     """J7: two event-derived point layers joined on (cell_id at zoom 3,
     day bucket) via the dedicated spacetime_join operator."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", spread=True)
     a = ev.selectExpr(
         "event_id as a_id", "ts",
         f"{exprs.lon_sql('user_id')} as lon",
@@ -1264,7 +1275,7 @@ def q_s2_prune(spark, sf_dir) -> DataFrame:
     missing rows and a red hash."""
     from ..operators import spatial
 
-    pts = _events_pts(spark, sf_dir)
+    pts = _events_pts(spark, sf_dir, spread=True)
     keyed = spatial.s2_assign(pts, "lon", "lat", 8)
     out = spatial.s2_range_filter(keyed, 8, *_S2P_BOX)
     return out.select("event_id", "lon", "lat")
@@ -1294,7 +1305,7 @@ def q_s2_radius(spark, sf_dir) -> DataFrame:
     min|d - r| = 0.018 deg >> cross-engine trig ulp noise."""
     from ..operators import spatial
 
-    pts = _events_pts(spark, sf_dir)
+    pts = _events_pts(spark, sf_dir, spread=True)
     keyed = spatial.s2_assign(pts, "lon", "lat", 6)
     out = spatial.s2_radius_filter(keyed, 6, *_S2R_CAP)
     return out.select("event_id", "lon", "lat")
@@ -1721,7 +1732,7 @@ def sql_cog_prune() -> str:
 def q_tfidf(spark, sf_dir) -> DataFrame:
     """Top-3 TF-IDF terms per document, exact integer scoring
     (text.tfidf_topk)."""
-    return text.tfidf_topk(_t(spark, sf_dir, "documents"))
+    return text.tfidf_topk(_t(spark, sf_dir, "documents", spread=True))
 
 
 def sql_tfidf() -> str:
@@ -1731,7 +1742,7 @@ def sql_tfidf() -> str:
 def q_bm25(spark, sf_dir) -> DataFrame:
     """BM25 top-10 docs for the query {data, join} — exact integer
     scoring (text.bm25_topk; idf is the monotone rational surrogate)."""
-    return text.bm25_topk(_t(spark, sf_dir, "documents"))
+    return text.bm25_topk(_t(spark, sf_dir, "documents", spread=True))
 
 
 def sql_bm25() -> str:
@@ -1741,7 +1752,7 @@ def sql_bm25() -> str:
 def q_doc_chunks(spark, sf_dir) -> DataFrame:
     """Overlapping character chunking (text.chunk_docs): narrow
     explode, no shuffle."""
-    return text.chunk_docs(_t(spark, sf_dir, "documents"))
+    return text.chunk_docs(_t(spark, sf_dir, "documents", spread=True))
 
 
 def sql_doc_chunks() -> str:
@@ -1752,7 +1763,7 @@ def q_pack_concat(spark, sf_dir) -> DataFrame:
     """Concatenate-and-chop sequence packing per lang stratum
     (text.pack_concat): window prefix sums assign each doc its bin and
     offset in the chopped stream."""
-    return text.pack_concat(_t(spark, sf_dir, "documents"))
+    return text.pack_concat(_t(spark, sf_dir, "documents", spread=True))
 
 
 def sql_pack_concat() -> str:
@@ -1792,7 +1803,7 @@ def q_kernel_density(spark, sf_dir) -> DataFrame:
     hash-aggregate."""
     from ..operators import zonal as Z
 
-    pts = _events_pts(spark, sf_dir)
+    pts = _events_pts(spark, sf_dir, spread=True)
     return Z.kernel_density(pts, zoom=6, radius=2, weight_expr="1")
 
 
@@ -1825,7 +1836,7 @@ def q_dedup_cluster(spark, sf_dir) -> DataFrame:
     component), via distributed min-label propagation. Oracle = DuckDB
     recursive-CTE transitive closure — a genuinely different
     algorithm."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     pairs = dedup.minhash_candidates(docs)
     return dedup.dedup_clusters(pairs)
 

@@ -400,7 +400,10 @@ def watermark_asof_stream(
                 # floor was folded strictly below)
                 bt, bi, bv = fts, fid, fval
                 j = bisect.bisect_right(rkeys, lts[i]) - 1
-                if j >= 0 and (bt is None or rs[j][0] >= bt):
+                # (rts, rid) tuple compare: on a timestamp tie between
+                # the buffer and the floor, the larger snap_id wins —
+                # the batch asof_join's max_by(_, event_id) tie rule
+                if j >= 0 and (bt is None or (rs[j][0], rs[j][1]) > (bt, bi)):
                     bt, bi, bv = rs[j]
                 outs.append((key[0], lts[i], lid[i], bi, bv))
             lts, lid = [lts[i] for i in keep_l], [lid[i] for i in keep_l]
@@ -410,7 +413,12 @@ def watermark_asof_stream(
         keep_r = []
         for j in range(len(rts)):
             if rts[j] < wm_us:
-                if fts is None or rts[j] >= fts:
+                # deterministic fold: (rts, rid) tuple max, not
+                # arrival-order overwrite — two right snapshots sharing
+                # one timestamp would otherwise yield different snap_id
+                # depending on whether they match from the buffer
+                # (sorted + bisect -> max rid) or after compaction
+                if fts is None or (rts[j], rid[j]) > (fts, fid):
                     fts, fid, fval = rts[j], rid[j], rval[j]
             else:
                 keep_r.append(j)

@@ -306,6 +306,22 @@ def test_audio_neardup_finds_transcodes(spark):
     assert pairs == [(0, 3)]
 
 
+def test_video_neardup_rejects_bad_composite_key(spark):
+    """The composite frame key (video_id * 1e6 + frame_ord) is only
+    injective for video_id >= 0; a negative id must fail loudly
+    instead of silently mis-aligning frame pairs."""
+    import pytest
+
+    vids = mm.synth_video(spark, 1, n_frames=8, w=16, h=16,
+                          partitions=1)
+    bad = vids.selectExpr(
+        "video_id - 5 as video_id", "frames", "n_frames", "w", "h",
+        "codec",
+    )
+    with pytest.raises(Exception, match="composite frame key"):
+        mm.video_neardup(bad, every_k=4).collect()
+
+
 def test_video_neardup_finds_transcode(spark):
     """Three distinct synth videos plus a lossy ddct re-encode of one:
     video_neardup pairs exactly the re-encode with its source (aligned

@@ -84,6 +84,15 @@ def test_dbf_roundtrip_types():
     ]
 
 
+def test_dbf_numeric_overflow_raises():
+    # rjust truncation would silently drop the MOST significant digits
+    # (12345 in an N(3) field -> '123'): fail loudly instead
+    with pytest.raises(ValueError, match="exceeds declared"):
+        SF.dbf_encode([{"POP": 12345}], [("POP", "N", 3, 0)])
+    with pytest.raises(ValueError, match="exceeds declared"):
+        SF.dbf_encode([{"AREA": 12345.5}], [("AREA", "N", 6, 2)])
+
+
 def test_full_sidecar_set_and_mismatch_guard():
     wkbs = [G.wkb_write_point(i, i) for i in range(3)]
     files = SF.shapefile_write(wkbs)

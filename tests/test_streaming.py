@@ -545,6 +545,89 @@ def test_watermark_asof_stream_out_of_order(spark, tmp_path):
     assert got == want and len(got) == 40
 
 
+def test_watermark_asof_stream_right_ts_tie_deterministic(spark, tmp_path):
+    """Two right snapshots sharing one timestamp must yield the SAME
+    snap_id (the max — the batch max_by tie rule) whether a left
+    matches them from the sorted buffer or from the compacted floor.
+    The floor fold previously used arrival-order overwrite, so a
+    smaller snap_id arriving later silently won the tie on the
+    compaction path only. Arrival order here puts the larger id FIRST
+    so the old behavior would emit 110 for the floor-path left."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from geotrellis_spark.streaming.ingest_stream import (
+        watermark_asof_stream,
+    )
+
+    for old in spark.streams.active:
+        old.stop()
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(minutes):
+        return pd.to_datetime(
+            [t0 + dt.timedelta(minutes=minutes)]
+        ).astype("datetime64[us]")
+
+    (tmp_path / "L").mkdir(); (tmp_path / "R").mkdir()
+
+    ls = spark.readStream.schema(
+        "key long, ts timestamp, event_id long"
+    ).option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "L"))
+    rs = spark.readStream.schema(
+        "key long, ts timestamp, snap_id long, snap_value double"
+    ).option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "R"))
+    joined = watermark_asof_stream(ls, rs, watermark="2 hours")
+    q = (
+        joined.writeStream.format("memory").queryName("asof_tie")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    try:
+        # tied rights at 10min FIRST (watermark still 0 — the 9h left
+        # would advance it past them and Spark would drop them as
+        # late): LARGER id arrives before the smaller one, so the old
+        # arrival-order floor fold would keep 110
+        for n, (m, sid, sval) in enumerate(
+            [(10, 111, 1.11), (10, 110, 1.10)]
+        ):
+            pd.DataFrame({
+                "key": [1], "ts": ts(m),
+                "snap_id": [sid], "snap_value": [sval],
+            }).to_parquet(tmp_path / "R" / f"r{n}.parquet", index=False)
+            q.processAllAvailable()
+        # lefts: ts=20min finalizes while the tied rights are still in
+        # the BUFFER; ts=9h finalizes after they fold into the FLOOR
+        pd.DataFrame({
+            "key": [1, 1],
+            "ts": pd.to_datetime(
+                [t0 + dt.timedelta(minutes=20), t0 + dt.timedelta(hours=9)]
+            ).astype("datetime64[us]"),
+            "event_id": [1, 2],
+        }).to_parquet(tmp_path / "L" / "l1.parquet", index=False)
+        q.processAllAvailable()
+        # sentinels walk the watermark forward: 10h (wm 7h from the
+        # left batch finalizes left 1 from the buffer and compacts the
+        # tied rights), 13h -> wm 8-11h, 25h (finalizes left 2 from
+        # the floor and flushes)
+        for n, m in enumerate([600, 780, 1500]):
+            pd.DataFrame({
+                "key": [1], "ts": ts(m),
+                "snap_id": [999], "snap_value": [9.9],
+            }).to_parquet(tmp_path / "R" / f"s{n}.parquet", index=False)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["event_id"], r["snap_id"])
+        for r in spark.table("asof_tie").collect()
+    }
+    # both paths pick the max snap_id of the tied pair
+    assert got == {(1, 111), (2, 111)}
+
+
 def test_streaming_capped_pair_store_equals_batch(spark, tmp_path):
     """CAPPED pair store (max_bucket): pair sets are NOT monotone — a
     late-arriving small-id doc displaces a bucket representative, so
