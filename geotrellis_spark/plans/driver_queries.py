@@ -2232,124 +2232,111 @@ def sql_funnel() -> str:
 # doc_fingerprint is a pure narrow expression; embedding_neardup =
 # embedding_lsh buckets + the ann_recall dot product).
 QUERIES = {
+    # ---- r6 prefix rotation (VERDICT r5 item 5): the driver's gate
+    # samples the 50-query prefix, so each round rotates tail members
+    # in so every query gets a driver-green CORRECTNESS row at least
+    # every other round (union of r5+r6 prefixes covers 72 of 78).
+    # This round's prefix keeps (a) the flagship image/COG pipeline,
+    # (b) every query whose PLAN this optimization round touched
+    # (spread/norm-precompute/Arrow scorers/triangle join/udf_once),
+    # and (c) 22 promoted tail members — 16 of them also touched this
+    # round (the ann family, minhash_lsh, cell_agg, bm25, doc_chunks,
+    # domain_cap...). Demoted entries all hold green r5 rows and their
+    # machinery stays anchored by prefix twins (see tail comments).
     "image_tiles": (q_image_tiles, sql_image_tiles),
     "image_pyramid": (q_image_pyramid, sql_image_pyramid),
     "image_focal": (q_image_focal, sql_image_focal),
     "image_phash_check": (q_image_phash_check, sql_image_phash_check),
     "augment_plan": (q_augment_plan, sql_augment_plan),
     "cog_prune": (q_cog_prune, sql_cog_prune),
-    "hilbert_assign": (q_hilbert_assign, sql_hilbert_assign),
-    "s2_cell": (q_s2_cell, sql_s2_cell),
     "s2_prune": (q_s2_prune, sql_s2_prune),
     "s2_radius": (q_s2_radius, sql_s2_radius),
+    "s2_region": (q_s2_region, sql_s2_region),
+    "ann_recall": (q_ann_recall, sql_ann_recall),
+    "ann_topk": (q_ann_topk, sql_ann_topk),
+    "ann_bucketed": (q_ann_bucketed, sql_ann_bucketed),
+    "ann_multiprobe": (q_ann_multiprobe, sql_ann_multiprobe),
+    "ann_ivf": (q_ann_ivf, sql_ann_ivf),
+    "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),
+    "semdedup": (q_semdedup, sql_semdedup),
+    "embedding_lsh": (q_embedding_lsh, sql_embedding_lsh),
+    "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
+    "rp_project": (q_rp_project, sql_rp_project),
+    "minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
+    "minhash_capped": (q_minhash_capped, sql_minhash_capped),
+    "dedup_cluster": (q_dedup_cluster, sql_dedup_cluster),
+    "dedup_exact": (q_dedup_exact, sql_dedup_exact),
+    "crossmodal_dedup": (q_crossmodal_dedup, sql_crossmodal_dedup),
+    "phash_neardup": (q_phash_neardup, sql_phash_neardup),
+    "dup_spans": (q_dup_spans, sql_dup_spans),
+    "segment_dedup": (q_segment_dedup, sql_segment_dedup),
+    "tfidf": (q_tfidf, sql_tfidf),
+    "bm25": (q_bm25, sql_bm25),
+    "doc_chunks": (q_doc_chunks, sql_doc_chunks),
+    "pack_concat": (q_pack_concat, sql_pack_concat),
+    "token_shards": (q_token_shards, sql_token_shards),
+    "domain_cap": (q_domain_cap, sql_domain_cap),
+    "mix_sample": (q_mix_sample, sql_mix_sample),
+    "tile_assign": (q_tile_assign, sql_tile_assign),
+    "cell_agg": (q_cell_agg, sql_cell_agg),
+    "range_query": (q_range_query, sql_range_query),
+    "pip_grid": (q_pip_grid, sql_pip_grid),
+    "pip_diamond": (q_pip_diamond, sql_pip_diamond),
+    "vector_join": (q_vector_join, sql_vector_join),
+    "knn": (q_knn, sql_knn),
+    "layer_join": (q_layer_join, sql_layer_join),
+    "spacetime_join": (q_spacetime_join, sql_spacetime_join),
+    "kernel_density": (q_kernel_density, sql_kernel_density),
+    "class_breaks": (q_class_breaks, sql_class_breaks),
+    "interval_join": (q_interval_join, sql_interval_join),
+    "resample_ffill": (q_resample_ffill, sql_resample_ffill),
+    "sessionize": (q_sessionize, sql_sessionize),
+    "retention": (q_retention, sql_retention),
+    "countmin": (q_countmin, sql_countmin),
+    # ---- tail (all hold green r5 driver rows; machinery anchored by
+    # prefix twins): hilbert_assign/s2_cell/cell_extent/spacetime_cell
+    # are key-construction variants of tile_assign's machinery (and
+    # pytest-gated for bijectivity); rollup_cube/zonal_stats/
+    # temporal_rollup are the two-phase hash-agg shape cell_agg
+    # anchors; asof_join is anchored by interval_join + the streaming
+    # e2e; group_percentiles/funnel/hll_sketch share retention/
+    # countmin's cohort/sketch agg shapes; poly_stats' WKB path is
+    # exercised by vector_join; simhash_neardup's band machinery by
+    # phash_neardup/crossmodal_dedup; s2_knn's doubling-cover rounds
+    # by knn (planar twin) + pytest; rolling_window by sessionize's
+    # window chain; bpe_pair_stats/rep_filter/unigram_surprisal/
+    # pii_scrub/contamination/lang_id/quality_score are narrow text
+    # chains anchored by tfidf/bm25/segment_dedup; stratified_sample
+    # by mix_sample's salted-hash ordering; simhash/ngram_jaccard/
+    # token_count/doc_fingerprint are pure narrow expressions whose
+    # machinery runs inside prefix queries ----
+    "hilbert_assign": (q_hilbert_assign, sql_hilbert_assign),
+    "s2_cell": (q_s2_cell, sql_s2_cell),
+    "s2_knn": (q_s2_knn, sql_s2_knn),
+    "cell_extent": (q_cell_extent, sql_cell_extent),
+    "spacetime_cell": (q_spacetime_cell, sql_spacetime_cell),
     "rollup_cube": (q_rollup_cube, sql_rollup_cube),
+    "zonal_stats": (q_zonal_stats, sql_zonal_stats),
+    "temporal_rollup": (q_temporal_rollup, sql_temporal_rollup),
     "asof_join": (q_asof_join, sql_asof_join),
     "group_percentiles": (q_group_percentiles, sql_group_percentiles),
     "funnel": (q_funnel, sql_funnel),
-    "crossmodal_dedup": (q_crossmodal_dedup, sql_crossmodal_dedup),
-    "ann_recall": (q_ann_recall, sql_ann_recall),
-    "semdedup": (q_semdedup, sql_semdedup),
     "hll_sketch": (q_hll_sketch, sql_hll_sketch),
     "poly_stats": (q_poly_stats, sql_poly_stats),
     "simhash_neardup": (q_simhash_neardup, sql_simhash_neardup),
-    "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),
-    "tile_assign": (q_tile_assign, sql_tile_assign),
-    "token_shards": (q_token_shards, sql_token_shards),
-    "cell_extent": (q_cell_extent, sql_cell_extent),
-    "range_query": (q_range_query, sql_range_query),
-    "spacetime_cell": (q_spacetime_cell, sql_spacetime_cell),
-    "pip_grid": (q_pip_grid, sql_pip_grid),
-    "vector_join": (q_vector_join, sql_vector_join),
-    "s2_knn": (q_s2_knn, sql_s2_knn),
-    "zonal_stats": (q_zonal_stats, sql_zonal_stats),
-    "layer_join": (q_layer_join, sql_layer_join),
-    "temporal_rollup": (q_temporal_rollup, sql_temporal_rollup),
     "rolling_window": (q_rolling_window, sql_rolling_window),
     "bpe_pair_stats": (q_bpe_pair_stats, sql_bpe_pair_stats),
-    "rp_project": (q_rp_project, sql_rp_project),
-    "minhash_capped": (q_minhash_capped, sql_minhash_capped),
-    "dup_spans": (q_dup_spans, sql_dup_spans),
-    "segment_dedup": (q_segment_dedup, sql_segment_dedup),
     "rep_filter": (q_rep_filter, sql_rep_filter),
     "unigram_surprisal": (q_unigram_surprisal, sql_unigram_surprisal),
     "pii_scrub": (q_pii_scrub, sql_pii_scrub),
     "contamination": (q_contamination, sql_contamination),
-    "dedup_cluster": (q_dedup_cluster, sql_dedup_cluster),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
-    "tfidf": (q_tfidf, sql_tfidf),
-    "pack_concat": (q_pack_concat, sql_pack_concat),
-    "kernel_density": (q_kernel_density, sql_kernel_density),
     "lang_id": (q_lang_id, sql_lang_id),
-    "spacetime_join": (q_spacetime_join, sql_spacetime_join),
-    "class_breaks": (q_class_breaks, sql_class_breaks),
-    # ---- tail: redundant variants (machinery covered above; the
-    # rolling-hash fingerprint is a pure narrow expression;
-    # pip_diamond is the same PIP operator as pip_grid over a second
-    # polygon family; minhash_lsh's uncapped shingle/signature/band
-    # machinery runs inside BOTH minhash_capped and dedup_cluster;
-    # ann_ivf is ann_ivf_kmeans with kmeans_rounds=0; TS2 gap-fill
-    # stays anchored by rolling_window, sessionization shares TS2's
-    # session-window machinery; J8 stays anchored by asof_join;
-    # retention shares funnel's cohort-agg shape, countmin shares
-    # hll_sketch's mergeable-sketch two-phase agg; dedup_exact's
-    # hash-groupBy runs inside dedup_cluster's exact stage;
-    # phash_capped's cap machinery is gated by minhash_capped and its
-    # band+refine by phash_neardup; quality_score is the same narrow
-    # per-doc codegen-chain shape lang_id anchors, and the quality-gate
-    # family is covered deeper by rep_filter/unigram_surprisal) ----
-    # s2_region: the prune-then-refine query SHAPE is anchored by
-    # s2_prune/s2_radius in the prefix; what is new here (the polygon
-    # cover construction + convex half-plane refine) is additionally
-    # pytest-gated, so the tail slot loses no unique driver signal
-    "s2_region": (q_s2_region, sql_s2_region),
-    # mix_sample demoted when s2_radius took a prefix slot: its
-    # salted-hash ordering is stratified_sample's machinery and its
-    # per-source streaming running-sum window is the cumulative-window
-    # shape rolling_window gates in the prefix; domain_cap shares that
-    # same shape plus a scalar-total broadcast
-    "mix_sample": (q_mix_sample, sql_mix_sample),
-    "domain_cap": (q_domain_cap, sql_domain_cap),
-    # phash_neardup demoted when augment_plan took a prefix slot: its
-    # band equi-join + bit_count refine runs INSIDE crossmodal_dedup's
-    # oracle (prefix) and its hot-bucket cap variant is phash_capped
-    "phash_neardup": (q_phash_neardup, sql_phash_neardup),
-    # knn demoted when s2_knn took its prefix slot: both are the J4
-    # batched-round machinery (candidate explode + broadcast equi-join
-    # + rank window + stopping guarantee); the spherical cap-cover
-    # variant is the stronger anchor (correct metric at poles and the
-    # antimeridian), the planar grid-ring variant stays here
-    "knn": (q_knn, sql_knn),
-    # cell_agg demoted when token_shards took a prefix slot (the
-    # two-phase distributed scan has no other anchor): cell_agg's
-    # two-phase hash-agg-on-derived-cell-key shape is exactly
-    # zonal_stats'/temporal_rollup's prefix machinery, and T1/Z5 stay
-    # anchored by tile_assign + cell_extent
-    "cell_agg": (q_cell_agg, sql_cell_agg),
     "quality_score": (q_quality, sql_quality),
-    "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "phash_capped": (q_phash_capped, sql_phash_capped),
-    "sessionize": (q_sessionize, sql_sessionize),
-    # doc_chunks/bm25 demoted to the tail when s2_cell/s2_prune took
-    # prefix slots: doc_chunks' bounded-explode machinery is the shape
-    # kernel_density gates (pack_concat covers chunk packing), and
-    # bm25's broadcast-df-join + top-k machinery is gated by tfidf
-    # (Okapi scoring is variant arithmetic on the same plan)
-    "doc_chunks": (q_doc_chunks, sql_doc_chunks),
-    "bm25": (q_bm25, sql_bm25),
-    "retention": (q_retention, sql_retention),
-    "countmin": (q_countmin, sql_countmin),
-    "minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
-    "interval_join": (q_interval_join, sql_interval_join),
-    "resample_ffill": (q_resample_ffill, sql_resample_ffill),
-    "ann_ivf": (q_ann_ivf, sql_ann_ivf),
-    "pip_diamond": (q_pip_diamond, sql_pip_diamond),
     "doc_fingerprint": (q_fingerprint, sql_fingerprint),
-    "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
-    "ann_topk": (q_ann_topk, sql_ann_topk),
-    "embedding_lsh": (q_embedding_lsh, sql_embedding_lsh),
-    "ann_bucketed": (q_ann_bucketed, sql_ann_bucketed),
-    "ann_multiprobe": (q_ann_multiprobe, sql_ann_multiprobe),
     "simhash": (q_simhash, sql_simhash),
     "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
     "token_count": (q_token_count, sql_token_count),
 }
+
