@@ -492,7 +492,13 @@ def dedup_clusters(
                     ).alias("lab"),
                 )
             )
-        new = new.localCheckpoint()
+        # lazy pin + one action: the convergence checksum's collect is
+        # the job that materializes the checkpoint, so each round runs
+        # ONE job instead of an eager-materialize job followed by a
+        # separate sum job (the loop is job-latency-bound on small
+        # label tables — semdedup's components phase was ~7s of mostly
+        # per-round overhead at sf1.0)
+        new = new.localCheckpoint(eager=False)
         cur_sum = new.agg(
             F.sum(F.col("lab").cast("decimal(38,0)"))
         ).collect()[0][0]
