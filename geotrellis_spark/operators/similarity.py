@@ -1105,14 +1105,22 @@ def ivf_query_index(
     the partitioned assignment store — `.explain` shows PartitionFilters
     on cent_id, i.e. only the probed inverted lists are scanned.
     Matches ``ivf_topk`` exactly for the same centroid table."""
-    cents = F.broadcast(spark.read.parquet(f"{base}/centroids"))
+    cents = F.broadcast(
+        spark.read.parquet(f"{base}/centroids").withColumn(
+            "c_n", F.sqrt(_dot("c_vec", "c_vec"))
+        )
+    )
+    # per-row norm precompute (same pattern as ivf_assignments /
+    # cosine_topk): sqrt of the self-fold once per query row, carried
+    # through both the probe cross and the final rerank — each pair
+    # then pays ONE dot fold instead of three; the cos doubles are
+    # bit-identical (same fold into sqrt, same operand order)
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    )
+    ).withColumn("q_n", F.sqrt(_dot("q_vec", "q_vec")))
     qscored = q.crossJoin(cents).withColumn(
         "ccos",
-        _dot("q_vec", "c_vec")
-        / (F.sqrt(_dot("q_vec", "q_vec")) * F.sqrt(_dot("c_vec", "c_vec"))),
+        _dot("q_vec", "c_vec") / (F.col("q_n") * F.col("c_n")),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("ccos").desc(), F.col("cent_id").asc()
@@ -1120,7 +1128,7 @@ def ivf_query_index(
     probes = (
         qscored.withColumn("crank", F.row_number().over(w))
         .where(f"crank <= {nprobe}")
-        .select("q_id", "q_vec", "cent_id")
+        .select("q_id", "q_vec", "q_n", "cent_id")
         # pin: probes feed BOTH the probe-id collect and the final
         # join; without this the query x centroid pass runs twice
         # (same lazy-pin convention as kmeans_milli)
@@ -1134,14 +1142,13 @@ def ivf_query_index(
                  probes.select("cent_id").distinct().collect()]
     assign = spark.read.parquet(f"{base}/assignments").where(
         F.col("cent_id").isin(probe_ids)
-    )
+    ).withColumn("v_n", F.sqrt(_dot(vec_col, vec_col)))
     pairs = assign.join(F.broadcast(probes), "cent_id").where(
         F.col(id_col) != F.col("q_id")
     )
     scored = pairs.withColumn(
         "cos",
-        _dot(vec_col, "q_vec")
-        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("q_vec", "q_vec"))),
+        _dot(vec_col, "q_vec") / (F.col("v_n") * F.col("q_n")),
     )
     win = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col(id_col).asc()
