@@ -1191,11 +1191,10 @@ def semdedup(
     ivf_build_index pattern), one equi-join on cent_id for pairs
     (bounded by cluster size; ``max_cluster`` caps degenerate
     clusters via rank-1 representative pairing like the band-LSH
-    caps), then the distributed min-label components of
-    ``dedup_clusters``. No driver state.
+    caps), then per-cluster components in ONE grouped pass — pairs
+    cannot span clusters, so no distributed label loop is needed.
+    No driver state.
     """
-    from .dedup import dedup_clusters
-
     if dim is None:
         row = emb.select(vec_col).head()
         dim = len(row[0]) if row is not None else DIM
@@ -1249,13 +1248,54 @@ def semdedup(
     # dots, cos first, then * 1000, then floor
     cos = _dot("qa", "qb") / (F.col("na") * F.col("nb"))
     pairs = cand.select(
-        "vec_a", "vec_b",
+        "cent_id", "vec_a", "vec_b",
         F.floor(cos * 1000).cast("bigint").alias("cos_milli"),
     ).where(F.col("cos_milli") >= threshold_milli)
 
-    clus = dedup_clusters(
-        pairs, a_col="vec_a", b_col="vec_b"
-    ).selectExpr(f"doc_id as {id_col}", "cluster")
+    # components WITHOUT the distributed label loop: semdedup's pairs
+    # exist only WITHIN a cluster (the cent_id equi-join above is the
+    # operator's defining bound), so no component can span clusters —
+    # a per-cluster union-find over the tiny above-threshold pair set
+    # replaces the O(log diameter) rounds of ``dedup_clusters`` (each
+    # round a full shuffle + job) with ONE grouped Arrow pass. Work
+    # per group is linear in that cluster's pairs, strictly dominated
+    # by the pair enumeration that produced them, so this adds no new
+    # scale hazard; labels are the same exact integers (min reachable
+    # id — union-by-min-root below), bit-identical to the recursive-
+    # closure oracle. The general cross-bucket graphs (minhash/
+    # simhash/phash) keep ``dedup_clusters``.
+    def _uf(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        va = pdf["vec_a"].to_numpy(dtype=_np.int64)
+        vb = pdf["vec_b"].to_numpy(dtype=_np.int64)
+        ids = _np.unique(_np.concatenate([va, vb]))
+        idx = {int(v): i for i, v in enumerate(ids)}
+        parent = _np.arange(len(ids))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for x, y in zip(va, vb):
+            rx, ry = find(idx[int(x)]), find(idx[int(y)])
+            if rx != ry:
+                # ids are sorted, so the smaller root index IS the
+                # smaller id: attaching the larger root under the
+                # smaller keeps every root at its component's min id
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        roots = _np.array([find(i) for i in range(len(ids))])
+        return _pd.DataFrame({id_col: ids, "cluster": ids[roots]})
+
+    clus = pairs.groupBy("cent_id").applyInPandas(
+        _uf, f"{id_col} long, cluster long"
+    )
     return (
         assign.join(clus, id_col, "left")
         .selectExpr(
